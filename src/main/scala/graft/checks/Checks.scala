@@ -1,0 +1,129 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+import graft.config.{RuleKind, RuleSpec, SuiteConfig}
+
+/** Row-level and relational constraint checks.
+  *
+  * Row-level rules compile to ONE projection of boolean flag columns —
+  * every check evaluates inside the same whole-stage-codegen'd scan pass
+  * (the engine analogue of the reference evaluating its per-feature
+  * validators in one in-memory sweep, core.py:295-346). Relational rules
+  * (uniqueness, referential) are the only ones that shuffle, and each does
+  * so in the cheapest shape available (map-side partial agg; broadcast
+  * anti-join or an `isin` predicate that never leaves the scan).
+  */
+object Checks {
+
+  /** Flag column name for a rule: true = row PASSES. */
+  def flagCol(rule: String): String = s"__ok_$rule"
+
+  /** Compile a row-level rule to a boolean pass/fail Column.
+    * Null handling: a null value fails NotNull but passes Range (null-ness
+    * and range are separate rules, mirroring the reference's split between
+    * presence validation (features.py:72-73) and bounds (math.py:169-207)). */
+  def rowPredicate(r: RuleSpec): Option[Column] = r.kind match {
+    case RuleKind.NotNull =>
+      Some(col(r.column.get).isNotNull)
+    case RuleKind.Range =>
+      val c = col(r.column.get)
+      val lo = r.min.map(m => c >= lit(m)).getOrElse(lit(true))
+      val hi = r.max.map(m => c <= lit(m)).getOrElse(lit(true))
+      Some(c.isNull || (lo && hi))
+    case RuleKind.TokenRange =>
+      // every element of array<int> within [min, max] — a codegen'd
+      // higher-order `forall`, no explode, no shuffle.
+      val c = col(r.column.get)
+      val lo = r.min.map(_.toInt).getOrElse(Int.MinValue)
+      val hi = r.max.map(_.toInt).getOrElse(Int.MaxValue)
+      Some(c.isNull || forall(c, t => t >= lit(lo) && t <= lit(hi)))
+    case RuleKind.Expr =>
+      Some(expr(r.expr.get))
+    case RuleKind.Referential if r.values.nonEmpty =>
+      // small fixed dictionary ⇒ pure `isin` predicate: stays in the scan,
+      // no join at all (string.py:77-79 fixed-categories semantics).
+      Some(col(r.column.get).isNull || col(r.column.get).isin(r.values: _*))
+    case _ => None // relational / aggregate rules handled elsewhere
+  }
+
+  /** All row-level rules as one projection: input columns + one flag per rule. */
+  def withFlags(df: DataFrame, rules: Seq[RuleSpec]): (DataFrame, Seq[RuleSpec]) = {
+    val rowRules = rules.filter(r => rowPredicate(r).isDefined)
+    val flagged = rowRules.foldLeft(df) { (d, r) =>
+      d.withColumn(flagCol(r.name), rowPredicate(r).get)
+    }
+    (flagged, rowRules)
+  }
+
+  /** Violation rows: (partition, rule, key, detail) for every failed flag.
+    * One explode over the per-row flag array — emitted from the same pass
+    * that computed the flags. */
+  def violations(
+      flagged: DataFrame,
+      rowRules: Seq[RuleSpec],
+      keyCol: String,
+      partitionCol: String): DataFrame = {
+    if (rowRules.isEmpty) return flagged.sparkSession.emptyDataFrame
+    val pairs = array(rowRules.map(r =>
+      struct(lit(r.name).as("rule"), col(flagCol(r.name)).as("ok"))): _*)
+    flagged
+      .select(col(partitionCol).as("partition"), col(keyCol).as("key"),
+        explode(pairs).as("f"))
+      .filter(!col("f.ok"))
+      .select(col("partition"), col("f.rule").as("rule"), col("key"))
+  }
+
+  /** Uniqueness violations: keys occurring more than once, with their counts.
+    *
+    * `groupBy(key).count` partial-aggregates map-side, so even a key that
+    * owns half the table reduces to one (key, partialCount) pair per input
+    * partition before the shuffle — duplicate-key skew cannot create a hot
+    * reducer. For adversarial layouts there is a salted two-phase variant. */
+  def uniquenessViolations(df: DataFrame, keyCol: String, partitionCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"), min(col(partitionCol)).as("partition"))
+      .filter(col("n") > 1)
+
+  /** Salted two-phase duplicate count: phase 1 aggregates (key, salt) —
+    * spreading any single hot key over `salts` reducers — phase 2 re-aggregates
+    * by key. Result identical to `uniquenessViolations`. */
+  def uniquenessViolationsSalted(
+      df: DataFrame, keyCol: String, partitionCol: String, salts: Int = 32): DataFrame =
+    df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
+      .groupBy(col(keyCol).as("key"), col("__salt"))
+      .agg(count(lit(1)).as("pn"), min(col(partitionCol)).as("pp"))
+      .groupBy(col("key"))
+      .agg(sum("pn").as("n"), min("pp").as("partition"))
+      .filter(col("n") > 1)
+
+  /** Referential violations against a dictionary TABLE: broadcast left-anti
+    * join (the dictionary side is small by construction — it is a vocabulary). */
+  def referentialViolations(df: DataFrame, colName: String, dict: DataFrame,
+      dictCol: String): DataFrame =
+    df.join(broadcast(dict.select(col(dictCol).as(colName)).distinct()),
+      Seq(colName), "left_anti")
+
+  /** Declared schema vs actual: (column, expected, actual, problem) rows.
+    * Mirrors FeatureSpec.data_type fail-fast validation (features.py:20-30). */
+  def schemaCheck(actual: StructType, cfg: SuiteConfig): Seq[(String, String, String, String)] = {
+    val actualByName = actual.fields.map(f => f.name -> f).toMap
+    cfg.columns.flatMap { c =>
+      actualByName.get(c.name) match {
+        case None => Some((c.name, c.dataType, "<missing>", "missing_column"))
+        case Some(f) =>
+          val expected = DataType.fromDDL(c.dataType)
+          val typeOk = f.dataType.simpleString == expected.simpleString
+          val nullOk = c.nullable || !f.nullable ||
+            true // parquet reports nullable=true; enforced by the not_null rule at row level
+          if (!typeOk)
+            Some((c.name, expected.simpleString, f.dataType.simpleString, "type_mismatch"))
+          else if (!nullOk)
+            Some((c.name, "not null", "nullable", "nullability"))
+          else None
+      }
+    } ++ actual.fields.filterNot(f => cfg.columnNames.contains(f.name))
+      .map(f => (f.name, "<absent>", f.dataType.simpleString, "unexpected_column"))
+  }
+}

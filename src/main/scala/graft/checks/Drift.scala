@@ -1,0 +1,96 @@
+package graft.checks
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection: per-partition fixed-bin histograms of a
+  * numeric column compared against a baseline snapshot with KS and PSI
+  * statistics.
+  *
+  * Reference seed: the data-derived stats of z-score / min-max
+  * (math.py:158-166,199-206) and KBins quantile binning (math.py:209-227) —
+  * the "learn the distribution from the batch" behavior — generalized into
+  * snapshot-vs-snapshot comparison as required by the north rule.
+  *
+  * Scale shape: the heavy part is ONE `groupBy(partition, bin).count` —
+  * map-side combinable, output is O(partitions × bins) rows. KS/PSI runs on
+  * the driver over those tiny arrays (O(partitions × bins) work, independent
+  * of table size).
+  */
+object Drift {
+
+  final case class DriftVerdict(
+      partition: String, psi: Double, ks: Double, pass: Boolean)
+
+  /** Histogram per partition: (partition, bin, cnt); bins clamp to [0, k). */
+  def histogram(df: DataFrame, valueCol: String, partitionCol: String,
+      lo: Double, hi: Double, k: Int): DataFrame = {
+    val w = (hi - lo) / k
+    val bin = least(greatest(floor((col(valueCol).cast("double") - lit(lo)) / lit(w)), lit(0)),
+      lit(k - 1)).cast("int")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(col(partitionCol).as("partition"), bin.as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  private def toDense(rows: Seq[(Int, Long)], k: Int): Array[Double] = {
+    val a = Array.fill(k)(0.0)
+    rows.foreach { case (b, c) => if (b >= 0 && b < k) a(b) = c.toDouble }
+    a
+  }
+
+  /** Population Stability Index between two histograms (standard form,
+    * eps-smoothed so empty bins don't blow up the log). */
+  def psi(expected: Array[Double], actual: Array[Double]): Double = {
+    val eSum = math.max(expected.sum, 1e-12)
+    val aSum = math.max(actual.sum, 1e-12)
+    val eps = 1e-6
+    expected.indices.map { i =>
+      val e = math.max(expected(i) / eSum, eps)
+      val a = math.max(actual(i) / aSum, eps)
+      (a - e) * math.log(a / e)
+    }.sum
+  }
+
+  /** Two-sample KS statistic over binned data: max |ECDF gap|. */
+  def ks(expected: Array[Double], actual: Array[Double]): Double = {
+    val eSum = math.max(expected.sum, 1e-12)
+    val aSum = math.max(actual.sum, 1e-12)
+    var ce = 0.0; var ca = 0.0; var best = 0.0
+    expected.indices.foreach { i =>
+      ce += expected(i) / eSum
+      ca += actual(i) / aSum
+      val d = math.abs(ce - ca)
+      if (d > best) best = d
+    }
+    best
+  }
+
+  /** Compare each partition of `current` against `baseline` (same column,
+    * same binning). Returns one verdict per current partition. */
+  def compare(
+      baseline: DataFrame, current: DataFrame,
+      valueCol: String, partitionCol: String,
+      lo: Double, hi: Double, k: Int,
+      psiMax: Double, ksMax: Double): Seq[DriftVerdict] = {
+
+    def collectHists(df: DataFrame): Map[String, Array[Double]] =
+      histogram(df, valueCol, partitionCol, lo, hi, k)
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (p, rows) =>
+          p -> toDense(rows.map(r => (r.getInt(1), r.getLong(2))).toSeq, k)
+        }
+
+    val base = collectHists(baseline)
+    val cur = collectHists(current)
+    cur.toSeq.sortBy(_._1).map { case (p, h) =>
+      base.get(p) match {
+        case Some(b) =>
+          val p1 = psi(b, h); val k1 = ks(b, h)
+          DriftVerdict(p, p1, k1, p1 <= psiMax && k1 <= ksMax)
+        case None => DriftVerdict(p, Double.NaN, Double.NaN, pass = false)
+      }
+    }
+  }
+}

@@ -1,0 +1,171 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.JsonNode
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import scala.jdk.CollectionConverters._
+
+/** YAML-driven validation-suite config.
+  *
+  * Mirrors the reference's declarative YAML feature specs
+  * (models/features.py:13-30: description min length 5, data_type must be a
+  * known dtype, dependencies list) re-expressed for a constraint-validation
+  * engine: a table schema declaration plus a list of named rules, each of a
+  * known kind with kind-specific params. Spec violations fail at load time
+  * (fail-fast schema validation, like pydantic in the reference).
+  */
+final case class ColumnSpec(name: String, dataType: String, nullable: Boolean)
+
+sealed trait RuleKind
+object RuleKind {
+  case object Schema      extends RuleKind // declared vs actual StructType
+  case object NotNull     extends RuleKind // null-rate / nullability
+  case object Range       extends RuleKind // scalar column bounds
+  case object TokenRange  extends RuleKind // every element of array<int> in bounds
+  case object Expr        extends RuleKind // arbitrary SQL boolean invariant
+  case object Unique      extends RuleKind // key uniqueness
+  case object Referential extends RuleKind // column value in dictionary
+  case object Drift       extends RuleKind // per-partition histogram KS/PSI
+  case object Stats       extends RuleKind // profile-only (no pass/fail)
+  def parse(s: String): RuleKind = s match {
+    case "schema" => Schema; case "not_null" => NotNull; case "range" => Range
+    case "token_range" => TokenRange; case "expr" => Expr; case "unique" => Unique
+    case "referential" => Referential; case "drift" => Drift; case "stats" => Stats
+    case other => throw ConfigError(s"unknown rule kind '$other'")
+  }
+}
+
+final case class RuleSpec(
+    name: String,
+    description: String,
+    kind: RuleKind,
+    column: Option[String] = None,
+    min: Option[Double] = None,
+    max: Option[Double] = None,
+    expr: Option[String] = None,
+    values: Seq[String] = Nil,
+    bins: Int = 32,
+    psiMax: Option[Double] = None,
+    ksMax: Option[Double] = None,
+    dependencies: Seq[String] = Nil) {
+  /** Fail-fast spec validation (reference models/features.py:14,20-30). */
+  def validate(knownColumns: Set[String]): Unit = {
+    if (description.length < 5)
+      throw ConfigError(s"rule '$name': description must be >= 5 chars")
+    column.foreach { c =>
+      if (!knownColumns.contains(c))
+        throw ConfigError(s"rule '$name': unknown column '$c'")
+    }
+    kind match {
+      case RuleKind.Range | RuleKind.TokenRange =>
+        if (min.isEmpty && max.isEmpty)
+          throw ConfigError(s"rule '$name': range rule needs min and/or max")
+        if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
+      case RuleKind.Expr =>
+        if (expr.isEmpty) throw ConfigError(s"rule '$name': expr rule needs expr")
+      case RuleKind.Referential =>
+        if (values.isEmpty) throw ConfigError(s"rule '$name': referential needs values")
+        if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
+      case RuleKind.Unique | RuleKind.NotNull | RuleKind.Drift | RuleKind.Stats =>
+        if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
+      case _ => ()
+    }
+  }
+}
+
+final case class SuiteConfig(
+    tableName: String,
+    partitionColumn: String,
+    columns: Seq[ColumnSpec],
+    rules: Seq[RuleSpec]) {
+  def columnNames: Set[String] = columns.map(_.name).toSet
+}
+
+final case class ConfigError(msg: String) extends RuntimeException(msg)
+final case class CyclicDependencyError(msg: String) extends RuntimeException(msg)
+
+object RuleConfig {
+  private val yaml = new ObjectMapper(new YAMLFactory())
+
+  def loadYaml(text: String): SuiteConfig = fromNode(yaml.readTree(text))
+  def loadYamlFile(path: String): SuiteConfig =
+    loadYaml(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8"))
+
+  private def optStr(n: JsonNode, f: String): Option[String] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asText)
+  private def optDouble(n: JsonNode, f: String): Option[Double] =
+    Option(n.get(f)).filterNot(_.isNull).map(_.asDouble)
+
+  private def fromNode(root: JsonNode): SuiteConfig = {
+    val table = Option(root.get("table")).getOrElse(throw ConfigError("missing 'table'"))
+    val tName = optStr(table, "name").getOrElse(throw ConfigError("missing table.name"))
+    val pCol = optStr(table, "partition_column").getOrElse("source")
+    val colsNode = Option(table.get("columns")).getOrElse(throw ConfigError("missing table.columns"))
+    val cols = colsNode.properties().asScala.toSeq.map { e =>
+      val spec = e.getValue
+      ColumnSpec(e.getKey,
+        optStr(spec, "type").getOrElse(throw ConfigError(s"column ${e.getKey}: missing type")),
+        Option(spec.get("nullable")).exists(_.asBoolean(false)))
+    }
+    val rulesNode = Option(root.get("rules")).getOrElse(throw ConfigError("missing 'rules'"))
+    val rules = rulesNode.elements().asScala.toSeq.map { r =>
+      RuleSpec(
+        name = optStr(r, "name").getOrElse(throw ConfigError("rule missing name")),
+        description = optStr(r, "description").getOrElse(""),
+        kind = RuleKind.parse(optStr(r, "kind").getOrElse(throw ConfigError("rule missing kind"))),
+        column = optStr(r, "column"),
+        min = optDouble(r, "min"),
+        max = optDouble(r, "max"),
+        expr = optStr(r, "expr"),
+        values = Option(r.get("values")).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+        bins = Option(r.get("bins")).map(_.asInt(32)).getOrElse(32),
+        psiMax = optDouble(r, "psi_max"),
+        ksMax = optDouble(r, "ks_max"),
+        dependencies = Option(r.get("dependencies"))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
+    }
+    val cfg = SuiteConfig(tName, pCol, cols, rules)
+    // fail-fast validation pass (pydantic analogue)
+    val known = cfg.columnNames
+    val names = rules.map(_.name)
+    if (names.distinct.size != names.size)
+      throw ConfigError(s"duplicate rule names: ${names.diff(names.distinct).mkString(",")}")
+    rules.foreach(_.validate(known))
+    rules.foreach { r =>
+      r.dependencies.foreach { d =>
+        if (!names.contains(d))
+          throw ConfigError(s"rule '${r.name}': unknown dependency '$d'") // base.py:58-59
+      }
+    }
+    RuleGraph.topoLevels(rules) // cycle check at load (core.py:186-260)
+    cfg
+  }
+}
+
+/** Dependency topo-leveling + cycle detection, the reference's `compile`
+  * algorithm (core.py:186-260: level(f) = 1 + max(level of deps); any rule
+  * left at level 0 after the fixpoint ⇒ cycle, utils.py:56-63). The graph is
+  * driver-side metadata (rules reference rules), so a simple iterative
+  * fixpoint is exact and cheap. */
+object RuleGraph {
+  def topoLevels(rules: Seq[RuleSpec]): Map[Int, Seq[RuleSpec]] = {
+    val byName = rules.map(r => r.name -> r).toMap
+    val level = scala.collection.mutable.Map[String, Int]()
+    rules.filter(_.dependencies.isEmpty).foreach(r => level(r.name) = 1)
+    var changed = true
+    while (changed) {
+      changed = false
+      rules.foreach { r =>
+        if (!level.contains(r.name) && r.dependencies.forall(level.contains)) {
+          level(r.name) = 1 + r.dependencies.map(level).max
+          changed = true
+        }
+      }
+    }
+    val unresolved = rules.filterNot(r => level.contains(r.name))
+    if (unresolved.nonEmpty)
+      throw CyclicDependencyError(
+        s"cyclic dependency among: ${unresolved.map(_.name).mkString(", ")}")
+    rules.groupBy(r => level(r.name)).map { case (l, rs) => l -> rs.toSeq }
+  }
+}

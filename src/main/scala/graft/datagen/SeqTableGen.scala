@@ -1,0 +1,112 @@
+package graft.datagen
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic synthetic tokenized-sequence table
+  * `(doc_id:string, tokens:array<int>, n_tok:int, source:string)` — the
+  * engine's canonical input shape (BASELINE.json input_hint; FIXTURES.md §1).
+  *
+  * Fully distributed: `spark.range(n)` plus pure hash expressions of the row
+  * id (xxhash64 + seed) — no RNG state, no driver loop, identical output at
+  * any parallelism, linearly scalable to any row count. Violations are
+  * planted at known residues of `id % PlantMod` so tests can assert exact
+  * violation rows (the reference's hand-computed expected arrays pattern,
+  * tests/test_core.py).
+  */
+object SeqTableGen {
+
+  val Sources: Seq[String] = Seq("web", "books", "code", "wiki")
+  val BadSource = "bad-src"
+  /** One violation of each kind per `PlantMod` rows, at residues 1..6. */
+  val PlantMod = 997L
+
+  private def u01(c: Column, seed: Long, salt: Int): Column =
+    (pmod(xxhash64(c, lit(seed), lit(salt)), lit(1000000L)).cast("double") / 1e6)
+
+  /** @param n          rows
+    * @param vocab      token vocabulary size; valid tokens in [0, vocab)
+    * @param maxTok     max sequence length (n_tok in [1, maxTok])
+    * @param seed       determinism seed
+    * @param plant      plant violations at known rows
+    * @param skew       if true, "web" owns ~55% of rows (skewed source)
+    * @param driftScale multiply n_tok by this in the "books" partition only
+    *                   (drift fixture; 1.0 = no drift)
+    */
+  def generate(
+      spark: SparkSession,
+      n: Long,
+      vocab: Int = 50000,
+      maxTok: Int = 512,
+      seed: Long = 42L,
+      plant: Boolean = false,
+      skew: Boolean = true,
+      driftScale: Double = 1.0): DataFrame = {
+
+    val id = col("id")
+    val res = pmod(id, lit(PlantMod))
+
+    // source: skewed categorical from the dictionary
+    val su = u01(id, seed, 1)
+    val srcBase =
+      if (skew)
+        when(su < 0.55, Sources(0))
+          .when(su < 0.75, Sources(1))
+          .when(su < 0.90, Sources(2))
+          .otherwise(Sources(3))
+      else
+        Sources.zipWithIndex.tail.foldLeft(lit(Sources.head): Column) {
+          case (acc, (s, i)) => when(su >= i.toDouble / Sources.size, s).otherwise(acc)
+        }
+    val source =
+      if (plant) when(res === 3, BadSource).otherwise(srcBase) else srcBase
+
+    // n_tok: power-law-ish lengths in [1, maxTok], scaled in the drift partition
+    val lu = u01(id, seed, 2)
+    val baseLen = (lit(1) + floor(pow(lu, lit(2.5)) * lit(maxTok - 1))).cast("int")
+    val scaledLen =
+      if (driftScale != 1.0)
+        when(srcBase === "books",
+          least(lit(maxTok), ceil(baseLen * lit(driftScale))).cast("int"))
+          .otherwise(baseLen)
+      else baseLen
+    val nTok =
+      if (plant)
+        when(res === 1, lit(-1)) // range violation
+          .otherwise(scaledLen)
+      else scaledLen
+
+    // tokens: deterministic ints in [0, vocab), length = n_tok (or planted off)
+    def tokAt(j: Column): Column =
+      pmod(xxhash64(id, j, lit(seed), lit(3)), lit(vocab)).cast("int")
+    val arrLen = greatest(nTok, lit(1)) // planted n_tok=-1 still gets an array
+    val tokensBase = transform(sequence(lit(1), arrLen), j => tokAt(j))
+    val tokens =
+      if (plant)
+        when(res === 2, // out-of-vocab token at position 0
+          concat(array(lit(-1)), slice(tokensBase, lit(2), size(tokensBase) - 1)))
+          .when(res === 5, // length inconsistent with n_tok
+            concat(tokensBase, array(lit(0))))
+          .when(res === 6, lit(null).cast("array<int>")) // nullability
+          .otherwise(tokensBase)
+      else tokensBase
+
+    // doc_id: dense, independent of source; planted duplicates copy id-1
+    val docIdOf: Column => Column = i => format_string("doc-%012d", i)
+    val docId =
+      if (plant) when(res === 4, docIdOf(id - 1)).otherwise(docIdOf(id))
+      else docIdOf(id)
+
+    spark.range(n).select(
+      docId.as("doc_id"),
+      tokens.as("tokens"),
+      nTok.as("n_tok"),
+      source.as("source"))
+  }
+
+  /** Write as Hive-partitioned Parquet — the Iceberg-partition stand-in
+    * (no Iceberg jar offline, SURVEY.md §7.4): one directory per `source`,
+    * giving real partition pruning on the read path. */
+  def writePartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy("source").parquet(path)
+}

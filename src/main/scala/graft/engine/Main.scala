@@ -1,0 +1,50 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import graft.config.RuleConfig
+
+/** spark-submit entry point:
+  *   graft.engine.Main --table <parquet dir> --rules <suite.yaml>
+  *     [--manifest <dir>] [--run-id <id>] [--baseline <parquet dir>]
+  *     [--violations-out <dir>] [--key doc_id]
+  *
+  * On a real cluster this is submitted with --master yarn/k8s; all
+  * parallelism comes from the cluster manager + AQE. Local runs inherit
+  * whatever master the session was launched with.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val tablePath = opts("table")
+    val rulesPath = opts("rules")
+    val spark = SparkSession.builder()
+      .appName("graft-validator")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val cfg = RuleConfig.loadYamlFile(rulesPath)
+    val table = spark.read.parquet(tablePath)
+    val report = Validator.run(
+      spark, table, cfg,
+      keyCol = opts.getOrElse("key", "doc_id"),
+      runId = opts.getOrElse("run-id", "run-default"),
+      manifestPath = opts.get("manifest"),
+      baseline = opts.get("baseline").map(spark.read.parquet(_)))
+
+    opts.get("violations-out").foreach { out =>
+      report.violations.write.mode("overwrite").parquet(out)
+    }
+    report.results.sortBy(r => (r.rule, r.partition)).foreach { r =>
+      println(f"${r.rule}%-24s ${r.partition}%-10s ${r.verdict}%-5s " +
+        f"rows=${r.rowCount}%-10d viol=${r.violationCount}%-8d ${r.detail}")
+    }
+    val failed = report.results.count(_.verdict == "fail")
+    println(s"validated=${report.validatedRows} rules=${report.results.size} failed=$failed")
+    spark.stop()
+    if (failed > 0) sys.exit(2)
+  }
+}

@@ -1,0 +1,44 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Group-by-reduce-scatter (reference: transform/aggregate.py:67-111).
+  *
+  * The reference groups `data` by an equal-length `key_feature`, reduces per
+  * group (mean/min/max/median/mode, aggregate.py:15-57) and scatters the
+  * group value back onto every member row, preserving input shape — exactly
+  * a Spark window aggregate over `partitionBy(key)` (one shuffle on the key,
+  * hash-partitioned, spill-safe via WindowExec).
+  *
+  * For per-group (non-scattered) results use `groupBy(key).agg(...)` —
+  * partial aggregation map-side makes it skew-tolerant.
+  */
+object AggOps {
+
+  private def w(key: Column) = Window.partitionBy(key)
+
+  def groupMean(data: Column, key: Column): Column   = avg(data).over(w(key))
+  def groupMin(data: Column, key: Column): Column    = min(data).over(w(key))
+  def groupMax(data: Column, key: Column): Column    = max(data).over(w(key))
+  def groupSum(data: Column, key: Column): Column    = sum(data).over(w(key))
+
+  /** Exact median per group, scattered (aggregate.py:24-31 'median').
+    * Spark's `median` is an exact sort-based aggregate, valid over windows. */
+  def groupMedian(data: Column, key: Column): Column = median(data).over(w(key))
+
+  /** Deterministic mode per group (aggregate.py:34-42 'mode' uses np.unique
+    * + argmax ⇒ the SMALLEST most-frequent value wins on ties; we reproduce
+    * that tiebreak exactly with mode(deterministic=true)... Spark's `mode`
+    * does not guarantee tie order, so we build it from count+struct-max:
+    * max(struct(cnt, -value)) picks highest count, then smallest value. */
+  def groupModeDF(df: DataFrame, keyName: String, valName: String, outCol: String): DataFrame = {
+    val counts = df.groupBy(col(keyName), col(valName)).count()
+    val modes = counts
+      .groupBy(col(keyName))
+      .agg(max(struct(col("count").as("c"), (col(valName) * lit(-1)).as("nv"))).as("m"))
+      .select(col(keyName), (col("m.nv") * lit(-1)).as(outCol))
+    df.join(modes, keyName) // scatter back (broadcast if modes is small)
+  }
+}

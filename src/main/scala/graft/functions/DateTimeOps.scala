@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Datetime operators (reference: transform/datetime.py).
+  *
+  * Cites: datetime_diff datetime.py:11-76, datetime_add/sub 78-116,
+  * datetime_extract 118-156, day-of-week 158-201 ((days-4) % 7 → 0=Monday,
+  * which is exactly Spark's `weekday`).
+  */
+object DateTimeOps {
+
+  /** Valid units per datetime.py:46. */
+  val ValidUnits: Set[String] = Set("Y", "M", "W", "D", "h", "m", "s")
+
+  /** data - initial (or end - data), in `unit` (datetime.py:11-76). */
+  def dateTimeDiff(endCol: Column, startCol: Column, unit: String): Column = {
+    require(ValidUnits.contains(unit), s"invalid unit '$unit' (datetime.py:46)")
+    unit match {
+      case "Y" => (year(endCol) - year(startCol)).cast("long")
+      case "M" => ((year(endCol) - year(startCol)) * 12 +
+                   (month(endCol) - month(startCol))).cast("long")
+      case "W" => floor(datediff(endCol, startCol) / 7).cast("long")
+      case "D" => datediff(endCol, startCol).cast("long")
+      case "h" => floor((unix_timestamp(endCol) - unix_timestamp(startCol)) / 3600L)
+      case "m" => floor((unix_timestamp(endCol) - unix_timestamp(startCol)) / 60L)
+      case "s" => (unix_timestamp(endCol) - unix_timestamp(startCol))
+    }
+  }
+
+  /** data + n * unit (datetime.py:100-107). Stays a date/timestamp. */
+  def dateTimeAdd(c: Column, n: Int, unit: String): Column = {
+    require(ValidUnits.contains(unit), s"invalid unit '$unit'")
+    unit match {
+      case "Y" => add_months(c, 12 * n)
+      case "M" => add_months(c, n)
+      case "W" => date_add(c, 7 * n)
+      case "D" => date_add(c, n)
+      case "h" => (unix_timestamp(c) + n * 3600L).cast("timestamp")
+      case "m" => (unix_timestamp(c) + n * 60L).cast("timestamp")
+      case "s" => (unix_timestamp(c) + n.toLong).cast("timestamp")
+    }
+  }
+
+  /** data - n * unit (datetime.py:109-116). */
+  def dateTimeSub(c: Column, n: Int, unit: String): Column = dateTimeAdd(c, -n, unit)
+
+  /** Extract a component as int32 (whitelist at datetime.py:136-138). */
+  def dateTimeExtract(c: Column, component: String): Column = component match {
+    case "year"   | "Y" => year(c)
+    case "month"  | "M" => month(c)
+    case "day"    | "D" => dayofmonth(c)
+    case "hour"   | "h" => hour(c)
+    case "minute" | "m" => minute(c)
+    case "second" | "s" => second(c)
+    case other => throw new IllegalArgumentException(
+      s"invalid component '$other' (datetime.py:136-138)")
+  }
+
+  /** Day of week, 0=Monday (datetime.py:186: (days_since_epoch - 4) % 7).
+    * Spark's `weekday` has identical semantics. */
+  def dayOfWeek(c: Column): Column = weekday(c)
+
+  /** Day-of-week name, lowercase (datetime.py:9 DAYS_OF_WEEK lookup). */
+  def dayOfWeekName(c: Column): Column = lower(date_format(c, "EEEE"))
+}

@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Element-wise math operators (reference: feature_fabrica transform/math.py).
+  *
+  * Every op is a pure `Column` expression so Catalyst folds it into
+  * whole-stage codegen; the two-pass ops (data-derived z-score / min-max /
+  * binning) run ONE global aggregation (O(1) rows to the driver) and then
+  * apply scalar arithmetic — no window-over-empty-partition, no second
+  * shuffle, safe at any scale.
+  *
+  * Reference semantics ported (file:line cites are into
+  * /root/reference/feature_fabrica/):
+  *  - scale: math.py:94-103, log/exp/sqrt/abs: math.py:106-142,
+  *    pow: math.py:127-136, divide: math.py:61-91, clip: math.py:169-179,
+  *    z_score: math.py:144-167, min_max: math.py:182-207,
+  *    kbins: math.py:209-227.
+  */
+object MathOps {
+
+  /** data * factor (math.py:94-103). Factor may itself be a Column. */
+  def scale(c: Column, factor: Double): Column = c * lit(factor)
+  def scale(c: Column, factor: Column): Column = c * factor
+
+  def logT(c: Column): Column  = log(c)
+  def expT(c: Column): Column  = exp(c)
+  def sqrtT(c: Column): Column = sqrt(c)
+  def absT(c: Column): Column  = abs(c)
+  def powT(c: Column, p: Double): Column = pow(c, p)
+
+  /** Exactly one of numerator/denominator fixed (math.py:61-91). */
+  def divideByData(numerator: Double, data: Column): Column = lit(numerator) / data
+  def divideData(data: Column, denominator: Double): Column = data / lit(denominator)
+
+  /** np.clip (math.py:169-179); bounds may be literals or Columns. */
+  def clip(c: Column, min: Double, max: Double): Column =
+    least(greatest(c, lit(min)), lit(max))
+  def clip(c: Column, min: Column, max: Column): Column =
+    least(greatest(c, min), max)
+
+  /** z-score with given params (math.py:144-157). */
+  def zscore(c: Column, mean: Double, std: Double): Column =
+    (c - lit(mean)) / lit(std)
+
+  /** min-max with given params (math.py:182-198); reference asserts min!=max. */
+  def minMax(c: Column, mn: Double, mx: Double): Column = {
+    require(mn != mx, s"min_max requires min != max (got $mn)")
+    (c - lit(mn)) / lit(mx - mn)
+  }
+
+  /** Data-derived z-score (math.py:158-166): one global agg pass, then a
+    * scalar projection. Returns the input df plus `outCol`. */
+  def zscoreGlobal(df: DataFrame, col: Column, outCol: String): DataFrame = {
+    val row = df.agg(avg(col).as("m"), stddev_pop(col).as("s")).head()
+    val (m, s) = (row.getDouble(0), row.getDouble(1))
+    df.withColumn(outCol, (col - lit(m)) / lit(s))
+  }
+
+  /** Data-derived min-max (math.py:199-206). */
+  def minMaxGlobal(df: DataFrame, col: Column, outCol: String): DataFrame = {
+    val row = df.agg(min(col).cast("double").as("mn"), max(col).cast("double").as("mx")).head()
+    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    require(mn != mx, "min_max: constant column")
+    df.withColumn(outCol, (col.cast("double") - lit(mn)) / lit(mx - mn))
+  }
+
+  /** Uniform-width k-bins discretize, ordinal encoding (math.py:209-227 with
+    * strategy='uniform'): bin i covers [min + i*w, min + (i+1)*w), last bin
+    * closed. One stats pass + scalar arithmetic. */
+  def kbinsUniform(df: DataFrame, col: Column, k: Int, outCol: String): DataFrame = {
+    val row = df.agg(min(col).cast("double"), max(col).cast("double")).head()
+    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    val w = (mx - mn) / k
+    df.withColumn(outCol,
+      least(floor((col.cast("double") - lit(mn)) / lit(w)), lit(k - 1)).cast("int"))
+  }
+
+  /** Quantile k-bins (math.py:209-227 strategy='quantile'): exact percentile
+    * edges (matches sklearn's linear-interpolated quantiles), then bucketize.
+    * `percentile` is a single-pass sort-based agg; edges are O(k) on driver. */
+  def kbinsQuantile(df: DataFrame, col: Column, k: Int, outCol: String): DataFrame = {
+    val probs = (0 to k).map(i => i.toDouble / k)
+    val edges = df
+      .agg(percentile(col, typedLit(probs)).as("p"))
+      .head().getSeq[Double](0)
+    // interior edges only; value < edge(i) => bin i-1, last bin inclusive
+    val interior = edges.slice(1, k)
+    val binExpr = interior.zipWithIndex.foldRight(lit(k - 1)) {
+      case ((edge, i), elseCol) => when(col < lit(edge), lit(i)).otherwise(elseCol)
+    }
+    df.withColumn(outCol, binExpr.cast("int"))
+  }
+
+  // ---- Reductions (BaseReduce, math.py:13-59) ----
+
+  /** Operand mode: element-wise fold over columns (math.py:27-31). */
+  def sumReduce(cols: Column*): Column      = cols.reduce(_ + _)
+  def multiplyReduce(cols: Column*): Column = cols.reduce(_ * _)
+  def subtractReduce(cols: Column*): Column = cols.reduce(_ - _)
+  def divideReduce(cols: Column*): Column   = cols.reduce(_ / _)
+
+  /** Ragged mode (math.py:33-47, reduceat over segments): reduce an
+    * array-typed column element-wise — the Spark-native analogue is a
+    * higher-order `aggregate`, evaluated per row with no shuffle. */
+  def sumArray(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double"))
+  def productArray(arr: Column): Column =
+    aggregate(arr, lit(1.0), (acc, x) => acc * x.cast("double"))
+  def minArray(arr: Column): Column = array_min(arr)
+  def maxArray(arr: Column): Column = array_max(arr)
+  def meanArray(arr: Column): Column =
+    when(size(arr) > 0, sumArray(arr) / size(arr))
+}

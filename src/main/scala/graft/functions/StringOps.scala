@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** String / categorical encoders (reference: transform/string.py).
+  *
+  * Dictionary semantics (string.py:77-79,102-104): with a fixed `categories`
+  * list the encoder is a pure deterministic lookup over the SORTED category
+  * list; with no list it is "fit on the batch" = one distinct+sort
+  * aggregation (small categorical result collected to the driver, broadcast
+  * back). Both paths avoid any window-over-all-rows — encoding itself stays
+  * in whole-stage codegen.
+  *
+  * Cites: lower/upper string.py:13-24, concat 26-46, strip 48-56,
+  * split 59-67, one_hot 70-93, label_encode 96-116, ordinal 119-140,
+  * binary_encode 143-191.
+  */
+object StringOps {
+
+  def toLower(c: Column): Column = lower(c)
+  def toUpper(c: Column): Column = upper(c)
+
+  /** Fold of np.char.add over operands (string.py:26-46). */
+  def concatReduce(cols: Column*): Column = concat(cols: _*)
+
+  /** Ragged mode: concatenate an array-of-strings column per row. */
+  def concatArray(arr: Column): Column = array_join(arr, "")
+
+  /** np.char.strip with optional char set (string.py:48-56). */
+  def strip(c: Column): Column = trim(c)
+  def strip(c: Column, chars: String): Column = trim(c, chars)
+
+  /** np.char.split (string.py:59-67) → array<string>. */
+  def splitT(c: Column, delim: String): Column = split(c, java.util.regex.Pattern.quote(delim))
+
+  private def sortedCats(categories: Seq[String]): Seq[String] = categories.sorted
+
+  /** One-hot with a fixed vocabulary (string.py:70-93): categories sorted,
+    * unknown → all zeros (handle_unknown='ignore'). Dense int array per row;
+    * pure codegen'd expression, no shuffle. */
+  def oneHot(c: Column, categories: Seq[String]): Column =
+    array(sortedCats(categories).map(cat => (c === lit(cat)).cast("int")): _*)
+
+  /** Same, as one int column per category (oracle-friendly shape). */
+  def oneHotColumns(c: Column, categories: Seq[String]): Seq[(String, Column)] =
+    sortedCats(categories).map(cat => (cat, (c === lit(cat)).cast("int")))
+
+  /** Label/ordinal encode with fixed vocab (string.py:96-140): index into the
+    * sorted category list; unknown → null. Chained `when` is fine for small
+    * vocab (stays in codegen, no join at all). */
+  def labelEncode(c: Column, categories: Seq[String]): Column = {
+    val cats = sortedCats(categories)
+    cats.zipWithIndex.foldLeft(lit(null).cast("int")) { case (acc, (cat, i)) =>
+      when(c === lit(cat), lit(i)).otherwise(acc)
+    }
+  }
+
+  /** Inferred-vocab label encode (string.py:91,114: fit on the batch).
+    * One distinct aggregation (shuffle on the category — small), sorted on
+    * the driver, broadcast back as a lookup. Correct and skew-free at scale
+    * because the distinct partial-aggregates map-side. */
+  def labelEncodeInferred(df: DataFrame, colName: String, outCol: String): DataFrame = {
+    val cats = df.select(col(colName)).na.drop().distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    df.withColumn(outCol, labelEncode(col(colName), cats))
+  }
+
+  /** Binary encode (string.py:143-191): category → dense sorted rank →
+    * ceil(log2 n) binary digit columns, most-significant bit first
+    * (matches the reference's bit-matrix orientation, string.py:167-170). */
+  def binaryEncode(c: Column, categories: Seq[String]): Seq[(String, Column)] = {
+    val cats = sortedCats(categories)
+    val nBits = math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, cats.size - 1)))
+    val rank = labelEncode(c, cats)
+    (0 until nBits).map { bit =>
+      val shiftIdx = nBits - 1 - bit // MSB first
+      (s"bit$bit", shiftRight(rank, shiftIdx).bitwiseAND(lit(1)).cast("int"))
+    }
+  }
+}

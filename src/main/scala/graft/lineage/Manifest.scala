@@ -1,0 +1,79 @@
+package graft.lineage
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-(partition, rule) lineage + metrics manifest — the engine's analogue
+  * of the reference's TNode transformation-lineage chain (hash / shape /
+  * timing per step, models/data_struct.py:9-50, populated core.py:90-114),
+  * lifted to a resumable checkpoint table.
+  *
+  * One row per (runId, partition, rule): verdict, row/violation counts, an
+  * ORDER-INSENSITIVE content hash of the violation set (sum of per-row
+  * xxhash64 — Spark row order is nondeterministic, so the hash must commute),
+  * and wall time. Stored as Parquet partitioned by runId.
+  *
+  * Resume: `completed(runId)` returns the (partition, rule) pairs already
+  * validated; the validator prunes those partitions from the scan (partition
+  * filter pushdown ⇒ skipped partitions are never read). An idempotent
+  * re-run after a crash re-does only unfinished partitions.
+  */
+object Manifest {
+
+  final case class Entry(
+      runId: String,
+      partition: String,
+      rule: String,
+      verdict: String, // "pass" | "fail"
+      rowCount: Long,
+      violationCount: Long,
+      contentHash: Long,
+      wallMs: Long,
+      detail: String)
+
+  val schemaDDL =
+    "runId string, partition string, rule string, verdict string, " +
+    "rowCount bigint, violationCount bigint, contentHash bigint, " +
+    "wallMs bigint, detail string"
+
+  def append(spark: SparkSession, path: String, entries: Seq[Entry]): Unit = {
+    import spark.implicits._
+    if (entries.nonEmpty)
+      entries.toDF().coalesce(1).write.mode(SaveMode.Append)
+        .partitionBy("runId").parquet(path)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    try spark.read.schema(schemaDDL).parquet(path)
+    catch { case _: Throwable => spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)) }
+
+  /** (partition, rule) pairs already completed for this run. */
+  def completed(spark: SparkSession, path: String, runId: String): Set[(String, String)] =
+    read(spark, path)
+      .filter(col("runId") === runId)
+      .select("partition", "rule")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .toSet
+
+  /** Partitions for which EVERY rule in `rules` is complete. */
+  def completedPartitions(
+      spark: SparkSession, path: String, runId: String,
+      rules: Seq[String]): Set[String] = {
+    val done = completed(spark, path, runId)
+    done.groupBy(_._1).collect {
+      case (p, rs) if rules.forall(r => rs.contains((p, r))) => p
+    }.toSet
+  }
+
+  /** Order-insensitive content hash of a violation DataFrame: sum of
+    * xxhash64 over all columns, per row. Commutative ⇒ stable across
+    * partitionings and row orders (SURVEY.md §7.4 determinism note). */
+  def contentHash(df: DataFrame): Long = {
+    if (df.isEmpty) 0L
+    else df.select(sum(xxhash64(df.columns.map(col): _*)).as("h"))
+      .head().getLong(0)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Column statistics computed in ONE aggregation buffer, one pass:
+  * count / null-count / min / max / mean / variance (Welford-Chan parallel
+  * merge) / fixed-bin histogram.
+  *
+  * The reference computes each stat as a separate NumPy call
+  * (math.py:158-166,199-206 data-derived z-score & min-max; KBins binning
+  * math.py:209-227); at 10^12 rows each extra pass is a full table scan, so
+  * the engine fuses them into a single typed `Aggregator` (SURVEY.md §4.3:
+  * "multi-stat single pass"). Partial aggregation runs map-side
+  * (ObjectHashAggregate), so the shuffle carries one small buffer per
+  * partition — skew-free regardless of data distribution.
+  *
+  * Histogram bins: `k` uniform bins over [lo, hi); values < lo clamp to bin
+  * 0, >= hi clamp to bin k-1 (so the histogram is total — drift comparison
+  * needs aligned, total bins).
+  */
+final case class StatsBuf(
+    var n: Long,
+    var nulls: Long,
+    var min: Double,
+    var max: Double,
+    var mean: Double,
+    var m2: Double,
+    var hist: Array[Long])
+
+final case class ColumnStats(
+    count: Long,
+    nulls: Long,
+    min: Double,
+    max: Double,
+    mean: Double,
+    variance: Double,
+    hist: Seq[Long]) {
+  def stddev: Double = math.sqrt(variance)
+  def nullRate: Double = if (count + nulls == 0) 0.0 else nulls.toDouble / (count + nulls)
+}
+
+class StatsAggregator(lo: Double, hi: Double, k: Int)
+    extends Aggregator[java.lang.Double, StatsBuf, ColumnStats] {
+
+  private def binOf(x: Double): Int = {
+    val w = (hi - lo) / k
+    val b = math.floor((x - lo) / w).toInt
+    if (b < 0) 0 else if (b >= k) k - 1 else b
+  }
+
+  override def zero: StatsBuf =
+    StatsBuf(0L, 0L, Double.PositiveInfinity, Double.NegativeInfinity, 0.0, 0.0,
+      Array.fill(k)(0L))
+
+  override def reduce(b: StatsBuf, x: java.lang.Double): StatsBuf = {
+    if (x == null) { b.nulls += 1; return b }
+    val v = x.doubleValue()
+    b.n += 1
+    if (v < b.min) b.min = v
+    if (v > b.max) b.max = v
+    val d = v - b.mean
+    b.mean += d / b.n
+    b.m2 += d * (v - b.mean)
+    b.hist(binOf(v)) += 1
+    b
+  }
+
+  override def merge(a: StatsBuf, c: StatsBuf): StatsBuf = {
+    if (c.n == 0 && c.nulls == 0) return a
+    if (a.n == 0 && a.nulls == 0) return c
+    val n = a.n + c.n
+    if (n > 0) {
+      val d = c.mean - a.mean
+      val mean = if (c.n == 0) a.mean else a.mean + d * c.n / n
+      a.m2 = a.m2 + c.m2 + (if (a.n == 0 || c.n == 0) 0.0 else d * d * a.n * c.n / n)
+      a.mean = mean
+    }
+    a.n = n
+    a.nulls += c.nulls
+    if (c.min < a.min) a.min = c.min
+    if (c.max > a.max) a.max = c.max
+    var i = 0
+    while (i < k) { a.hist(i) += c.hist(i); i += 1 }
+    a
+  }
+
+  override def finish(b: StatsBuf): ColumnStats =
+    ColumnStats(b.n, b.nulls,
+      if (b.n == 0) Double.NaN else b.min,
+      if (b.n == 0) Double.NaN else b.max,
+      if (b.n == 0) Double.NaN else b.mean,
+      if (b.n == 0) Double.NaN else b.m2 / b.n, // population variance
+      b.hist.toSeq)
+
+  override def bufferEncoder: Encoder[StatsBuf] = Encoders.product[StatsBuf]
+  override def outputEncoder: Encoder[ColumnStats] = Encoders.product[ColumnStats]
+}
+
+object StatsAggregator {
+  /** Use as an untyped aggregate column: `df.agg(statsAgg(lo,hi,k)(col))`. */
+  def statsAgg(lo: Double, hi: Double, k: Int): Column => Column = {
+    val fn = udaf(new StatsAggregator(lo, hi, k), Encoders.DOUBLE)
+    c => fn(c.cast("double"))
+  }
+}
