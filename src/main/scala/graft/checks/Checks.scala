@@ -51,8 +51,10 @@ object Checks {
   /** All row-level rules as one projection: input columns + one flag per rule. */
   def withFlags(df: DataFrame, rules: Seq[RuleSpec]): (DataFrame, Seq[RuleSpec]) = {
     val rowRules = rules.filter(r => rowPredicate(r).isDefined)
+    // null predicate result = fail (SQL three-valued logic would otherwise
+    // silently drop a null-valued violation from the `when` counters)
     val flagged = rowRules.foldLeft(df) { (d, r) =>
-      d.withColumn(flagCol(r.name), rowPredicate(r).get)
+      d.withColumn(flagCol(r.name), coalesce(rowPredicate(r).get, lit(false)))
     }
     (flagged, rowRules)
   }

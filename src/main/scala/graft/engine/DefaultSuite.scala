@@ -1,0 +1,14 @@
+package graft.engine
+
+import graft.config.{RuleConfig, SuiteConfig}
+
+/** The canonical tokenized-sequence validation suite, loaded from the
+  * bundled YAML resource. */
+object DefaultSuite {
+  lazy val config: SuiteConfig = {
+    val in = getClass.getResourceAsStream("/suites/tokenized_sequences.yaml")
+    require(in != null, "missing bundled suite yaml")
+    val text = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    RuleConfig.loadYaml(text)
+  }
+}

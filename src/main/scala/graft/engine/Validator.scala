@@ -106,7 +106,7 @@ object Validator {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val perPart = dups.groupBy("partition")
         .agg(count(lit(1)).as("keys"), sum(col("n") - 1).as("extra"),
-          sum(xxhash64(col("key"))).as("h"))
+          expr("bit_xor(xxhash64(key))").as("h"))
         .collect()
       val wall = (System.nanoTime() - t1) / 1000000
       val failed = perPart.map { row =>

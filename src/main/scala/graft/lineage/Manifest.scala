@@ -58,22 +58,27 @@ object Manifest {
       .map(r => (r.getString(0), r.getString(1)))
       .toSet
 
-  /** Partitions for which EVERY rule in `rules` is complete. */
+  /** Partitions for which EVERY rule in `rules` is complete. Entries
+    * recorded under partition "*" (global rules: schema, no-baseline drift)
+    * cover every partition. */
   def completedPartitions(
       spark: SparkSession, path: String, runId: String,
       rules: Seq[String]): Set[String] = {
     val done = completed(spark, path, runId)
+    val globalRules = done.collect { case ("*", r) => r }
     done.groupBy(_._1).collect {
-      case (p, rs) if rules.forall(r => rs.contains((p, r))) => p
+      case (p, rs) if p != "*" &&
+        rules.forall(r => rs.contains((p, r)) || globalRules.contains(r)) => p
     }.toSet
   }
 
-  /** Order-insensitive content hash of a violation DataFrame: sum of
-    * xxhash64 over all columns, per row. Commutative ⇒ stable across
-    * partitionings and row orders (SURVEY.md §7.4 determinism note). */
+  /** Order-insensitive content hash of a violation DataFrame: XOR of
+    * xxhash64 over all columns, per row. XOR commutes (stable across
+    * partitionings and row orders, SURVEY.md §7.4) and cannot overflow
+    * under ANSI arithmetic (Spark 4 default). */
   def contentHash(df: DataFrame): Long = {
     if (df.isEmpty) 0L
-    else df.select(sum(xxhash64(df.columns.map(col): _*)).as("h"))
+    else df.select(expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(",")}))").as("h"))
       .head().getLong(0)
   }
 }

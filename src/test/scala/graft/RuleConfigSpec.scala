@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.config._
+
+/** Config-layer tests: fail-fast spec validation (pydantic analogue,
+  * models/features.py:13-30) + topo leveling / cycle detection
+  * (core.py:186-260, utils.py:56-63). Pure Scala, no Spark. */
+class RuleConfigSpec extends AnyFunSuite {
+
+  private def cfg(rulesYaml: String): SuiteConfig = RuleConfig.loadYaml(
+    s"""table:
+       |  name: t
+       |  partition_column: source
+       |  columns:
+       |    doc_id: {type: string}
+       |    n_tok: {type: int}
+       |    source: {type: string}
+       |rules:
+       |$rulesYaml""".stripMargin)
+
+  test("valid suite loads with kinds parsed") {
+    val c = cfg(
+      """  - {name: a, description: check range, kind: range, column: n_tok, min: 1, max: 10}
+        |  - {name: b, description: check unique, kind: unique, column: doc_id}""".stripMargin)
+    assert(c.rules.map(_.kind) == Seq(RuleKind.Range, RuleKind.Unique))
+    assert(c.rules.head.min.contains(1.0))
+  }
+
+  test("short description fails fast (features.py:14 min length 5)") {
+    val e = intercept[ConfigError](cfg(
+      "  - {name: a, description: abc, kind: range, column: n_tok, min: 1}"))
+    assert(e.msg.contains("description"))
+  }
+
+  test("unknown column fails fast") {
+    val e = intercept[ConfigError](cfg(
+      "  - {name: a, description: check it, kind: range, column: nope, min: 1}"))
+    assert(e.msg.contains("unknown column"))
+  }
+
+  test("unknown rule kind fails fast") {
+    intercept[ConfigError](cfg(
+      "  - {name: a, description: check it, kind: wat, column: n_tok}"))
+  }
+
+  test("unknown dependency fails fast (base.py:58-59)") {
+    val e = intercept[ConfigError](cfg(
+      """  - {name: a, description: check it, kind: range, column: n_tok, min: 1, dependencies: [ghost]}"""))
+    assert(e.msg.contains("unknown dependency"))
+  }
+
+  test("duplicate rule names fail fast") {
+    intercept[ConfigError](cfg(
+      """  - {name: a, description: check it, kind: range, column: n_tok, min: 1}
+        |  - {name: a, description: check it too, kind: unique, column: doc_id}""".stripMargin))
+  }
+
+  test("cycle raises CyclicDependencyError (utils.py:56-63)") {
+    intercept[CyclicDependencyError](cfg(
+      """  - {name: a, description: check it, kind: range, column: n_tok, min: 1, dependencies: [b]}
+        |  - {name: b, description: check it too, kind: unique, column: doc_id, dependencies: [a]}""".stripMargin))
+  }
+
+  test("topo levels: level = 1 + max(dep levels) (core.py:218-250)") {
+    val c = cfg(
+      """  - {name: c, description: third rule, kind: expr, expr: "1=1", dependencies: [b]}
+        |  - {name: a, description: first rule, kind: range, column: n_tok, min: 1}
+        |  - {name: b, description: second rule, kind: unique, column: doc_id, dependencies: [a]}""".stripMargin)
+    val levels = RuleGraph.topoLevels(c.rules)
+    assert(levels(1).map(_.name) == Seq("a"))
+    assert(levels(2).map(_.name) == Seq("b"))
+    assert(levels(3).map(_.name) == Seq("c"))
+  }
+
+  test("bundled default suite loads") {
+    assert(graft.engine.DefaultSuite.config.rules.size == 9)
+  }
+}

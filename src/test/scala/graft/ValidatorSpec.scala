@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.datagen.SeqTableGen
+import graft.engine.{DefaultSuite, Validator}
+import graft.lineage.Manifest
+
+/** End-to-end engine tests on planted corruptions: the exact violation-row
+  * accounting the reference's hand-computed test expectations use
+  * (tests/test_core.py pattern), plus manifest resume. */
+class ValidatorSpec extends SparkTestBase {
+  import spark.implicits._
+
+  val N = 20000L
+  val M = SeqTableGen.PlantMod // 997
+  def planted(res: Long): Long = (0L until N).count(i => i % M == res).toLong
+
+  lazy val table = SeqTableGen.generate(spark, N, vocab = 50000, maxTok = 512,
+    plant = true).cache()
+  lazy val report = Validator.run(spark, table, DefaultSuite.config,
+    keyCol = "doc_id", runId = "t1")
+
+  test("row counts per partition sum to N") {
+    val rows = report.results.filter(_.rule == "n_tok_range").map(_.rowCount).sum
+    assert(rows == N)
+  }
+
+  test("range violations exactly match planted rows") {
+    val v = report.results.filter(_.rule == "n_tok_range").map(_.violationCount).sum
+    assert(v == planted(1))
+  }
+
+  test("token range violations exactly match planted rows") {
+    val v = report.results.filter(_.rule == "tokens_in_vocab").map(_.violationCount).sum
+    assert(v == planted(2))
+  }
+
+  test("null violations exactly match planted rows") {
+    val v = report.results.filter(_.rule == "tokens_not_null").map(_.violationCount).sum
+    assert(v == planted(6))
+  }
+
+  test("length-consistency violations = planted mismatches + planted nulls + planted bad n_tok") {
+    val v = report.results.filter(_.rule == "tokens_len_consistent").map(_.violationCount).sum
+    assert(v == planted(5) + planted(6) + planted(1))
+  }
+
+  test("referential violations land in the bad-src partition only") {
+    val rs = report.results.filter(_.rule == "source_in_dictionary")
+    val bad = rs.filter(_.partition == SeqTableGen.BadSource)
+    assert(bad.map(_.violationCount).sum == planted(3))
+    assert(rs.filterNot(_.partition == SeqTableGen.BadSource).forall(_.violationCount == 0))
+  }
+
+  test("uniqueness finds exactly the planted duplicate ids") {
+    val v = report.results.filter(_.rule == "doc_id_unique")
+    assert(v.map(_.violationCount).sum == planted(4)) // one extra row per planted dup
+  }
+
+  test("violation rows are exact (rule × key)") {
+    val viol = report.violations.groupBy("rule").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viol("n_tok_range") == planted(1))
+    assert(viol("tokens_in_vocab") == planted(2))
+    assert(viol("source_in_dictionary") == planted(3))
+    // specific planted key is reported
+    val keys = report.violations.filter(col("rule") === "n_tok_range")
+      .select("key").as[String].collect().toSet
+    assert(keys.contains(f"doc-${M + 1}%012d"))
+  }
+
+  test("clean table passes everything") {
+    val clean = SeqTableGen.generate(spark, 5000, plant = false)
+    val rep = Validator.run(spark, clean, DefaultSuite.config, "doc_id", "t2")
+    assert(rep.results.filterNot(_.rule == "n_tok_profile").forall(_.verdict == "pass"))
+  }
+
+  test("drift: scaled partition fails, others pass") {
+    val base = SeqTableGen.generate(spark, 10000, plant = false)
+    val drifted = SeqTableGen.generate(spark, 10000, plant = false, driftScale = 1.6)
+    val rep = Validator.run(spark, drifted, DefaultSuite.config, "doc_id", "t3",
+      baseline = Some(base))
+    val d = rep.results.filter(_.rule == "n_tok_drift")
+    assert(d.exists(r => r.partition == "books" && r.verdict == "fail"))
+    assert(d.filter(_.partition != "books").forall(_.verdict == "pass"))
+  }
+
+  test("manifest resume skips completed partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
+    val mp = s"$dir/manifest"
+    val small = SeqTableGen.generate(spark, 3000, plant = true)
+    val r1 = Validator.run(spark, small, DefaultSuite.config, "doc_id", "r9",
+      manifestPath = Some(mp))
+    val parts1 = r1.results.filter(_.rule == "n_tok_range").map(_.partition).toSet
+    assert(parts1.nonEmpty)
+    // second run with same runId: everything already complete ⇒ zero rows scanned
+    val r2 = Validator.run(spark, small, DefaultSuite.config, "doc_id", "r9",
+      manifestPath = Some(mp))
+    assert(r2.results.filter(_.rule == "n_tok_range").isEmpty)
+    assert(r2.validatedRows == 0)
+  }
+
+  test("datagen is deterministic across parallelism levels") {
+    val a = SeqTableGen.generate(spark, 2000, plant = true).repartition(1)
+    val b = SeqTableGen.generate(spark, 2000, plant = true).repartition(7)
+    assert(a.count() == b.count())
+    assert(Manifest.contentHash(a.withColumn("tokens", hash(col("tokens"))))
+      == Manifest.contentHash(b.withColumn("tokens", hash(col("tokens")))))
+  }
+
+  test("content hash is order-insensitive") {
+    val df1 = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val df2 = Seq(("c", 3), ("a", 1), ("b", 2)).toDF("k", "v").repartition(3)
+    assert(Manifest.contentHash(df1) == Manifest.contentHash(df2))
+  }
+}
