@@ -1,0 +1,384 @@
+package graft
+
+/** DuckDB-equivalent ANSI SQL per SparkEntry query. Same column aliases,
+  * same rounding, explicit casts where the engines' default types differ
+  * (DuckDB count/len/year are BIGINT or HUGEINT; Spark's are int/long).
+  * Queries with no entry here (minhash/simhash/LSH/batch-decode) use
+  * xxhash64 or RDD plumbing that DuckDB cannot replicate — the driver
+  * records rows-only checks for those.
+  */
+object OracleSql {
+
+  private val liKey = "l_orderkey, l_linenumber"
+
+  val all: Map[String, String] = Map(
+
+    "m_scale" ->
+      s"SELECT $liKey, round(l_quantity * 2.5, 4) AS scaled FROM lineitem",
+
+    "m_elementwise" ->
+      s"""SELECT $liKey,
+         | round(ln(l_extendedprice), 6) AS log_price,
+         | round(exp(l_discount), 6) AS exp_disc,
+         | round(sqrt(l_quantity), 6) AS sqrt_qty,
+         | round(abs(l_quantity - 25.0), 4) AS abs_qty
+         |FROM lineitem""".stripMargin,
+
+    "m_pow_div" ->
+      s"""SELECT $liKey,
+         | round(pow(l_quantity, 2), 4) AS qty_sq,
+         | round(100.0 / l_quantity, 6) AS inv_qty,
+         | round(l_quantity / 7.0, 6) AS qty_div
+         |FROM lineitem""".stripMargin,
+
+    "m_clip" ->
+      s"SELECT $liKey, round(least(greatest(l_quantity, 10.0), 40.0), 4) AS clipped FROM lineitem",
+
+    "m_zscore" ->
+      s"""SELECT $liKey,
+         | round((l_quantity - (SELECT avg(l_quantity) FROM lineitem))
+         |   / (SELECT stddev_pop(l_quantity) FROM lineitem), 6) AS z_qty
+         |FROM lineitem""".stripMargin,
+
+    "m_minmax" ->
+      s"""SELECT $liKey,
+         | round((l_extendedprice - (SELECT min(l_extendedprice) FROM lineitem))
+         |   / ((SELECT max(l_extendedprice) FROM lineitem) - (SELECT min(l_extendedprice) FROM lineitem)), 6) AS mm_price
+         |FROM lineitem""".stripMargin,
+
+    "m_kbins_uniform" ->
+      s"""SELECT $liKey,
+         | CAST(least(floor((l_extendedprice - (SELECT min(l_extendedprice) FROM lineitem))
+         |   / (((SELECT max(l_extendedprice) FROM lineitem) - (SELECT min(l_extendedprice) FROM lineitem)) / 5)), 4) AS INT) AS bin
+         |FROM lineitem""".stripMargin,
+
+    "r_reduce" ->
+      s"""SELECT $liKey,
+         | round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 6) AS amount,
+         | round(l_quantity + l_discount + l_tax, 4) AS sum_ops
+         |FROM lineitem""".stripMargin,
+
+    "r_ragged" ->
+      """SELECT vec_id,
+        | round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vsum,
+        | round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding), 6) AS vmean,
+        | round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS vmin,
+        | round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vmax
+        |FROM embeddings""".stripMargin,
+
+    "s_case" ->
+      "SELECT doc_id, upper(lang) AS lang_up, lower(upper(text)) AS text_lo FROM documents",
+
+    "s_concat_strip" ->
+      """SELECT doc_id, lang || '_' || source AS lang_src,
+        | CAST(length(trim(text)) AS INT) AS trim_len
+        |FROM documents""".stripMargin,
+
+    "s_split" ->
+      """SELECT c_custkey, string_split(c_name, '#')[2] AS cust_num,
+        | CAST(len(string_split(c_name, '#')) AS INT) AS n_parts
+        |FROM customer""".stripMargin,
+
+    "s_onehot" ->
+      s"""SELECT $liKey,
+         | CAST(l_returnflag = 'A' AS INT) AS flag_a,
+         | CAST(l_returnflag = 'N' AS INT) AS flag_n,
+         | CAST(l_returnflag = 'R' AS INT) AS flag_r
+         |FROM lineitem""".stripMargin,
+
+    "s_label_encode" ->
+      """SELECT c_custkey,
+        | CAST(CASE c_mktsegment WHEN 'AUTOMOBILE' THEN 0 WHEN 'BUILDING' THEN 1
+        |   WHEN 'FURNITURE' THEN 2 WHEN 'HOUSEHOLD' THEN 3 WHEN 'MACHINERY' THEN 4
+        |   END AS INT) AS seg_idx
+        |FROM customer""".stripMargin,
+
+    "s_ordinal_encode" ->
+      """SELECT o_orderkey,
+        | CAST(CASE o_orderpriority WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1
+        |   WHEN '3-MEDIUM' THEN 2 WHEN '4-NOT SPECIFIED' THEN 3 WHEN '5-LOW' THEN 4
+        |   END AS INT) AS prio_idx
+        |FROM orders""".stripMargin,
+
+    "s_binary_encode" ->
+      """SELECT event_id,
+        | CAST((rank // 4) % 2 AS INT) AS bit0,
+        | CAST((rank // 2) % 2 AS INT) AS bit1,
+        | CAST(rank % 2 AS INT) AS bit2
+        |FROM (SELECT event_id,
+        |   CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+        |     WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3 WHEN 'view' THEN 4
+        |     END AS rank
+        | FROM events)""".stripMargin,
+
+    "s_label_infer" ->
+      "SELECT doc_id, CAST(dense_rank() OVER (ORDER BY lang) - 1 AS INT) AS lang_idx FROM documents",
+
+    "d_diff" ->
+      """SELECT o_orderkey,
+        | CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        | CAST((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1) AS BIGINT) AS months_since,
+        | CAST(year(o_orderdate) - 1995 AS BIGINT) AS years_since
+        |FROM orders""".stripMargin,
+
+    "d_addsub" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate AS DATE) + 30 AS plus30d,
+        | CAST(o_orderdate AS DATE) - 14 AS minus2w,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM orders""".stripMargin,
+
+    "d_extract" ->
+      """SELECT event_id,
+        | CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS mo,
+        | CAST(day(ts) AS INT) AS dd, CAST(hour(ts) AS INT) AS hh,
+        | CAST(minute(ts) AS INT) AS mi, CAST(second(ts) AS INT) AS ss
+        |FROM events""".stripMargin,
+
+    "d_weekday" ->
+      """SELECT o_orderkey,
+        | CAST(isodow(o_orderdate) - 1 AS INT) AS dow,
+        | lower(dayname(o_orderdate)) AS dow_name
+        |FROM orders""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        | round(avg(l_quantity), 6) AS avg_qty,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "a_group_scatter" ->
+      s"""SELECT $liKey,
+         | round(avg(l_quantity) OVER (PARTITION BY l_orderkey), 6) AS grp_avg,
+         | max(l_quantity) OVER (PARTITION BY l_orderkey) AS grp_max,
+         | round(sum(l_extendedprice) OVER (PARTITION BY l_orderkey), 2) AS grp_sum
+         |FROM lineitem""".stripMargin,
+
+    "a_median_mode" ->
+      """WITH c AS (
+        |  SELECT l_returnflag, l_quantity, count(*) AS n FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC) AS rn
+        |  FROM c),
+        |med AS (SELECT l_returnflag, median(l_quantity) AS med_qty FROM lineitem GROUP BY 1)
+        |SELECT med.l_returnflag, med.med_qty, r.l_quantity AS mode_qty
+        |FROM med JOIN r ON med.l_returnflag = r.l_returnflag AND r.rn = 1""".stripMargin,
+
+    "a_cast" ->
+      s"""SELECT $liKey,
+         | CAST(trunc(l_quantity) AS INT) AS qty_int,
+         | CAST(l_orderkey AS VARCHAR) AS key_str,
+         | CAST(l_linenumber AS DOUBLE) AS line_dbl
+         |FROM lineitem""".stripMargin,
+
+    "v_stats_profile" ->
+      """SELECT source,
+        | count(n_chars) AS n,
+        | count(*) - count(n_chars) AS n_null,
+        | CAST(min(n_chars) AS BIGINT) AS min_chars,
+        | CAST(max(n_chars) AS BIGINT) AS max_chars,
+        | round(avg(n_chars), 6) AS avg_chars,
+        | round(stddev_pop(n_chars), 6) AS std_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "v_range_violations" ->
+      "SELECT doc_id, n_chars, source FROM documents WHERE n_chars < 50 OR n_chars > 500",
+
+    "v_unique_violations" ->
+      """SELECT l_orderkey, count(*) AS n_dup FROM lineitem
+        |GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "v_referential" ->
+      """SELECT lang, count(*) AS n_bad FROM documents
+        |WHERE lang NOT IN ('en', 'de', 'fr', 'es') GROUP BY lang""".stripMargin,
+
+    "v_histogram" ->
+      """SELECT source,
+        | CAST(least(greatest(floor(n_chars / 60.0), 0), 9) AS INT) AS bin,
+        | count(*) AS cnt
+        |FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2""".stripMargin,
+
+    "v_psi" ->
+      """WITH b AS (
+        |  SELECT source, CAST(least(greatest(floor(n_chars / 60.0), 0), 9) AS INT) AS bin
+        |  FROM documents),
+        |ps AS (SELECT source, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |st AS (SELECT source, count(*) AS tot FROM b GROUP BY 1),
+        |g AS (SELECT bin, count(*) AS gcnt FROM b GROUP BY 1),
+        |gt AS (SELECT CAST(count(*) AS DOUBLE) AS gtot FROM b),
+        |grid AS (SELECT st.source, st.tot, CAST(gs.i AS INT) AS bin
+        |         FROM st, generate_series(0, 9) AS gs(i))
+        |SELECT source, round(sum((p - q) * ln(p / q)), 6) AS psi FROM (
+        |  SELECT grid.source,
+        |    greatest(coalesce(ps.cnt, 0) / CAST(grid.tot AS DOUBLE), 1e-6) AS p,
+        |    greatest(coalesce(g.gcnt, 0) / (SELECT gtot FROM gt), 1e-6) AS q
+        |  FROM grid
+        |  LEFT JOIN ps ON ps.source = grid.source AND ps.bin = grid.bin
+        |  LEFT JOIN g ON g.bin = grid.bin)
+        |GROUP BY source""".stripMargin,
+
+    "v_content_hash" ->
+      """SELECT source,
+        | bit_xor(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS content_hash,
+        | count(*) AS n
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "dd_exact_summary" ->
+      """SELECT
+        | (SELECT count(*) FROM documents) AS n_rows,
+        | (SELECT count(DISTINCT md5(text)) FROM documents) AS n_kept,
+        | (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM
+        |    (SELECT count(*) AS n FROM documents GROUP BY md5(text) HAVING count(*) > 1)) AS n_in_dup_groups""".stripMargin,
+
+    "dd_jaccard_pairs" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(0, greatest(len(ws) - 5, 0) + 1),
+        |      i -> array_to_string(ws[i + 1 : i + 5], ' ')),
+        |    s -> s <> '')) AS shs
+        |  FROM d2),
+        |inv AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS s FROM sh),
+        |freq AS (SELECT s FROM inv GROUP BY s HAVING count(*) <= 1000),
+        |pr AS (SELECT i.s, i.doc_id, i.sz FROM inv i JOIN freq USING (s)),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+        |    count(*) AS inter
+        |  FROM pr a JOIN pr b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT id_a, id_b,
+        |  round(inter / CAST(sz_a + sz_b - inter AS DOUBLE), 6) AS jac
+        |FROM cand
+        |WHERE inter / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.3""".stripMargin,
+
+    "ann_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qn AS (SELECT sqrt(sum(CAST(qv[g.i] AS DOUBLE) * CAST(qv[g.i] AS DOUBLE))) AS qnorm
+        |       FROM q, generate_series(1, 64) AS g(i)),
+        |c AS (
+        |  SELECT e.vec_id,
+        |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(q.qv[g.i] AS DOUBLE)) AS dot,
+        |    sum(CAST(e.embedding[g.i] AS DOUBLE) * CAST(e.embedding[g.i] AS DOUBLE)) AS n2
+        |  FROM embeddings e, q, generate_series(1, 64) AS g(i)
+        |  WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+        |r AS (SELECT vec_id, round(dot / (sqrt(n2) * (SELECT qnorm FROM qn)), 6) AS cos FROM c)
+        |SELECT vec_id, cos, CAST(rank AS INT) AS rank FROM (
+        |  SELECT vec_id, cos, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank FROM r)
+        |WHERE rank <= 10""".stripMargin,
+
+    "t_langid" ->
+      s"""SELECT doc_id, s_en, s_de, s_fr, s_es,
+         | CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         |   WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |   WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |   WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
+         |FROM (SELECT doc_id,
+         |  ${markerSumSql(Seq(" the ", " and ", " of ", " to ", " is "))} AS s_en,
+         |  ${markerSumSql(Seq(" der ", " und ", " die ", " ist ", " das "))} AS s_de,
+         |  ${markerSumSql(Seq(" le ", " la ", " et ", " est ", " les "))} AS s_fr,
+         |  ${markerSumSql(Seq(" el ", " de la ", " que ", " es ", " los "))} AS s_es
+         | FROM documents)""".stripMargin,
+
+    "t_quality" ->
+      s"""SELECT doc_id, n_words, n_punct, n_stop,
+         | round(
+         |   least(CAST(n_words AS DOUBLE) / 50.0, 1.0) * 0.4 +
+         |   (1.0 - least(abs(CAST(n_punct AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) - 0.1) * 2.0, 1.0)) * 0.3 +
+         |   least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) / 0.2, 1.0) * 0.3,
+         | 6) AS quality
+         |FROM (SELECT doc_id,
+         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_words,
+         |  ${punctSumSql} AS n_punct,
+         |  ${markerSumSql(Seq(" the ", " and ", " of ", " to ", " a ", " in "))} AS n_stop
+         | FROM documents)""".stripMargin,
+
+    "t_tokcount" ->
+      """SELECT doc_id,
+        | CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws_tokens,
+        | CAST(coalesce(list_sum(list_transform(
+        |   list_filter(string_split(text, ' '), w -> w <> ''),
+        |   w -> 1 + CAST(floor((length(w) - 1) / 6) AS INT))), 0) AS INT) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    "t_fingerprint" ->
+      """SELECT doc_id,
+        | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''),
+        |       ch -> CAST(coalesce(ascii(ch), 0) AS BIGINT))),
+        |   (a, b) -> (a * 31 + b) % 2147483647) AS fp_roll
+        |FROM documents""".stripMargin,
+
+    "mm_decode" ->
+      """SELECT doc_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'
+        |   ELSE 'video' END AS mtype,
+        | CAST(CASE WHEN doc_id % 3 = 0 THEN 64 + h % 1857
+        |   WHEN doc_id % 3 = 2 THEN 320 + h % 1601 ELSE 0 END AS INT) AS width,
+        | CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 + (h % 3) * 100 ELSE 0 END AS INT) AS sample_rate,
+        | CAST(strlen(text) AS BIGINT) AS byte_len
+        |FROM (SELECT doc_id, text,
+        |  CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) AS h FROM documents)""".stripMargin,
+
+    "j_star_join" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "e_window" ->
+      """SELECT event_id, user_id,
+        | CAST(row_number() OVER w AS INT) AS rn,
+        | coalesce(CAST(floor(epoch(ts)) AS BIGINT)
+        |   - CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT), -1) AS gap_s
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "e_json" ->
+      """SELECT event_type,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        | count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "e_topk_users" ->
+      """SELECT user_id, total, n_events, CAST(rank AS INT) AS rank FROM (
+        |  SELECT user_id, total, n_events,
+        |    row_number() OVER (ORDER BY total DESC, user_id ASC) AS rank
+        |  FROM (SELECT user_id, round(sum(value), 2) AS total, count(*) AS n_events
+        |        FROM events GROUP BY user_id))
+        |WHERE rank <= 5""".stripMargin,
+
+    "set_ops" ->
+      """SELECT c_mktsegment,
+        | CAST(coalesce(sum(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with_orders,
+        | CAST(coalesce(sum(CASE WHEN has_o THEN 0 ELSE 1 END), 0) AS BIGINT) AS n_without_orders
+        |FROM (SELECT c_mktsegment,
+        |   EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_o
+        | FROM customer)
+        |GROUP BY c_mktsegment""".stripMargin
+  )
+
+  /** Non-overlapping literal occurrence count via the length-difference
+    * trick, over ' ' || lower(text) || ' ' — mirrors TextOps.countOccurrences
+    * + langScore exactly. */
+  private def markerSumSql(markers: Seq[String]): String =
+    markers.map { m =>
+      val esc = m.replace("'", "''")
+      s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$esc', ''))) / ${m.length} AS INT)"
+    }.mkString("(", " + ", ")")
+
+  private def punctSumSql: String =
+    Seq(".", ",", "!", "?", ";", ":").map { p =>
+      s"CAST((length(text) - length(replace(text, '$p', ''))) / 1 AS INT)"
+    }.mkString("(", " + ", ")")
+}

@@ -1,13 +1,418 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.{MathOps, StringOps, DateTimeOps, AggOps}
+import graft.operators.{Dedup, Similarity, TextOps, Multimodal}
+import graft.stats.StatsAggregator
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 inventory + §2.10 engine ops + training-data ops), with a
+  * DuckDB-equivalent `oracleSql` for everything SQL-expressible.
+  *
+  * Conventions for oracle hash-match stability:
+  *  - every output column aliased identically in Spark and SQL;
+  *  - floating outputs rounded (4-6 dp) in BOTH engines;
+  *  - counts/sums cast to BIGINT explicitly (DuckDB sum(int) is HUGEINT);
+  *  - each row carries its natural key so row sets are unambiguous.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Flagship query on sf=0.001: the classic pricing-summary aggregation. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q1(spark, "/root/testdata/sf0.001")
+
+  private def q1(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  // deterministic per-row key for lineitem outputs
+  private def liKey: Seq[Column] = Seq(col("l_orderkey"), col("l_linenumber"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ======== §2.1 element-wise math ========
+    "m_scale" -> ((s, d) => t(s, d, "lineitem").select(
+      liKey :+ round(MathOps.scale(col("l_quantity"), 2.5), 4).as("scaled"): _*)),
+
+    "m_elementwise" -> ((s, d) => t(s, d, "lineitem").select(
+      liKey ++ Seq(
+        round(MathOps.logT(col("l_extendedprice")), 6).as("log_price"),
+        round(MathOps.expT(col("l_discount")), 6).as("exp_disc"),
+        round(MathOps.sqrtT(col("l_quantity")), 6).as("sqrt_qty"),
+        round(MathOps.absT(col("l_quantity") - 25.0), 4).as("abs_qty")): _*)),
+
+    "m_pow_div" -> ((s, d) => t(s, d, "lineitem").select(
+      liKey ++ Seq(
+        round(MathOps.powT(col("l_quantity"), 2.0), 4).as("qty_sq"),
+        round(MathOps.divideByData(100.0, col("l_quantity")), 6).as("inv_qty"),
+        round(MathOps.divideData(col("l_quantity"), 7.0), 6).as("qty_div")): _*)),
+
+    "m_clip" -> ((s, d) => t(s, d, "lineitem").select(
+      liKey :+ round(MathOps.clip(col("l_quantity"), 10.0, 40.0), 4).as("clipped"): _*)),
+
+    "m_zscore" -> ((s, d) => {
+      val df = MathOps.zscoreGlobal(t(s, d, "lineitem"), col("l_quantity"), "z")
+      df.select(liKey :+ round(col("z"), 6).as("z_qty"): _*)
+    }),
+
+    "m_minmax" -> ((s, d) => {
+      val df = MathOps.minMaxGlobal(t(s, d, "lineitem"), col("l_extendedprice"), "mm")
+      df.select(liKey :+ round(col("mm"), 6).as("mm_price"): _*)
+    }),
+
+    "m_kbins_uniform" -> ((s, d) => {
+      val df = MathOps.kbinsUniform(t(s, d, "lineitem"), col("l_extendedprice"), 5, "bin")
+      df.select(liKey :+ col("bin"): _*)
+    }),
+
+    // ======== §2.2 reductions ========
+    "r_reduce" -> ((s, d) => t(s, d, "lineitem").select(
+      liKey ++ Seq(
+        // round at 6 dp: the product has exactly 6 decimal digits (2dp price
+        // × 2dp discount × 2dp tax), so 2dp rounding would sit on half-way
+        // boundaries where engines disagree
+        round(MathOps.multiplyReduce(col("l_extendedprice"),
+          MathOps.subtractReduce(lit(1.0), col("l_discount")),
+          MathOps.sumReduce(lit(1.0), col("l_tax"))), 6).as("amount"),
+        round(MathOps.sumReduce(col("l_quantity"), col("l_discount"), col("l_tax")), 4)
+          .as("sum_ops")): _*)),
+
+    "r_ragged" -> ((s, d) => t(s, d, "embeddings").select(
+      col("vec_id"),
+      round(MathOps.sumArray(col("embedding")), 4).as("vsum"),
+      round(MathOps.meanArray(col("embedding")), 6).as("vmean"),
+      round(MathOps.minArray(col("embedding")).cast("double"), 6).as("vmin"),
+      round(MathOps.maxArray(col("embedding")).cast("double"), 6).as("vmax"))),
+
+    // ======== §2.3 string / categorical encoders ========
+    "s_case" -> ((s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      StringOps.toUpper(col("lang")).as("lang_up"),
+      StringOps.toLower(StringOps.toUpper(col("text"))).as("text_lo"))),
+
+    "s_concat_strip" -> ((s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      StringOps.concatReduce(col("lang"), lit("_"), col("source")).as("lang_src"),
+      length(StringOps.strip(col("text"))).as("trim_len"))),
+
+    "s_split" -> ((s, d) => t(s, d, "customer").select(
+      col("c_custkey"),
+      element_at(StringOps.splitT(col("c_name"), "#"), 2).as("cust_num"),
+      size(StringOps.splitT(col("c_name"), "#")).as("n_parts"))),
+
+    "s_onehot" -> ((s, d) => {
+      val oh = StringOps.oneHotColumns(col("l_returnflag"), Seq("A", "N", "R"))
+      t(s, d, "lineitem").select(
+        liKey ++ oh.map { case (c, e) => e.as(s"flag_${c.toLowerCase}") }: _*)
+    }),
+
+    "s_label_encode" -> ((s, d) => t(s, d, "customer").select(
+      col("c_custkey"),
+      StringOps.labelEncode(col("c_mktsegment"),
+        Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"))
+        .as("seg_idx"))),
+
+    "s_ordinal_encode" -> ((s, d) => t(s, d, "orders").select(
+      col("o_orderkey"),
+      StringOps.labelEncode(col("o_orderpriority"),
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .as("prio_idx"))),
+
+    "s_binary_encode" -> ((s, d) => {
+      val bits = StringOps.binaryEncode(col("event_type"),
+        Seq("click", "error", "purchase", "signup", "view"))
+      t(s, d, "events").select(col("event_id") +: bits.map { case (n, e) => e.as(n) }: _*)
+    }),
+
+    "s_label_infer" -> ((s, d) =>
+      StringOps.labelEncodeInferred(t(s, d, "documents"), "lang", "lang_idx")
+        .select("doc_id", "lang_idx")),
+
+    // ======== §2.4 datetime ========
+    "d_diff" -> ((s, d) => t(s, d, "orders").select(
+      col("o_orderkey"),
+      DateTimeOps.dateTimeDiff(col("o_orderdate"), lit("1995-01-01").cast("date"), "D")
+        .as("days_since"),
+      DateTimeOps.dateTimeDiff(col("o_orderdate"), lit("1995-01-01").cast("date"), "M")
+        .as("months_since"),
+      DateTimeOps.dateTimeDiff(col("o_orderdate"), lit("1995-01-01").cast("date"), "Y")
+        .as("years_since"))),
+
+    "d_addsub" -> ((s, d) => t(s, d, "orders").select(
+      col("o_orderkey"),
+      DateTimeOps.dateTimeAdd(col("o_orderdate").cast("date"), 30, "D").as("plus30d"),
+      DateTimeOps.dateTimeSub(col("o_orderdate").cast("date"), 2, "W").as("minus2w"),
+      DateTimeOps.dateTimeAdd(col("o_orderdate").cast("date"), 3, "M").as("plus3m"))),
+
+    "d_extract" -> ((s, d) => t(s, d, "events").select(
+      col("event_id"),
+      DateTimeOps.dateTimeExtract(col("ts"), "year").as("y"),
+      DateTimeOps.dateTimeExtract(col("ts"), "month").as("mo"),
+      DateTimeOps.dateTimeExtract(col("ts"), "day").as("dd"),
+      DateTimeOps.dateTimeExtract(col("ts"), "hour").as("hh"),
+      DateTimeOps.dateTimeExtract(col("ts"), "minute").as("mi"),
+      DateTimeOps.dateTimeExtract(col("ts"), "second").as("ss"))),
+
+    "d_weekday" -> ((s, d) => t(s, d, "orders").select(
+      col("o_orderkey"),
+      DateTimeOps.dayOfWeek(col("o_orderdate")).as("dow"),
+      DateTimeOps.dayOfWeekName(col("o_orderdate")).as("dow_name"))),
+
+    // ======== §2.5 aggregation / group-by ========
+    "q1_agg" -> ((s, d) => q1(s, d)),
+
+    "a_group_scatter" -> ((s, d) => t(s, d, "lineitem").select(
+      liKey ++ Seq(
+        round(AggOps.groupMean(col("l_quantity"), col("l_orderkey")), 6).as("grp_avg"),
+        AggOps.groupMax(col("l_quantity"), col("l_orderkey")).as("grp_max"),
+        round(AggOps.groupSum(col("l_extendedprice"), col("l_orderkey")), 2)
+          .as("grp_sum")): _*)),
+
+    "a_median_mode" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val med = li.groupBy("l_returnflag")
+        .agg(AggOps.groupMedianAgg(col("l_quantity")).as("med_qty"))
+      val mod = AggOps.deterministicMode(li, "l_returnflag", "l_quantity", "mode_qty")
+      med.join(mod, "l_returnflag")
+    }),
+
+    // ======== §2.6 casting ========
+    "a_cast" -> ((s, d) => t(s, d, "lineitem").select(
+      liKey ++ Seq(
+        col("l_quantity").cast("int").as("qty_int"), // unsafe truncation semantics
+        col("l_orderkey").cast("string").as("key_str"),
+        col("l_linenumber").cast("double").as("line_dbl")): _*)),
+
+    // ======== §2.10 validation engine ops (on driver testdata) ========
+    "v_stats_profile" -> ((s, d) => {
+      val sa = StatsAggregator.statsAgg(0.0, 600.0, 10)
+      t(s, d, "documents").groupBy("source")
+        .agg(sa(col("n_chars")).as("st"))
+        .select(col("source"),
+          col("st.count").as("n"),
+          col("st.nulls").as("n_null"),
+          col("st.min").cast("long").as("min_chars"),
+          col("st.max").cast("long").as("max_chars"),
+          round(col("st.mean"), 6).as("avg_chars"),
+          round(sqrt(col("st.variance")), 6).as("std_chars"))
+    }),
+
+    "v_range_violations" -> ((s, d) => t(s, d, "documents")
+      .filter(col("n_chars") < 50 || col("n_chars") > 500)
+      .select(col("doc_id"), col("n_chars"), col("source"))),
+
+    "v_unique_violations" -> ((s, d) =>
+      graft.checks.Checks.uniquenessViolations(
+        t(s, d, "lineitem").withColumn("part", lit("all")), "l_orderkey", "part")
+        .select(col("key").as("l_orderkey"), col("n").as("n_dup"))),
+
+    "v_referential" -> ((s, d) => {
+      val dict = s.createDataFrame(
+        Seq("en", "de", "fr", "es").map(Tuple1(_))).toDF("lang")
+      graft.checks.Checks.referentialViolations(
+        t(s, d, "documents"), "lang", dict, "lang")
+        .groupBy("lang").agg(count(lit(1)).as("n_bad"))
+    }),
+
+    "v_histogram" -> ((s, d) =>
+      graft.checks.Drift.histogram(t(s, d, "documents"), "n_chars", "source",
+        0.0, 600.0, 10)
+        .select(col("partition").as("source"), col("bin"), col("cnt"))),
+
+    "v_psi" -> ((s, d) => psiPerSource(t(s, d, "documents"))),
+
+    "v_content_hash" -> ((s, d) => t(s, d, "documents")
+      .groupBy("source")
+      .agg(expr("bit_xor(cast(conv(substr(md5(text),1,8),16,10) as bigint))")
+        .as("content_hash"),
+        count(lit(1)).as("n"))),
+
+    // ======== dedup family ========
+    "dd_exact_summary" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val groups = Dedup.exactDupGroups(docs)
+      val kept = Dedup.exactDedup(docs)
+      docs.agg(count(lit(1)).as("n_rows")).crossJoin(
+        kept.agg(count(lit(1)).as("n_kept"))).crossJoin(
+        groups.agg(coalesce(sum(col("n_dup")), lit(0L)).cast("long").as("n_in_dup_groups")))
+    }),
+
+    "dd_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(t(s, d, "documents"), "text", "doc_id", n = 5,
+        threshold = 0.3).select(col("id_a"), col("id_b"),
+        round(col("jaccard"), 6).as("jac"))),
+
+    "dd_minhash_lsh" -> ((s, d) => // rows-only: xxhash64 not in oracle engine
+      Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",
+        estThreshold = 0.2)),
+
+    "dd_simhash" -> ((s, d) => // rows-only
+      t(s, d, "documents").select(col("doc_id"),
+        Dedup.simhash(Dedup.wordShingles(col("text"), 3)).as("fp"))),
+
+    "dd_embed_neardup" -> ((s, d) => // rows-only (O(n^2) oracle too slow)
+      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
+        dim = 64, planes = 8, threshold = 0.9)),
+
+    // ======== similarity search ========
+    "ann_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      emb.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(Similarity.cosineTo(col("embedding"), q), 6).as("cos"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("cos").desc, col("vec_id").asc)))
+        .filter(col("rank") <= 10)
+    }),
+
+    "ann_lsh" -> ((s, d) => { // rows-only: LSH bucketing is approximate
+      val emb = t(s, d, "embeddings")
+      Similarity.lshTopK(emb, emb.limit(20), "embedding", "vec_id",
+        dim = 64, k = 5, planes = 6)
+    }),
+
+    // ======== text analysis ========
+    "t_langid" -> ((s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      TextOps.langScore(col("text"), "en").as("s_en"),
+      TextOps.langScore(col("text"), "de").as("s_de"),
+      TextOps.langScore(col("text"), "fr").as("s_fr"),
+      TextOps.langScore(col("text"), "es").as("s_es"),
+      TextOps.langId(col("text")).as("lang_pred"))),
+
+    "t_quality" -> ((s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_words"),
+      TextOps.punctCount(col("text")).as("n_punct"),
+      TextOps.stopwordCount(col("text")).as("n_stop"),
+      TextOps.qualityScore(col("text")).as("quality"))),
+
+    "t_tokcount" -> ((s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+      TextOps.subwordCountEstimate(col("text")).as("n_subwords"))),
+
+    "t_fingerprint" -> ((s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      TextOps.fingerprint(col("text")).as("fp_md5"),
+      TextOps.rollingHash(col("text")).as("fp_roll"))),
+
+    // ======== multimodal plumbing ========
+    "mm_decode" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("mtype"))
+      // oracle-expressible fake decode: md5-derived dims
+      val h = expr("cast(conv(substr(md5(payload),1,6),16,10) as bigint)")
+      docs.select(col("doc_id"), col("mtype"),
+        when(col("mtype") === "image", lit(64) + pmod(h, lit(1857)))
+          .when(col("mtype") === "video", lit(320) + pmod(h, lit(1601)))
+          .otherwise(lit(0)).cast("int").as("width"),
+        when(col("mtype") === "audio", lit(16000) + pmod(h, lit(3)) * 100)
+          .otherwise(lit(0)).cast("int").as("sample_rate"),
+        length(col("payload")).cast("long").as("byte_len"))
+    }),
+
+    "mm_batch" -> ((s, d) => { // rows-only: mapPartitions batch plumbing
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("mtype"))
+      Multimodal.decodeBatched(docs, "payload", "mtype", "doc_id")
+        .select(col("id"), col("meta.media_type"), col("meta.width"),
+          col("meta.n_frames"), col("meta.byte_len"))
+    }),
+
+    // ======== relational coverage: joins / windows / json / set ops ========
+    "j_star_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    "e_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events").select(
+        col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        coalesce((unix_timestamp(col("ts")) -
+          unix_timestamp(lag(col("ts"), 1).over(w))).cast("long"), lit(-1L))
+          .as("gap_s"))
+    }),
+
+    "e_json" -> ((s, d) => t(s, d, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).cast("long").as("sum_k"), count(lit(1)).as("n"))),
+
+    "e_topk_users" -> ((s, d) => t(s, d, "events")
+      .groupBy("user_id")
+      .agg(round(sum(col("value")), 2).as("total"), count(lit(1)).as("n_events"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("total").desc, col("user_id").asc)))
+      .filter(col("rank") <= 5)),
+
+    "set_ops" -> ((s, d) => {
+      val cust = t(s, d, "customer")
+      val orders = t(s, d, "orders")
+      val withO = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+      val withoutO = cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+      withO.join(withoutO, Seq("c_mktsegment"), "full_outer")
+        .select(col("c_mktsegment"),
+          coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+          coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+    })
+  )
+
+  /** PSI of each source's n_chars histogram vs the global distribution —
+    * the drift statistic (Drift.psi) expressed relationally so DuckDB can
+    * replicate it. 10 bins over [0, 600), eps=1e-6, matching Drift.psi. */
+  private def psiPerSource(docs: DataFrame): DataFrame = {
+    val k = 10
+    val binCol = least(greatest(floor(col("n_chars") / 60.0), lit(0)), lit(k - 1))
+      .cast("int")
+    val binned = docs.select(col("source"), binCol.as("bin"))
+    val perSrc = binned.groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+    val srcTot = binned.groupBy("source").agg(count(lit(1)).as("tot"))
+    val global = binned.groupBy("bin").agg(count(lit(1)).as("gcnt"))
+    val gTot = binned.count().toDouble
+    // dense (source × bin) grid so empty bins contribute eps
+    val grid = srcTot.crossJoin(
+      docs.sparkSession.range(k).select(col("id").cast("int").as("bin")))
+    val eps = 1e-6
+    grid
+      .join(perSrc, Seq("source", "bin"), "left")
+      .join(global, Seq("bin"), "left")
+      .select(col("source"),
+        greatest(coalesce(col("cnt"), lit(0L)) / col("tot"), lit(eps)).as("p"),
+        greatest(coalesce(col("gcnt"), lit(0L)) / lit(gTot), lit(eps)).as("q"))
+      .groupBy("source")
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+  }
+
+  /** DuckDB-equivalent SQL per query (same aliases, same rounding). */
+  def oracleSql: Map[String, String] = OracleSql.all
 }

@@ -28,17 +28,23 @@ object AggOps {
     * Spark's `median` is an exact sort-based aggregate, valid over windows. */
   def groupMedian(data: Column, key: Column): Column = median(data).over(w(key))
 
+  /** Exact median as a plain aggregate (per-group, not scattered). */
+  def groupMedianAgg(data: Column): Column = median(data)
+
   /** Deterministic mode per group (aggregate.py:34-42 'mode' uses np.unique
-    * + argmax ⇒ the SMALLEST most-frequent value wins on ties; we reproduce
-    * that tiebreak exactly with mode(deterministic=true)... Spark's `mode`
-    * does not guarantee tie order, so we build it from count+struct-max:
-    * max(struct(cnt, -value)) picks highest count, then smallest value. */
-  def groupModeDF(df: DataFrame, keyName: String, valName: String, outCol: String): DataFrame = {
-    val counts = df.groupBy(col(keyName), col(valName)).count()
-    val modes = counts
+    * + argmax ⇒ the SMALLEST most-frequent value wins on ties). Spark's
+    * built-in `mode` does not guarantee tie order, so we build it from
+    * count + struct-max: max(struct(cnt, -value)) picks highest count, then
+    * smallest value — two map-side-combinable aggregations, no window. */
+  def deterministicMode(df: DataFrame, keyName: String, valName: String,
+      outCol: String): DataFrame =
+    df.groupBy(col(keyName), col(valName)).agg(count(lit(1)).as("__c"))
       .groupBy(col(keyName))
-      .agg(max(struct(col("count").as("c"), (col(valName) * lit(-1)).as("nv"))).as("m"))
+      .agg(max(struct(col("__c").as("c"), (col(valName) * lit(-1)).as("nv"))).as("m"))
       .select(col(keyName), (col("m.nv") * lit(-1)).as(outCol))
-    df.join(modes, keyName) // scatter back (broadcast if modes is small)
-  }
+
+  /** Scattered variant: mode value joined back onto every member row. */
+  def groupModeScattered(df: DataFrame, keyName: String, valName: String,
+      outCol: String): DataFrame =
+    df.join(deterministicMode(df, keyName, valName, outCol), keyName)
 }

@@ -1,0 +1,208 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines, over a
+  * `documents(doc_id, text, lang, source, n_chars)`-shaped table.
+  *
+  * Scale design notes (100 TB framing):
+  *  - exact dedup: hash-groupBy — ONE shuffle on a 128-bit content hash;
+  *    map-side partial agg keeps duplicate skew off the reducers.
+  *  - n-gram Jaccard: inverted-index pair generation (shingle → doc list →
+  *    candidate pairs) instead of an O(n²) cross join; hot shingles are
+  *    capped (a shingle shared by >maxDocsPerShingle docs is dropped — at
+  *    web scale those are boilerplate and only add noise pairs).
+  *  - MinHash/LSH: signature = k independent permutations approximated by
+  *    seeded xxhash64; banding turns near-dup search into an equi-join on
+  *    (band, bandHash) — pure shuffle-join, no similarity scan.
+  *  - SimHash: 64-bit fingerprint, near-dups = equal fingerprints (or equal
+  *    in rotated bands for Hamming distance > 0).
+  * All operators are deterministic (seeded hashes) so results are
+  * reproducible across cluster sizes.
+  */
+object Dedup {
+
+  /** Canonical text normalization shared by all fingerprints. */
+  def normText(c: Column): Column =
+    regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  // ---------- exact dedup ----------
+
+  /** Exact duplicate groups: content hash → count + canonical (min) doc_id.
+    * One map-side-combinable shuffle. */
+  def exactDupGroups(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_dup"), min(col(idCol)).as("canonical_id"))
+      .filter(col("n_dup") > 1)
+
+  /** Keep exactly one row per distinct text (the min doc_id), dropping
+    * duplicates — the classic exact-dedup pass. Window-free formulation:
+    * semi-join back on (hash, min_id) so the heavy side shuffles once. */
+  def exactDedup(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val keep = docs.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as(idCol))
+    docs.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ---------- shingling ----------
+
+  /** Character n-gram shingle set of normalized text (distinct). */
+  def shingles(c: Column, n: Int): Column = {
+    val t = normText(c)
+    array_distinct(
+      filter(
+        transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+          i => t.substr(i, lit(n))),
+        s => length(s) === n))
+  }
+
+  /** Word n-gram shingles (distinct) — robust to whitespace runs. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val words = split(normText(c), " ")
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+          i => array_join(slice(words, i + 1, lit(n)), " ")),
+        s => s =!= ""))
+  }
+
+  // ---------- exact n-gram Jaccard via inverted index ----------
+
+  /** All candidate pairs sharing ≥1 shingle, with EXACT Jaccard similarity,
+    * filtered to `threshold`. Inverted-index self-join:
+    * explode(shingles) → join on shingle → count shared shingles per pair →
+    * |A∩B| / (|A|+|B|−|A∩B|). Complete for threshold > 0 (any pair with
+    * positive Jaccard shares a shingle). */
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, threshold: Double,
+      maxDocsPerShingle: Int = 1000, words: Boolean = true): DataFrame = {
+    val shingleFn = if (words) wordShingles(col(textCol), n) else shingles(col(textCol), n)
+    val withSh = docs.select(col(idCol).as("id"), shingleFn.as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val inv = withSh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+    // cap boilerplate shingles (scale guard; documented truncation)
+    val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocsPerShingle)
+    val pruned = inv.join(freq.select("s"), Seq("s"))
+    val a = pruned.select(col("s"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val b = pruned.select(col("s"), col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------- MinHash + LSH ----------
+
+  /** MinHash signature: k seeded hash functions over the shingle set;
+    * sig[i] = min over shingles of xxhash64(shingle, seed_i). Pure
+    * per-row expression (no shuffle). */
+  def minhashSignature(shingleArr: Column, k: Int, seed: Long = 42L): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingleArr, s => xxhash64(s, lit(seed + i))))
+    }: _*)
+
+  /** LSH banding: (bandId, bandHash) keys; docs sharing any band key are
+    * candidates. bands × rowsPerBand = k. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+    }: _*)
+
+  /** MinHash-LSH near-duplicate candidate pairs with estimated similarity
+    * (fraction of equal signature components). The scale path: banding
+    * reduces pair generation to an equi-join on band buckets. */
+  def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 5, k: Int = 64, bands: Int = 16,
+      estThreshold: Double = 0.5, seed: Long = 42L,
+      maxBucket: Int = 2000): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = docs.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), n), k, seed).as("sig"))
+    val keyed = sigs.select(col("id"), col("sig"),
+      explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+    // cap pathological buckets (all-identical boilerplate): documented guard
+    val sized = keyed.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .filter(col("bn") <= maxBucket)
+    val a = sized.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = sized.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          v => v)).cast("double") / lit(k)).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= estThreshold)
+  }
+
+  // ---------- SimHash ----------
+
+  /** 64-bit SimHash over word shingles: per bit, sign of the sum of
+    * per-shingle hash bits. Expressed with higher-order functions — stays in
+    * codegen, no shuffle. */
+  def simhash(shingleArr: Column, seed: Long = 42L): Column = {
+    val hashes = transform(shingleArr, s => xxhash64(s, lit(seed)))
+    val bitSums = transform(sequence(lit(0), lit(63)), b =>
+      aggregate(hashes, lit(0),
+        (acc, h) => acc +
+          when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1)
+            .otherwise(-1)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(63)),
+        (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** SimHash near-dup groups: identical 64-bit fingerprints. For Hamming
+    * distance ≤ d matching, join on `bandsOf` rotations instead. */
+  def simhashDupGroups(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, seed: Long = 42L): DataFrame =
+    docs.select(col(idCol).as("id"),
+      simhash(wordShingles(col(textCol), n), seed).as("fp"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_dup"), min(col("id")).as("canonical_id"))
+      .filter(col("n_dup") > 1)
+
+  // ---------- embedding near-dup ----------
+
+  /** Cosine similarity between two float-array columns (codegen'd HOFs). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, bucketed by a
+    * random-hyperplane LSH code so only same-bucket pairs are compared
+    * (brute-force within bucket; deterministic seeded planes). */
+  def embeddingNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
+      dim: Int, planes: Int = 12, threshold: Double = 0.95,
+      seed: Long = 42L): DataFrame = {
+    val code = Similarity.hyperplaneCode(col(vecCol), dim, planes, seed)
+    val coded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      code.as("bucket"))
+    val a = coded.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = coded.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .filter(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata structs.
+  *
+  * The decode step is STUBBED with a deterministic fake (this container has
+  * no image/audio codecs): metadata is derived from a hash of the payload,
+  * so results are reproducible and testable. Everything around the stub —
+  * schema, batch iteration shape, partitioning, explode of sampled frames —
+  * is real Spark plumbing that a codec-backed implementation would drop
+  * into unchanged (swap `fakeDecode` for the real library call inside the
+  * same `mapPartitions` batch loop).
+  */
+object Multimodal {
+
+  /** Typed metadata produced by decode. */
+  val MediaMetaSchema: StructType = StructType(Seq(
+    StructField("media_type", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("byte_len", LongType, nullable = false)))
+
+  final case class MediaMeta(media_type: String, width: Int, height: Int,
+      n_frames: Int, sample_rate: Int, byte_len: Long)
+
+  /** DETERMINISTIC FAKE decode — stands in for the real codec call.
+    * Derives plausible metadata purely from payload bytes. */
+  def fakeDecode(payload: Array[Byte], mediaType: String): MediaMeta = {
+    val h = java.util.Arrays.hashCode(payload).toLong & 0x7fffffffL
+    mediaType match {
+      case "image" => MediaMeta("image",
+        64 + (h % 1857).toInt, 64 + ((h / 7) % 1017).toInt, 1, 0, payload.length)
+      case "audio" => MediaMeta("audio", 0, 0,
+        1, Seq(16000, 22050, 44100)((h % 3).toInt), payload.length)
+      case "video" => MediaMeta("video",
+        320 + (h % 1601).toInt, 240 + ((h / 11) % 841).toInt,
+        25 * (1 + (h % 120)).toInt, 0, payload.length)
+      case other => MediaMeta(other, 0, 0, 0, 0, payload.length)
+    }
+  }
+
+  /** Decode + feature-extract over binary payloads, batch-shaped: a
+    * `mapPartitions` that processes rows in fixed-size batches (the shape a
+    * vectorized codec / model inference call needs — batch the payloads,
+    * call once per batch, emit per-row results). */
+  def decodeBatched(df: DataFrame, payloadCol: String, typeCol: String,
+      idCol: String, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("meta", MediaMetaSchema, nullable = false)))
+    val rdd = df.select(col(idCol).cast("long"), col(payloadCol), col(typeCol))
+      .rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // real impl: one vectorized codec/inference call per batch here
+          batch.map { r =>
+            val m = fakeDecode(r.getAs[Array[Byte]](1), r.getString(2))
+            Row(r.getLong(0),
+              Row(m.media_type, m.width, m.height, m.n_frames, m.sample_rate,
+                m.byte_len))
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Pure-Column variant of the fake decode (no RDD hop): metadata from
+    * hash expressions — the preferred form when the "decode" is expressible
+    * as expressions (fingerprints, size checks). */
+  def decodeMetaExpr(payload: Column, mediaType: Column): Column = {
+    val h = abs(xxhash64(payload))
+    struct(
+      mediaType.as("media_type"),
+      when(mediaType === "image", (lit(64) + pmod(h, lit(1857))).cast("int"))
+        .when(mediaType === "video", (lit(320) + pmod(h, lit(1601))).cast("int"))
+        .otherwise(lit(0)).as("width"),
+      when(mediaType === "image", (lit(64) + pmod(h / 7, lit(1017))).cast("int"))
+        .when(mediaType === "video", (lit(240) + pmod(h / 11, lit(841))).cast("int"))
+        .otherwise(lit(0)).as("height"),
+      when(mediaType === "video", (lit(25) * (lit(1) + pmod(h, lit(120)))).cast("int"))
+        .otherwise(lit(1)).as("n_frames"),
+      when(mediaType === "audio",
+        element_at(typedlit(Seq(16000, 22050, 44100)), (pmod(h, lit(3)) + 1).cast("int")))
+        .otherwise(lit(0)).as("sample_rate"),
+      length(payload).cast("long").as("byte_len"))
+  }
+
+  /** Resize plan: scale metadata to fit within (maxW, maxH) preserving
+    * aspect ratio — the metadata half of a resize; payload re-encode is the
+    * codec's job (stubbed). */
+  def resizeMeta(meta: Column, maxW: Int, maxH: Int): Column = {
+    val w = meta.getField("width").cast("double")
+    val h = meta.getField("height").cast("double")
+    val scale = least(least(lit(maxW) / w, lit(maxH) / h), lit(1.0))
+    struct(
+      meta.getField("media_type").as("media_type"),
+      floor(w * scale).cast("int").as("width"),
+      floor(h * scale).cast("int").as("height"),
+      meta.getField("n_frames").as("n_frames"),
+      meta.getField("sample_rate").as("sample_rate"),
+      meta.getField("byte_len").as("byte_len"))
+  }
+
+  /** Uniform frame sampling: every k-th frame index up to n_frames —
+    * explode-ready array, the video→image fan-out shape. */
+  def sampleFrameIndices(nFrames: Column, everyK: Int): Column =
+    sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(everyK))
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), per the training-data-pipeline operator set.
+  *
+  * Baseline: brute-force cosine top-k — one scan, one narrow top-k
+  * aggregation (no global sort; per-partition top-k then merge, which is
+  * what Spark's `orderBy.limit(k)` compiles to via TakeOrderedAndProject).
+  *
+  * Scale path: IVF — partition vectors into deterministic hyperplane-LSH
+  * cells; queries probe only their own (or neighboring) cells, turning a
+  * full scan into a pruned scan of ~1/2^planes of the data per probe.
+  */
+object Similarity {
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * a fixed hash-derived value in [-1, 1). Seeded ⇒ same planes on every
+    * executor with zero driver state. */
+  private def planeComponent(p: Int, i: Column, seed: Long): Column =
+    (pmod(xxhash64(lit(p), i, lit(seed)), lit(2000001L)).cast("double") / 1e6) - 1.0
+
+  /** LSH code: one sign bit per hyperplane, packed into a long. */
+  def hyperplaneCode(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), lit(dim - 1)),
+          (x, i) => x.cast("double") * planeComponent(p, i, seed)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosineTo(vec: Column, query: Seq[Double]): Column = {
+    val q = typedlit(query)
+    val qn = math.sqrt(query.map(x => x * x).sum)
+    dot(vec, q) / (norm(vec) * lit(qn))
+  }
+
+  /** Brute-force top-k by cosine to a single query vector. Compiles to
+    * TakeOrderedAndProject: per-partition heap of k, merged on the driver —
+    * no global sort shuffle. Deterministic tiebreak on id. */
+  def bruteForceTopK(emb: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int): DataFrame =
+    emb.select(col(idCol), cosineTo(col(vecCol), query).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+
+  /** Batch k-NN: top-k neighbors for EVERY query row against the corpus,
+    * LSH-bucketed (IVF-style): join corpus and queries on bucket code, rank
+    * within query by cosine. Approximate — recall depends on `planes`. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, dim: Int, k: Int, planes: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val code = hyperplaneCode(col(vecCol), dim, planes, seed)
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      code.as("bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      code.as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+  }
+
+  /** IVF index build: assign every vector to its hyperplane cell and write
+    * bucketed/partitioned — the "train once, probe cheaply" layout. */
+  def buildIvf(emb: DataFrame, vecCol: String, dim: Int, planes: Int,
+      seed: Long = 42L): DataFrame =
+    emb.withColumn("bucket", hyperplaneCode(col(vecCol), dim, planes, seed))
+}

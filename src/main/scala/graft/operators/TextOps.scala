@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation over `documents`:
+  * language-ID (stopword-hit heuristic), quality scoring, token counting,
+  * and document fingerprinting. All pure `Column` expressions — codegen'd,
+  * zero shuffle, embarrassingly parallel at any scale.
+  */
+object TextOps {
+
+  /** Count non-overlapping occurrences of a literal `needle` via the
+    * length-difference trick (identical semantics in any SQL engine). */
+  def countOccurrences(c: Column, needle: String): Column =
+    ((length(c) - length(replace(c, lit(needle), lit("")))) / needle.length)
+      .cast("int")
+
+  /** Language markers: tiny deterministic stopword lists per language.
+    * Spaces on both sides so only whole words count. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of ", " to ", " is "),
+    "de" -> Seq(" der ", " und ", " die ", " ist ", " das "),
+    "fr" -> Seq(" le ", " la ", " et ", " est ", " les "),
+    "es" -> Seq(" el ", " de la ", " que ", " es ", " los "))
+
+  /** Per-language marker hit count over lowercased text. */
+  def langScore(c: Column, lang: String): Column = {
+    val t = concat(lit(" "), lower(c), lit(" "))
+    LangMarkers.toMap.apply(lang)
+      .map(m => countOccurrences(t, m))
+      .reduce(_ + _)
+  }
+
+  /** Heuristic language ID: argmax of marker hits, 'und' (undetermined) when
+    * all scores are zero. Deterministic tiebreak: first language in
+    * LangMarkers order wins (strict > comparison). */
+  def langId(c: Column): Column = {
+    val scored = LangMarkers.map { case (l, _) => (l, langScore(c, l)) }
+    val best = scored.tail.foldLeft(
+      struct(scored.head._2.as("s"), lit(scored.head._1).as("l"))) {
+      case (acc, (l2, s2)) =>
+        when(s2 > acc.getField("s"), struct(s2.as("s"), lit(l2).as("l")))
+          .otherwise(acc)
+    }
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+
+  /** Whitespace token count (empty tokens dropped). */
+  def tokenCount(c: Column): Column =
+    size(filter(split(c, " "), t => t =!= ""))
+
+  /** BPE-ish subword count estimate: words + extra splits for long words
+    * (every started chunk of 6 chars beyond the first counts). A cheap,
+    * deterministic proxy for tokenizer load with no vocab file. */
+  def subwordCountEstimate(c: Column): Column =
+    aggregate(
+      filter(split(c, " "), t => t =!= ""),
+      lit(0),
+      (acc, wrd) => acc + lit(1) + floor((length(wrd) - 1) / 6).cast("int"))
+
+  /** Quality features: length, punctuation ratio, stopword ratio, mean word
+    * length — the standard heuristic-filter inputs. */
+  def punctCount(c: Column): Column =
+    Seq(".", ",", "!", "?", ";", ":").map(p => countOccurrences(c, p))
+      .reduce(_ + _)
+
+  def stopwordCount(c: Column): Column =
+    Seq(" the ", " and ", " of ", " to ", " a ", " in ")
+      .map(m => countOccurrences(concat(lit(" "), lower(c), lit(" ")), m))
+      .reduce(_ + _)
+
+  /** Composite quality score in [0,1]: penalizes too-short docs, rewards
+    * normal punctuation density and stopword presence. Deterministic,
+    * engine-agnostic arithmetic. */
+  def qualityScore(c: Column): Column = {
+    val n = tokenCount(c).cast("double")
+    val lenScore = least(n / 50.0, lit(1.0))
+    val punct = punctCount(c).cast("double")
+    val punctScore = lit(1.0) - least(abs(punct / greatest(n, lit(1.0)) - 0.1) * 2.0, lit(1.0))
+    val stopScore = least(stopwordCount(c).cast("double") / greatest(n, lit(1.0)) / 0.2, lit(1.0))
+    round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 6)
+  }
+
+  /** Stable document fingerprint: md5 of normalized text (lower, collapsed
+    * whitespace) — the exact-dup key. */
+  def fingerprint(c: Column): Column = md5(Dedup.normText(c))
+
+  /** Polynomial rolling hash (Rabin-Karp style, base 31, mod 2^31-1) over
+    * normalized text — an order-sensitive fingerprint cheap enough for
+    * per-shard incremental checks. HOF fold, codegen'd. */
+  def rollingHash(c: Column): Column = {
+    val M = 2147483647L
+    aggregate(
+      split(Dedup.normText(c), ""),
+      lit(0L),
+      (acc, ch) => pmod(acc * 31L + coalesce(ascii(ch).cast("long"), lit(0L)), lit(M)))
+  }
+}

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: for each query result
+parquet written by graft.Verify, run the oracle SQL in DuckDB over the same
+testdata tables, sort columns by name + rows by value, and compare.
+Usage: check_oracle.py <sfDir> <outDir>
+"""
+import sys, os, json, glob
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(repr(v))
+        out.append("|".join(vals))
+    out.sort()
+    return out, [cols[i] for i in order]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(out_dir)):
+        d = os.path.join(out_dir, name)
+        if not os.path.isdir(d):
+            continue
+        files = glob.glob(f"{d}/*.parquet")
+        if not files:
+            results[name] = "NO_OUTPUT"
+            continue
+        got = con.sql(f"SELECT * FROM '{d}/*.parquet'")
+        gcols = got.columns
+        grows = got.fetchall()
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY({len(grows)})"
+            continue
+        try:
+            exp = con.sql(oracle[name])
+            ecols = exp.columns
+            erows = exp.fetchall()
+        except Exception as e:
+            results[name] = f"ORACLE_SQL_ERROR: {str(e)[:160]}"
+            continue
+        if sorted(gcols) != sorted(ecols):
+            results[name] = f"SCHEMA_MISMATCH spark={sorted(gcols)} oracle={sorted(ecols)}"
+            continue
+        g, _ = canon(grows, gcols)
+        e, _ = canon(erows, ecols)
+        if len(g) != len(e):
+            results[name] = f"ROWCOUNT spark={len(g)} oracle={len(e)}"
+        elif g != e:
+            diff = [(a, b) for a, b in zip(g, e) if a != b][:3]
+            results[name] = f"VALUE_MISMATCH({sum(1 for a,b in zip(g,e) if a!=b)}/{len(g)}) e.g. {diff[:2]}"
+        else:
+            results[name] = f"OK({len(g)})"
+    bad = 0
+    for k, v in sorted(results.items()):
+        flag = " " if v.startswith("OK") or v.startswith("ROWS_ONLY") else "X"
+        if flag == "X":
+            bad += 1
+        print(f"{flag} {k:24s} {v}")
+    missing = set(oracle) - set(results)
+    for m in missing:
+        print(f"X {m:24s} ORACLE_WITHOUT_RESULT")
+        bad += 1
+    print(f"\n{len(results)} checked, {bad} failing")
+    return 1 if bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
