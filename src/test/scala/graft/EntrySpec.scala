@@ -1,0 +1,20 @@
+package graft
+
+/** Smoke: every SparkEntry query runs on sf0.001 and the flagship entry
+  * returns rows (the driver's t1 check). */
+class EntrySpec extends SparkTestBase {
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs at sf0.001 and oracle keys are a subset") {
+    val dir = sf()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n >= 0, s"$name failed")
+    }
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracleSql without queries: $unknown")
+  }
+}

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity, TextOps, Multimodal}
+
+/** Training-data pipeline operators on crafted fixtures with planted
+  * duplicates / near-duplicates / known vectors. */
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup
+    (4L, "completely different text about spark catalyst optimizer and shuffle joins"),
+    (5L, "der schnelle braune fuchs und die katze ist das haus und der hund")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: finds the planted duplicate pair, keeps min id") {
+    val groups = Dedup.exactDupGroups(docs).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("n_dup") == 2 && groups(0).getAs[Long]("canonical_id") == 1L)
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L, 4L, 5L)))
+  }
+
+  test("jaccard pairs: near-dup trio found, unrelated docs not paired") {
+    val pairs = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L)) && keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(pairs.find(p => (p._1, p._2) == ((1L, 2L))).get._3 == 1.0) // identical sets
+  }
+
+  test("jaccard matches hand-computed value") {
+    // texts with known word-2gram overlap
+    val d = Seq((1L, "a b c d"), (2L, "a b c e")).toDF("doc_id", "text")
+    // 2-gram sets: {ab, bc, cd} vs {ab, bc, ce}: inter=2, union=4 -> 0.5
+    val p = Dedup.jaccardPairs(d, "text", "doc_id", n = 2, threshold = 0.1).head()
+    assert(p.getDouble(2) == 0.5)
+  }
+
+  test("minhash LSH: exact/near dups are candidates with high estimate") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id",
+      n = 3, k = 64, bands = 16, estThreshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val m = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(m((1L, 2L)) == 1.0) // identical docs: identical signatures
+    assert(m.contains((1L, 3L)) || m.contains((2L, 3L))) // near dup caught
+    assert(!m.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature is deterministic and length k") {
+    val sig = docs.select(Dedup.minhashSignature(
+      Dedup.shingles(col("text"), 5), 16).as("s")).head().getSeq[Long](0)
+    val sig2 = docs.select(Dedup.minhashSignature(
+      Dedup.shingles(col("text"), 5), 16).as("s")).head().getSeq[Long](0)
+    assert(sig.length == 16 && sig == sig2)
+  }
+
+  test("simhash: identical docs same fingerprint, different docs differ") {
+    val fps = docs.select(col("doc_id"),
+      Dedup.simhash(Dedup.wordShingles(col("text"), 2)).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(4L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fps(1L), fps(3L)) < ham(fps(1L), fps(4L))) // near dup closer
+  }
+
+  private val vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),   // close to 0
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal
+    (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),  // opposite
+    (4L, Seq(1.0f, 0.05f, 0.0f, 0.0f))   // closest to 0
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k: correct order, deterministic tiebreak") {
+    val got = Similarity.bruteForceTopK(vecs.filter(col("vec_id") =!= 0),
+      "embedding", "vec_id", Seq(1.0, 0.0, 0.0, 0.0), 3)
+      .select("vec_id").as[Long].collect()
+    assert(got.sameElements(Array(4L, 1L, 2L)))
+  }
+
+  test("cosine matches hand computation") {
+    val c = vecs.filter(col("vec_id") === 1)
+      .select(Similarity.cosineTo(col("embedding"),
+        Seq(1.0, 0.0, 0.0, 0.0))).head().getDouble(0)
+    assert(math.abs(c - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
+  }
+
+  test("embedding near-dup pairs: only the close pair crosses 0.99") {
+    val pairs = Dedup.embeddingNearDupPairs(vecs, "embedding", "vec_id",
+      dim = 4, planes = 4, threshold = 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cos(0,4)=0.99875, cos(0,1)=0.99388, cos(1,4)=0.99806 — all above 0.99;
+    // orthogonal/opposite vectors must not appear
+    assert(pairs == Set((0L, 4L), (0L, 1L), (1L, 4L)))
+  }
+
+  test("lshTopK returns ranked neighbors within buckets") {
+    val got = Similarity.lshTopK(vecs, vecs, "embedding", "vec_id",
+      dim = 4, k = 2, planes = 2)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("rank") <= 2))
+  }
+
+  test("langId: marker-based detection on clear inputs") {
+    val d = Seq(
+      ("the cat and the dog is of no concern to the man", "en"),
+      ("der hund und die katze ist das tier und der mann", "de"),
+      ("le chat et la maison est les animaux et le chien", "fr"),
+      ("xyzzy plugh", "und")).toDF("text", "expected")
+    val got = d.select(col("expected"), TextOps.langId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("token counts: whitespace + subword estimate") {
+    val d = Seq("hello world  spark").toDF("text")
+    val r = d.select(TextOps.tokenCount(col("text")).as("n"),
+      TextOps.subwordCountEstimate(col("text")).as("sw")).head()
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) == 3) // all words <= 6 chars -> 1 subword each
+    val long = Seq("internationalization").toDF("text") // 20 chars -> 1 + floor(19/6)=4
+    assert(long.select(TextOps.subwordCountEstimate(col("text"))).head().getInt(0) == 4)
+  }
+
+  test("quality score in [0,1], higher for normal prose") {
+    val d = Seq(
+      ("good", "the cat sat on the mat and looked at the dog, which was nice. " * 5),
+      ("bad", "x")).toDF("tag", "text")
+    val m = d.select(col("tag"), TextOps.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("good") > m("bad"))
+    assert(m.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("fingerprints: normalization-invariant md5, rolling hash deterministic") {
+    val d = Seq(("a", "Hello  World"), ("b", "  hello world ")).toDF("id", "text")
+    val fp = d.select(col("id"), TextOps.fingerprint(col("text")).as("f"),
+      TextOps.rollingHash(col("text")).as("r")).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(fp("a") == fp("b")) // same after normalization
+  }
+
+  test("multimodal: batched decode matches expression decode on byte_len, plumbing intact") {
+    val d = Seq((1L, "hello"), (2L, "a longer payload here"))
+      .toDF("doc_id", "t")
+      .select(col("doc_id"), col("t").cast("binary").as("payload"), lit("image").as("mt"))
+    val got = Multimodal.decodeBatched(d, "payload", "mt", "doc_id", batchSize = 1)
+      .select("id", "meta.media_type", "meta.byte_len", "meta.width")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    assert(got.map(_._1).sorted.sameElements(Array(1L, 2L)))
+    assert(got.forall(_._2 == "image"))
+    assert(got.find(_._1 == 1L).get._3 == 5L)
+    assert(got.forall(g => g._4 >= 64 && g._4 < 64 + 1857))
+  }
+
+  test("frame sampling: every k-th index") {
+    val d = Seq(10).toDF("n")
+    val got = d.select(Multimodal.sampleFrameIndices(col("n"), 3)).head().getSeq[Int](0)
+    assert(got == Seq(0, 3, 6, 9))
+  }
+
+  test("salted uniqueness equals unsalted on skewed keys") {
+    val skewed = spark.range(10000).select(
+      when(col("id") % 2 === 0, "hot").otherwise(concat(lit("k"), col("id"))).as("k"),
+      lit("p").as("part"))
+    val plain = graft.checks.Checks.uniquenessViolations(skewed, "k", "part")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = graft.checks.Checks.uniquenessViolationsSalted(skewed, "k", "part")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(plain == salted)
+    assert(plain == Set(("hot", 5000L)))
+  }
+}

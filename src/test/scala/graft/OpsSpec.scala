@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/** Reference-parity numeric expectations ported from the reference test
+  * suite (FIXTURES.md §2; tests/test_core.py, test_math_transform.py,
+  * test_string_transform.py, test_datetime_transform.py,
+  * test_aggregate_transform.py, test_generic_transforms.py). */
+class OpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("basic feature graph: feature_c = (a + 2b)/2 = 25.0 (test_core.py:17-39)") {
+    val df = Seq((10, 20)).toDF("a", "b")
+    val c = df.select(
+      MathOps.divideData(
+        MathOps.sumReduce(col("a"), MathOps.scale(col("b"), 2.0)), 2.0).as("c"))
+    assert(c.head().getDouble(0) == 25.0)
+  }
+
+  test("elementwise over 100 rows: c = 0.5*(a+2b) (test_core.py:55-94)") {
+    val df = spark.range(100).select(
+      col("id").cast("int").as("a"), (col("id") + 100).cast("int").as("b"))
+    val got = df.select(col("a"),
+      MathOps.scale(MathOps.sumReduce(col("a"), MathOps.scale(col("b"), 2.0)), 0.5).as("c"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    got.foreach { case (a, c) => assert(c == 0.5 * (a + 2.0 * (a + 100))) }
+  }
+
+  test("expression algebra identities (test_core.py:96-116)") {
+    val df = Seq((3, 7), (10, 20)).toDF("a", "b")
+    val got = df.select(
+      (MathOps.sumReduce(col("a"), col("b")) / MathOps.sumReduce(col("a"), col("b"))).as("one"),
+      (MathOps.sumReduce(col("a"), col("b")) * 2 / MathOps.sumReduce(col("a"), col("b"))).as("two"))
+      .collect()
+    got.foreach { r => assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 2.0) }
+  }
+
+  test("z-score with given params: [3,5,7] mean=5 std=2 -> [-1,0,1] (test_math_transform.py)") {
+    val got = Seq(3.0, 5.0, 7.0).toDF("x")
+      .select(MathOps.zscore(col("x"), 5.0, 2.0)).as[Double].collect()
+    assert(got.sorted.sameElements(Array(-1.0, 0.0, 1.0)))
+  }
+
+  test("data-derived z-score matches population stats (math.py:158-166)") {
+    val df = Seq(3.0, 5.0, 7.0).toDF("x")
+    val got = MathOps.zscoreGlobal(df, col("x"), "z")
+      .select("z").as[Double].collect().sorted
+    val std = math.sqrt(8.0 / 3.0)
+    assert(got.zip(Array(-2.0 / std, 0.0, 2.0 / std)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("min_max: [0,5,10] -> [0,0.5,1] (math.py:182-207)") {
+    val got = MathOps.minMaxGlobal(Seq(0.0, 5.0, 10.0).toDF("x"), col("x"), "m")
+      .select("m").as[Double].collect().sorted
+    assert(got.sameElements(Array(0.0, 0.5, 1.0)))
+  }
+
+  test("min_max rejects constant column (math.py:188 assert)") {
+    intercept[IllegalArgumentException] {
+      MathOps.minMaxGlobal(Seq(2.0, 2.0).toDF("x"), col("x"), "m")
+    }
+  }
+
+  test("clip: [-5,5,15] into [0,10] -> [0,5,10] (math.py:169-179)") {
+    val got = Seq(-5.0, 5.0, 15.0).toDF("x")
+      .select(MathOps.clip(col("x"), 0.0, 10.0)).as[Double].collect().sorted
+    assert(got.sameElements(Array(0.0, 5.0, 10.0)))
+  }
+
+  test("kbins quantile: [1,4,10,15,21,25] k=3 -> [0,0,1,1,2,2] (test_math_transform.py:147-152)") {
+    val df = Seq(1.0, 4.0, 10.0, 15.0, 21.0, 25.0).toDF("x")
+    val got = MathOps.kbinsQuantile(df, col("x"), 3, "bin")
+      .orderBy("x").select("bin").as[Int].collect()
+    assert(got.sameElements(Array(0, 0, 1, 1, 2, 2)))
+  }
+
+  test("kbins uniform: [0,3,6,9] k=3 -> [0,0,1,2]") {
+    val df = Seq(0.0, 3.0, 6.0, 9.0).toDF("x")
+    val got = MathOps.kbinsUniform(df, col("x"), 3, "bin")
+      .orderBy("x").select("bin").as[Int].collect()
+    assert(got.sameElements(Array(0, 1, 2, 2)))
+  }
+
+  test("ragged array reduce: sum/product/mean (math.py:33-47 reduceat analogue)") {
+    val df = Seq((1, Seq(1.0, 2.0, 3.0)), (2, Seq(4.0, 5.0))).toDF("k", "arr")
+    val got = df.select(col("k"), MathOps.sumArray(col("arr")).as("s"),
+      MathOps.productArray(col("arr")).as("p"),
+      MathOps.meanArray(col("arr")).as("m")).orderBy("k").collect()
+    assert(got(0).getDouble(1) == 6.0 && got(0).getDouble(2) == 6.0 && got(0).getDouble(3) == 2.0)
+    assert(got(1).getDouble(1) == 9.0 && got(1).getDouble(2) == 20.0 && got(1).getDouble(3) == 4.5)
+  }
+
+  // ---- string encoders (test_string_transform.py) ----
+
+  test("strip + case (string.py:13-56)") {
+    val got = Seq("  orange  ").toDF("s")
+      .select(StringOps.strip(col("s")).as("t"),
+        StringOps.toUpper(StringOps.strip(col("s"))).as("u")).head()
+    assert(got.getString(0) == "orange" && got.getString(1) == "ORANGE")
+  }
+
+  test("one_hot: sorted categories, unknown -> all zeros (string.py:70-93)") {
+    val df = Seq("orange", "apple", "kiwi").toDF("c")
+    val got = df.select(col("c"),
+      StringOps.oneHot(col("c"), Seq("orange", "apple")).as("oh"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+    assert(got("apple") == Seq(1, 0))   // sorted: apple, orange
+    assert(got("orange") == Seq(0, 1))
+    assert(got("kiwi") == Seq(0, 0))    // handle_unknown='ignore'
+  }
+
+  test("label_encode: index into sorted categories (string.py:96-116)") {
+    val df = Seq("apple", "banana", "orange", "kiwi").toDF("c")
+    val got = df.select(col("c"),
+      StringOps.labelEncode(col("c"), Seq("orange", "banana", "apple")).as("i"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("apple").contains(0) && got("banana").contains(1) && got("orange").contains(2))
+    assert(got("kiwi").isEmpty) // unknown -> null
+  }
+
+  test("binary_encode: red/blue/green/yellow -> 2-bit codes (test_string_transform.py)") {
+    val df = Seq("red", "blue", "green", "yellow").toDF("c")
+    val bits = StringOps.binaryEncode(col("c"), Seq("red", "blue", "green", "yellow"))
+    val got = df.select(col("c") +: bits.map { case (n, e) => e.as(n) }: _*)
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    // sorted: blue=0, green=1, red=2, yellow=3; MSB first
+    assert(got("red") == ((1, 0)) && got("blue") == ((0, 0)))
+    assert(got("green") == ((0, 1)) && got("yellow") == ((1, 1)))
+  }
+
+  test("inferred vocab label encode: distinct-sorted batch fit (string.py:91,114)") {
+    val df = Seq("b", "a", "c", "a").toDF("c")
+    val got = StringOps.labelEncodeInferred(df, "c", "i")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("a" -> 0, "b" -> 1, "c" -> 2))
+  }
+
+  // ---- datetime (test_datetime_transform.py) ----
+
+  test("datetime diff in days: 2023-01-05/2023-01-10 vs 2023-01-01 -> [4,9]") {
+    val df = Seq("2023-01-05", "2023-01-10").toDF("d").select(col("d").cast("date").as("d"))
+    val got = df.select(DateTimeOps.dateTimeDiff(col("d"),
+      lit("2023-01-01").cast("date"), "D")).as[Long].collect().sorted
+    assert(got.sameElements(Array(4L, 9L)))
+  }
+
+  test("datetime add/sub preserve dates (datetime.py:78-116)") {
+    val df = Seq("2020-01-31").toDF("d").select(col("d").cast("date").as("d"))
+    val got = df.select(
+      DateTimeOps.dateTimeAdd(col("d"), 1, "M").cast("string"),
+      DateTimeOps.dateTimeAdd(col("d"), 30, "D").cast("string"),
+      DateTimeOps.dateTimeSub(col("d"), 1, "W").cast("string")).head()
+    assert(got.getString(0) == "2020-02-29") // month-end clamp
+    assert(got.getString(1) == "2020-03-01")
+    assert(got.getString(2) == "2020-01-24")
+  }
+
+  test("weekday: 2024-09-11 is Wednesday = 2, 0=Monday (datetime.py:186)") {
+    val df = Seq("2024-09-11").toDF("d").select(col("d").cast("date").as("d"))
+    val got = df.select(DateTimeOps.dayOfWeek(col("d")),
+      DateTimeOps.dayOfWeekName(col("d"))).head()
+    assert(got.getInt(0) == 2 && got.getString(1) == "wednesday")
+  }
+
+  test("datetime extract components (datetime.py:118-156)") {
+    val df = Seq("2021-03-04 05:06:07").toDF("t").select(col("t").cast("timestamp").as("t"))
+    val got = df.select(
+      DateTimeOps.dateTimeExtract(col("t"), "year"),
+      DateTimeOps.dateTimeExtract(col("t"), "month"),
+      DateTimeOps.dateTimeExtract(col("t"), "day"),
+      DateTimeOps.dateTimeExtract(col("t"), "hour"),
+      DateTimeOps.dateTimeExtract(col("t"), "minute"),
+      DateTimeOps.dateTimeExtract(col("t"), "second")).head()
+    assert((0 to 5).map(got.getInt) == Seq(2021, 3, 4, 5, 6, 7))
+    intercept[IllegalArgumentException] {
+      DateTimeOps.dateTimeExtract(col("t"), "week") // whitelist (datetime.py:136-138)
+    }
+  }
+
+  // ---- group-reduce scatter (test_aggregate_transform.py) ----
+
+  test("group mean scatter: keys [1,1,2,2,3,3] vals [2,5,2,6,2,9] -> [3.5,3.5,4,4,5.5,5.5]") {
+    val df = Seq((1, 2), (1, 5), (2, 2), (2, 6), (3, 2), (3, 9)).toDF("k", "v")
+    val got = df.select(col("k"), AggOps.groupMean(col("v"), col("k")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1 -> 3.5, 2 -> 4.0, 3 -> 5.5))
+  }
+
+  test("ragged group sum scatter: keys [1,1,2,2,3] -> [5,5,9,9,6]") {
+    val df = Seq((1, 2), (1, 3), (2, 4), (2, 5), (3, 6)).toDF("k", "v")
+    val got = df.select(col("k"), AggOps.groupSum(col("v"), col("k")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(1 -> 5L, 2 -> 9L, 3 -> 6L))
+  }
+
+  test("group median + deterministic mode (aggregate.py:15-57)") {
+    val df = Seq((1, 2.0), (1, 2.0), (1, 9.0), (2, 5.0), (2, 7.0), (2, 5.0), (2, 7.0))
+      .toDF("k", "v")
+    val med = df.groupBy("k").agg(AggOps.groupMedianAgg(col("v")).as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(med(1) == 2.0 && med(2) == 6.0)
+    val mode = AggOps.deterministicMode(df, "k", "v", "mo")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(mode(1) == 2.0)
+    assert(mode(2) == 5.0) // tie between 5 and 7 -> smallest wins (np.unique order)
+  }
+
+  // ---- casting (test_generic_transforms.py) ----
+
+  test("astype unsafe truncation: [1.5,2.6,3.7] -> int [1,2,3] (features.py:37)") {
+    val got = Seq(1.5, 2.6, 3.7).toDF("x")
+      .select(col("x").cast("int")).as[Int].collect().sorted
+    assert(got.sameElements(Array(1, 2, 3)))
+  }
+}
