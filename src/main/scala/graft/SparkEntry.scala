@@ -256,9 +256,9 @@ object SparkEntry {
       Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",
         estThreshold = 0.2)),
 
-    "dd_simhash" -> ((s, d) => // rows-only
+    "dd_simhash" -> ((s, d) => // rows-only (custom codegen-free expression)
       t(s, d, "documents").select(col("doc_id"),
-        Dedup.simhash(Dedup.wordShingles(col("text"), 3)).as("fp"))),
+        graft.functions.expr.FingerprintExprs.wordSimhash(col("text"), 3).as("fp"))),
 
     "dd_embed_neardup" -> ((s, d) => // rows-only (O(n^2) oracle too slow)
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",

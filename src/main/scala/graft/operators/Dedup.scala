@@ -83,7 +83,11 @@ object Dedup {
     val shingleFn = if (words) wordShingles(col(textCol), n) else shingles(col(textCol), n)
     val withSh = docs.select(col(idCol).as("id"), shingleFn.as("sh"))
       .withColumn("sz", size(col("sh")))
+    // persist: the postings list feeds the document-frequency agg AND both
+    // self-join branches — three scans of an explode over an expensive
+    // shingle expression without the barrier
     val inv = withSh.select(col("id"), col("sz"), explode(col("sh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cap boilerplate shingles (scale guard; documented truncation)
     val freq = inv.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocsPerShingle)
@@ -104,12 +108,17 @@ object Dedup {
   // ---------- MinHash + LSH ----------
 
   /** MinHash signature: k seeded hash functions over the shingle set;
-    * sig[i] = min over shingles of xxhash64(shingle, seed_i). Pure
-    * per-row expression (no shuffle). */
+    * sig[i] = min over shingles of xxhash64(shingle, seed+i). Pure per-row
+    * expression (no shuffle), built as ONE `aggregate` traversal of the
+    * shingle array — k separate `array_min(transform(...))` columns would
+    * make Catalyst inline (and re-evaluate) the expensive shingle expression
+    * k times (measured 75s vs ~2s on 500 docs). */
   def minhashSignature(shingleArr: Column, k: Int, seed: Long = 42L): Column =
-    array((0 until k).map { i =>
-      array_min(transform(shingleArr, s => xxhash64(s, lit(seed + i))))
-    }: _*)
+    aggregate(
+      shingleArr,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, s) => zip_with(acc, sequence(lit(seed), lit(seed + k - 1)),
+        (m, sd) => least(m, xxhash64(s, sd))))
 
   /** LSH banding: (bandId, bandHash) keys; docs sharing any band key are
     * candidates. bands × rowsPerBand = k. */
@@ -127,8 +136,15 @@ object Dedup {
       estThreshold: Double = 0.5, seed: Long = 42L,
       maxBucket: Int = 2000): DataFrame = {
     val rowsPerBand = k / bands
+    // Fused custom expression (one pass, universal hashing) instead of the
+    // HOF pipeline: HOF lambdas are excluded from codegen subexpression
+    // elimination, so the shingle+hash work would re-run per reference.
+    // persist: the signature (id + k longs) is tiny next to the input text
+    // and is referenced by 16 band slices AND both self-join branches.
     val sigs = docs.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), n), k, seed).as("sig"))
+      graft.functions.expr.FingerprintExprs.charMinhashSig(col(textCol), n, k, seed)
+        .as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = sigs.select(col("id"), col("sig"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     // cap pathological buckets (all-identical boilerplate): documented guard
@@ -149,15 +165,16 @@ object Dedup {
   // ---------- SimHash ----------
 
   /** 64-bit SimHash over word shingles: per bit, sign of the sum of
-    * per-shingle hash bits. Expressed with higher-order functions — stays in
-    * codegen, no shuffle. */
+    * per-shingle hash bits. ONE aggregate traversal building all 64 bit
+    * sums (see minhashSignature note on expression re-evaluation). */
   def simhash(shingleArr: Column, seed: Long = 42L): Column = {
-    val hashes = transform(shingleArr, s => xxhash64(s, lit(seed)))
-    val bitSums = transform(sequence(lit(0), lit(63)), b =>
-      aggregate(hashes, lit(0),
-        (acc, h) => acc +
-          when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1)
-            .otherwise(-1)))
+    val bitSums = aggregate(
+      shingleArr,
+      array_repeat(lit(0), 64),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, b) => a +
+          when(call_function("shiftright", xxhash64(s, lit(seed)), b)
+            .bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)))
     aggregate(
       zip_with(bitSums, sequence(lit(0), lit(63)),
         (s, b) => when(s > 0, call_function("shiftleft", lit(1L), b))
@@ -170,7 +187,7 @@ object Dedup {
   def simhashDupGroups(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, seed: Long = 42L): DataFrame =
     docs.select(col(idCol).as("id"),
-      simhash(wordShingles(col(textCol), n), seed).as("fp"))
+      graft.functions.expr.FingerprintExprs.wordSimhash(col(textCol), n, seed).as("fp"))
       .groupBy("fp")
       .agg(count(lit(1)).as("n_dup"), min(col("id")).as("canonical_id"))
       .filter(col("n_dup") > 1)
