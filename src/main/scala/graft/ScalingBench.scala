@@ -58,8 +58,9 @@ object ScalingBench {
         (n1, n2, eff)
     }.toSeq
 
+    // note the doubled leading pipe: stripMargin consumes one per line
     val rowsFmt = times.map { case (n, t) =>
-      f"| local[$n] | $t%.2f | ${(rows / t).toLong}%,d |"
+      f"|| local[$n] | $t%.2f | ${(rows / t).toLong}%,d |"
     }.mkString("\n")
     val effFmt = pairs.map { case (a, b, e) =>
       f"- **local[$a] -> local[$b] (ideal ${b / a}x): efficiency $e%.3f**"
