@@ -174,6 +174,13 @@ object OracleSql {
          | CAST(l_linenumber AS DOUBLE) AS line_dbl
          |FROM lineitem""".stripMargin,
 
+    "f_pipeline" ->
+      s"""SELECT $liKey,
+         | round((l_quantity + 2 * l_extendedprice) / 2, 4) AS feature_c,
+         | round(sqrt((l_quantity + 2 * l_extendedprice) / 2), 6) AS feature_d,
+         | lower(upper(l_returnflag) || l_linestatus) AS flag_chain
+         |FROM lineitem""".stripMargin,
+
     "v_stats_profile" ->
       """SELECT source,
         | count(n_chars) AS n,

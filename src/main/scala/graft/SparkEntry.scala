@@ -193,6 +193,33 @@ object SparkEntry {
         col("l_orderkey").cast("string").as("key_str"),
         col("l_linenumber").cast("double").as("line_dbl")): _*)),
 
+    // ======== feature pipeline (YAML chains + dependency DAG, §2.7-2.8) ====
+    "f_pipeline" -> ((s, d) => {
+      val suite = graft.config.FeatureConfig.loadYaml(
+        """features:
+          |  l_quantity: {type: double, description: raw quantity column}
+          |  l_extendedprice: {type: double, description: raw price column}
+          |  feature_c:
+          |    type: double
+          |    description: scaled sum of quantity and price
+          |    dependencies: [l_quantity, l_extendedprice]
+          |    expr: "(l_quantity + 2 * l_extendedprice) / 2"
+          |  feature_d:
+          |    type: double
+          |    description: sqrt of the derived feature
+          |    dependencies: [feature_c]
+          |    expr: "sqrt(feature_c)"
+          |  flag_chain:
+          |    type: string
+          |    description: chained string transforms
+          |    expr: "lower(concat(upper(l_returnflag), l_linestatus))"
+          |""".stripMargin)
+      graft.engine.FeaturePipeline.computeSelect(t(s, d, "lineitem"), suite,
+        Seq("l_orderkey", "l_linenumber", "feature_c", "feature_d", "flag_chain"))
+        .withColumn("feature_c", round(col("feature_c"), 4))
+        .withColumn("feature_d", round(col("feature_d"), 6))
+    }),
+
     // ======== §2.10 validation engine ops (on driver testdata) ========
     "v_stats_profile" -> ((s, d) => {
       val sa = StatsAggregator.statsAgg(0.0, 600.0, 10)

@@ -1,0 +1,94 @@
+package graft.config
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.dataformat.yaml.YAMLFactory
+import scala.jdk.CollectionConverters._
+
+/** Declarative feature definitions — the reference's YAML feature spec
+  * (models/features.py:13-30: description >= 5 chars, data_type must name a
+  * valid dtype, dependencies list, transformation) re-expressed with SQL
+  * expression fragments as the transformation language (SURVEY.md §2.8:
+  * Spark SQL/`expr()` IS the expression DSL; Catalyst parses, validates and
+  * optimizes what the reference's shunting-yard DSL hand-built).
+  *
+  * ```yaml
+  * features:
+  *   feature_a: {type: int, description: raw input column}
+  *   feature_c:
+  *     type: double
+  *     description: scaled sum
+  *     dependencies: [feature_a, feature_b]
+  *     expr: "(feature_a + 2 * feature_b) / 2"
+  * ```
+  * A feature with no `expr` is a raw input column (must exist in the input).
+  */
+final case class FeatureDef(
+    name: String,
+    dataType: String,
+    description: String,
+    dependencies: Seq[String],
+    expr: Option[String]) {
+  def validate(): Unit = {
+    if (description.length < 5)
+      throw ConfigError(s"feature '$name': description must be >= 5 chars (features.py:14)")
+    try org.apache.spark.sql.types.DataType.fromDDL(dataType)
+    catch { case _: Throwable =>
+      throw ConfigError(s"feature '$name': invalid data type '$dataType' (features.py:20-30)")
+    }
+  }
+}
+
+final case class FeatureSuite(features: Seq[FeatureDef]) {
+  /** Topological levels (reference compile, core.py:186-260): raw features
+    * level 1; derived = 1 + max(dep level); cycle -> error. */
+  def levels: Map[Int, Seq[FeatureDef]] = {
+    val names = features.map(_.name).toSet
+    features.foreach(f => f.dependencies.foreach { d =>
+      if (!names.contains(d))
+        throw ConfigError(s"feature '${f.name}': unknown dependency '$d' (base.py:58-59)")
+    })
+    val level = scala.collection.mutable.Map[String, Int]()
+    features.filter(_.dependencies.isEmpty).foreach(f => level(f.name) = 1)
+    var changed = true
+    while (changed) {
+      changed = false
+      features.foreach { f =>
+        if (!level.contains(f.name) && f.dependencies.forall(level.contains)) {
+          level(f.name) = 1 + f.dependencies.map(level).max
+          changed = true
+        }
+      }
+    }
+    val unresolved = features.filterNot(f => level.contains(f.name))
+    if (unresolved.nonEmpty)
+      throw CyclicDependencyError(
+        s"cyclic dependency among features: ${unresolved.map(_.name).mkString(", ")}")
+    features.groupBy(f => level(f.name)).map { case (l, fs) => l -> fs.toSeq }
+  }
+}
+
+object FeatureConfig {
+  private val yaml = new ObjectMapper(new YAMLFactory())
+
+  def loadYaml(text: String): FeatureSuite = {
+    val root = yaml.readTree(text)
+    val fNode = Option(root.get("features"))
+      .getOrElse(throw ConfigError("missing 'features'"))
+    val feats = fNode.properties().asScala.toSeq.map { e =>
+      val n = e.getValue
+      def s(f: String): Option[String] =
+        Option(n.get(f)).filterNot(_.isNull).map(_.asText)
+      FeatureDef(
+        name = e.getKey,
+        dataType = s("type").getOrElse("double"),
+        description = s("description").getOrElse(""),
+        dependencies = Option(n.get("dependencies"))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+        expr = s("expr"))
+    }
+    feats.foreach(_.validate())
+    val suite = FeatureSuite(feats)
+    suite.levels // cycle + dependency check at load time (fail-fast)
+    suite
+  }
+}

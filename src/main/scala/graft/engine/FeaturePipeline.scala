@@ -1,0 +1,46 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions.{col, expr}
+import graft.config.{ConfigError, FeatureSuite}
+
+/** Executes a declarative feature suite: the reference's
+  * `compute_features` (core.py:295-346) re-expressed Spark-first.
+  *
+  * The reference walks topo levels and thread-pools independent features;
+  * here the levels only fix COLUMN BINDING ORDER — everything lands in one
+  * lazy logical plan, and Catalyst (not a thread pool) extracts all the
+  * parallelism, fuses the chain into whole-stage codegen, prunes unused
+  * intermediate stages (ColumnPruning = promise_manager's stage publication
+  * for free), and folds constants (= the reference's eager constant prep).
+  *
+  * Declared-dtype enforcement on every assignment (features.py:59-84): each
+  * feature expression is cast to its declared type; under ANSI mode an
+  * overflowing cast fails the job like the reference's raise (strict mode),
+  * `spark.sql.ansi.enabled=false` gives NumPy-unsafe-style wrap/null.
+  */
+object FeaturePipeline {
+
+  /** Add every derived feature as a column, dependency order; raw features
+    * must already exist in `input`. */
+  def compute(input: DataFrame, suite: FeatureSuite): DataFrame = {
+    val existing = input.columns.toSet
+    suite.features.filter(_.expr.isEmpty).foreach { f =>
+      if (!existing.contains(f.name))
+        throw ConfigError(s"raw feature '${f.name}' missing from input")
+    }
+    val ordered = suite.levels.toSeq.sortBy(_._1).flatMap(_._2)
+    ordered.foldLeft(input) { (df, f) =>
+      f.expr match {
+        case None => df.withColumn(f.name, col(f.name).cast(f.dataType))
+        case Some(e) => df.withColumn(f.name, expr(e).cast(f.dataType))
+      }
+    }
+  }
+
+  /** Compute and project only the requested feature group (core.py:339-344
+    * select_groups): Catalyst prunes every column the group doesn't need. */
+  def computeSelect(input: DataFrame, suite: FeatureSuite,
+      select: Seq[String]): DataFrame =
+    compute(input, suite).select(select.map(col): _*)
+}

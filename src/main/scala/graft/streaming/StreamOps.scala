@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-Streaming surface for the engine: incremental validation of
+  * arriving sequence/event files. The batch reference is pure batch
+  * (SURVEY.md §2.9), so this is the scale-path extension: the same
+  * constraint semantics applied incrementally with watermarks + state.
+  *
+  * All transforms are expressed once over a streaming DataFrame; Spark's
+  * incrementalizer turns them into stateful micro-batch plans — no separate
+  * streaming code path for the check logic itself.
+  */
+object StreamOps {
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double, props: String)
+
+  final case class UserRunning(user_id: Long, n: Long, total: Double)
+
+  /** File-source stream over an events-shaped directory. */
+  def readEvents(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Watermarked sliding-window aggregation: per (window, event_type)
+    * counts + value stats; late data beyond the watermark is dropped —
+    * the canonical streaming-agg shape. */
+  def windowedTypeCounts(events: DataFrame,
+      window_ : String = "10 minutes", slide: String = "5 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp")) // NTZ parquet -> event time
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total_value"))
+
+  /** Streaming violation filter: the row-level constraint projection applied
+    * incrementally (same Checks semantics as the batch validator). */
+  def violationStream(events: DataFrame, validTypes: Seq[String]): DataFrame =
+    events.filter(!col("event_type").isin(validTypes: _*) ||
+      col("value").isNull || col("value") < 0)
+
+  /** Custom keyed state: running per-user totals via mapGroupsWithState —
+    * the KeyValueGroupedDataset state API the north-rule scale path needs
+    * for resumable incremental aggregation. */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+      col("event_type"), col("value"), col("props")).as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          val buf = rows.foldLeft(prev)((s, e) =>
+            UserRunning(uid, s.n + 1, s.total + e.value))
+          state.update(buf)
+          buf
+      }
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.config.{ConfigError, CyclicDependencyError, FeatureConfig}
+import graft.engine.FeaturePipeline
+
+/** Feature-pipeline tests mirroring the reference's end-to-end YAML tests
+  * (tests/test_core.py, FIXTURES.md §2 'basic feature graph'). */
+class FeaturePipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val basicYaml =
+    """features:
+      |  feature_a: {type: int, description: raw integer input}
+      |  feature_b: {type: int, description: raw integer input}
+      |  feature_c:
+      |    type: double
+      |    description: half of a plus two b
+      |    dependencies: [feature_a, feature_b]
+      |    expr: "(feature_a + 2 * feature_b) / 2"
+      |  feature_d:
+      |    type: double
+      |    description: chained on feature_c
+      |    dependencies: [feature_c]
+      |    expr: "feature_c * 2"
+      |""".stripMargin
+
+  test("basic graph: a=10,b=20 => c=25.0, chained d=50.0 (test_core.py:17-39)") {
+    val suite = FeatureConfig.loadYaml(basicYaml)
+    val out = FeaturePipeline.compute(Seq((10, 20)).toDF("feature_a", "feature_b"), suite)
+    val row = out.select("feature_c", "feature_d").head()
+    assert(row.getDouble(0) == 25.0 && row.getDouble(1) == 50.0)
+  }
+
+  test("group selection prunes unused columns (core.py:339-344)") {
+    val suite = FeatureConfig.loadYaml(basicYaml)
+    val out = FeaturePipeline.computeSelect(
+      Seq((10, 20)).toDF("feature_a", "feature_b"), suite, Seq("feature_c"))
+    assert(out.columns.toSeq == Seq("feature_c"))
+    // Catalyst column pruning: the optimized plan must not compute feature_d
+    val optimized = out.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("feature_d"))
+  }
+
+  test("declared dtype is enforced on assignment (features.py:59-84)") {
+    val suite = FeatureConfig.loadYaml(
+      """features:
+        |  x: {type: double, description: raw double}
+        |  y: {type: int, description: truncating cast chain, dependencies: [x], expr: "x * 1.7"}
+        |""".stripMargin)
+    val out = FeaturePipeline.compute(Seq(2.0).toDF("x"), suite)
+    assert(out.select("y").head().getInt(0) == 3) // 3.4 cast int -> 3
+    assert(out.schema("y").dataType.typeName == "integer")
+  }
+
+  test("cycle fails at load (utils.py:56-63)") {
+    intercept[CyclicDependencyError] {
+      FeatureConfig.loadYaml(
+        """features:
+          |  a: {type: int, description: cyclic one, dependencies: [b], expr: "b + 1"}
+          |  b: {type: int, description: cyclic two, dependencies: [a], expr: "a + 1"}
+          |""".stripMargin)
+    }
+  }
+
+  test("unknown dependency and bad dtype fail at load") {
+    intercept[ConfigError] {
+      FeatureConfig.loadYaml(
+        """features:
+          |  a: {type: int, description: depends on ghost, dependencies: [ghost], expr: "ghost + 1"}
+          |""".stripMargin)
+    }
+    intercept[ConfigError] {
+      FeatureConfig.loadYaml(
+        "features:\n  a: {type: notatype, description: bad dtype here}\n")
+    }
+  }
+
+  test("short description fails at load (features.py:14)") {
+    intercept[ConfigError] {
+      FeatureConfig.loadYaml("features:\n  a: {type: int, description: abc}\n")
+    }
+  }
+
+  test("100-element vectorized identity: c = 0.5*(a+2b) (test_core.py:55-94)") {
+    val suite = FeatureConfig.loadYaml(basicYaml)
+    val input = spark.range(100).select(
+      col("id").cast("int").as("feature_a"), (col("id") + 100).cast("int").as("feature_b"))
+    val out = FeaturePipeline.compute(input, suite)
+      .select(col("feature_a"), col("feature_c")).collect()
+    out.foreach(r => assert(r.getDouble(1) == 0.5 * (r.getInt(0) + 2.0 * (r.getInt(0) + 100))))
+  }
+}
