@@ -19,11 +19,16 @@ object Main {
     }.toMap
     val tablePath = opts("table")
     val rulesPath = opts("rules")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-validator")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      .getOrCreate()
+    // spark-submit injects the master; default to local[*] for direct runs
+    val spark = (opts.get("master") match {
+      case Some(m) => builder.master(m)
+      case None if sys.props.contains("spark.master") => builder
+      case None => builder.master("local[*]")
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     val cfg = RuleConfig.loadYamlFile(rulesPath)
