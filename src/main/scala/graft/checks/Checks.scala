@@ -77,16 +77,25 @@ object Checks {
       .select(col("partition"), col("f.rule").as("rule"), col("key"))
   }
 
-  /** Uniqueness violations: keys occurring more than once, with their counts.
+  /** Uniqueness violations: keys occurring more than once, with their counts
+    * and a deterministic representative partition.
     *
-    * `groupBy(key).count` partial-aggregates map-side, so even a key that
-    * owns half the table reduces to one (key, partialCount) pair per input
-    * partition before the shuffle — duplicate-key skew cannot create a hot
-    * reducer. For adversarial layouts there is a salted two-phase variant. */
-  def uniquenessViolations(df: DataFrame, keyCol: String, partitionCol: String): DataFrame =
-    df.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("n"), min(col(partitionCol)).as("partition"))
+    * Two phases, both HashAggregate: (1) count per key — a string aggregate
+    * like min(partition) here would force SortAggregate (full sort of the
+    * table before the exchange); count-only keeps the buffer fixed-size and
+    * codegen'd, and partial aggregation map-side means duplicate-key skew
+    * cannot create a hot reducer. (2) resolve partitions ONLY for the
+    * violating keys via a broadcast semi-style join over a 2-column pruned
+    * re-scan — dup keys are rare, so this side is tiny. */
+  def uniquenessViolations(df: DataFrame, keyCol: String, partitionCol: String): DataFrame = {
+    val dupCounts = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
+    df.select(col(keyCol).as("key"), col(partitionCol).as("__p"))
+      .join(broadcast(dupCounts), "key")
+      .groupBy(col("key"))
+      .agg(first(col("n")).as("n"), min(col("__p")).as("partition"))
+  }
 
   /** Salted two-phase duplicate count: phase 1 aggregates (key, salt) —
     * spreading any single hot key over `salts` reducers — phase 2 re-aggregates

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Physical-plan quality gates: the properties that keep the engine fast at
+  * 100 TB must be visible in the plan, not assumed — filter/column pushdown
+  * into the parquet scan, partition pruning on the Hive layout, broadcast
+  * joins for dims, map-side partial aggregation before every exchange. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sf())
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filter pushdown reaches the parquet scan (v_range_violations)") {
+    val p = planOf("v_range_violations")
+    assert(p.contains("PushedFilters:") && p.contains("n_chars"),
+      s"expected pushed n_chars filters in:\n$p")
+    assert(!p.contains("PushedFilters: []"), "filters were not pushed")
+  }
+
+  test("column pruning: m_scale reads only the 3 needed lineitem columns") {
+    val df = SparkEntry.queries("m_scale")(spark, sf())
+    val scan = df.queryExecution.executedPlan.toString
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity")
+      && readSchema.contains("l_linenumber"))
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_shipdate"),
+      s"scan reads more than projected: $readSchema")
+  }
+
+  test("star join broadcasts all three dimension tables") {
+    val p = planOf("j_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, s"expected 3 broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join fell back to sort-merge")
+  }
+
+  test("q1 aggregation is two-phase (map-side partial before the exchange)") {
+    val df = SparkEntry.queries("q1_agg")(spark, sf())
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "missing partial aggregation")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle:\n$p")
+  }
+
+  test("uniqueness counting stays in HashAggregate (no table sort)") {
+    val df = graft.checks.Checks.uniquenessViolations(
+      spark.read.parquet(s"${sf()}/lineitem.parquet").withColumn("part", lit("p")),
+      "l_orderkey", "part")
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "no map-side combine")
+    // the big key-count phase must not sort the table; only the tiny
+    // violating-keys resolution may aggregate strings
+    val firstPhase = p.substring(p.indexOf("BroadcastHashJoin"))
+    assert(firstPhase.contains("HashAggregate"), s"count phase not hash-based:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "dup-key resolution must broadcast")
+  }
+
+  test("partition pruning on the Hive-partitioned tokenized table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
+    graft.datagen.SeqTableGen.writePartitioned(
+      graft.datagen.SeqTableGen.generate(spark, 2000), s"$dir/t")
+    val df = spark.read.parquet(s"$dir/t").filter(col("source") === "web")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("source"),
+      s"expected partition filters:\n$p")
+    // pruned read: only the web partition directory is scanned
+    val scanned = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(!scanned.contains("books"))
+  }
+
+  test("row-check flags stay in one whole-stage codegen span (no extra exchange)") {
+    val table = graft.datagen.SeqTableGen.generate(spark, 1000)
+    val (flagged, rowRules) = graft.checks.Checks.withFlags(table,
+      graft.engine.DefaultSuite.config.rules)
+    val aggs = count(lit(1)).as("rows") +:
+      rowRules.map(r => sum(when(!col(graft.checks.Checks.flagCol(r.name)), 1L)
+        .otherwise(0L)).as(s"v_${r.name}"))
+    val agg = flagged.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    agg.collect() // finalize the adaptive plan so codegen spans are visible
+    // executed AQE plans print Final + Initial sections; assert on Final only
+    val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"all row checks must ride ONE aggregation shuffle:\n$plan")
+    assert(plan.contains("*("), "flag projection left whole-stage codegen") // *(n) = codegen span
+    assert(!plan.contains("SortAggregate"), "flag agg fell back to sort")
+  }
+
+  test("entry smoke has rows > 0 (driver t1 gate)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
