@@ -75,14 +75,16 @@ object Validator {
         flagged0.persist(StorageLevel.MEMORY_AND_DISK)
       else flagged0
 
+    // The two table-scanning jobs (flag+stats aggregation; uniqueness key
+    // count) are independent — submit both NOW on separate threads so they
+    // share the executor pool and driver/scheduler time overlaps compute.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+
     val statsRules = cfg.rules.filter(_.kind == RuleKind.Stats)
-    val (rowResults: Seq[RuleResult], statsResults: Seq[RuleResult]) =
-      if (rowRules.isEmpty && statsRules.isEmpty) (Nil, Nil) else {
-      // stats as BUILT-IN declarative aggregates (not the typed Aggregator):
-      // a UDAF in the agg would force ObjectHashAggregateExec and kick the
-      // whole stage — including the token-forall flags — out of whole-stage
-      // codegen (measured 3-6x slower). Same single-buffer semantics.
-      val aggs = (count(lit(1)).as("__rows") +:
+    lazy val rowAggExprs: Seq[org.apache.spark.sql.Column] =
+      (count(lit(1)).as("__rows") +:
         rowRules.map(r => sum(when(!col(Checks.flagCol(r.name)), 1L).otherwise(0L))
           .as(s"__viol_${r.name}"))) ++
         statsRules.map { r =>
@@ -96,10 +98,34 @@ object Validator {
             coalesce(var_pop(c), lit(0.0)).as("variance")
           ).as(s"__stats_${r.name}")
         }
+    val rowAggFuture: Future[Array[org.apache.spark.sql.Row]] =
+      if (rowRules.isEmpty && statsRules.isEmpty) Future.successful(Array.empty)
+      else Future {
+        flagged.groupBy(col(pCol).as("partition"))
+          .agg(rowAggExprs.head, rowAggExprs.tail: _*).collect()
+      }
+    val uniqueFutures = cfg.rules.filter(_.kind == RuleKind.Unique).map { r =>
+      r -> Future {
+        val t1 = System.nanoTime()
+        val dups = Checks.uniquenessViolations(df0, r.column.get, pCol)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val perPart = dups.groupBy("partition")
+          .agg(count(lit(1)).as("keys"), sum(col("n") - 1).as("extra"),
+            expr("bit_xor(xxhash64(key))").as("h"))
+          .collect()
+        dups.unpersist()
+        (perPart, (System.nanoTime() - t1) / 1000000)
+      }
+    }
+
+    val (rowResults: Seq[RuleResult], statsResults: Seq[RuleResult]) =
+      if (rowRules.isEmpty && statsRules.isEmpty) (Nil, Nil) else {
+      // stats as BUILT-IN declarative aggregates (not the typed Aggregator):
+      // a UDAF in the agg would force ObjectHashAggregateExec and kick the
+      // whole stage — including the token-forall flags — out of whole-stage
+      // codegen (measured 3-6x slower). Same single-buffer semantics.
       val t1 = System.nanoTime()
-      val perPart = flagged.groupBy(col(pCol).as("partition"))
-        .agg(aggs.head, aggs.tail: _*)
-        .collect()
+      val perPart = Await.result(rowAggFuture, Duration.Inf)
       val wall = (System.nanoTime() - t1) / 1000000
       val rowRes = perPart.toSeq.flatMap { row =>
         val part = Option(row.getString(0)).getOrElse("<null>")
@@ -127,21 +153,13 @@ object Validator {
         Checks.violations(flagged, rowRules, keyCol, pCol)
       else spark.emptyDataFrame
 
-    // ---- uniqueness (the one required shuffle) ----
-    val uniqueResults = cfg.rules.filter(_.kind == RuleKind.Unique).flatMap { r =>
-      val t1 = System.nanoTime()
-      val dups = Checks.uniquenessViolations(df0, r.column.get, pCol)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val perPart = dups.groupBy("partition")
-        .agg(count(lit(1)).as("keys"), sum(col("n") - 1).as("extra"),
-          expr("bit_xor(xxhash64(key))").as("h"))
-        .collect()
-      val wall = (System.nanoTime() - t1) / 1000000
+    // ---- uniqueness (the one required shuffle; submitted above) ----
+    val uniqueResults = uniqueFutures.flatMap { case (r, fut) =>
+      val (perPart, wall) = Await.result(fut, Duration.Inf)
       val failed = perPart.map { row =>
         RuleResult(row.getString(0), r.name, "fail",
           0L, row.getLong(2), row.getLong(3), wall, s"dupKeys=${row.getLong(1)}")
       }.toSeq
-      dups.unpersist()
       val failedParts = failed.map(_.partition).toSet
       val allParts = rowResults.map(_.partition).distinct.filterNot(failedParts)
       failed ++ allParts.map(p => RuleResult(p, r.name, "pass", 0L, 0L, 0L, wall, ""))
