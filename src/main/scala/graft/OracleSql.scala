@@ -52,6 +52,26 @@ object OracleSql {
          |   / (((SELECT max(l_extendedprice) FROM lineitem) - (SELECT min(l_extendedprice) FROM lineitem)) / 5)), 4) AS INT) AS bin
          |FROM lineitem""".stripMargin,
 
+    "m_kbins_quantile" ->
+      s"""WITH e AS (SELECT quantile_cont(l_quantity, 0.25) AS e1,
+         |  quantile_cont(l_quantity, 0.5) AS e2,
+         |  quantile_cont(l_quantity, 0.75) AS e3 FROM lineitem)
+         |SELECT $liKey,
+         | CAST(CASE WHEN l_quantity < e1 THEN 0 WHEN l_quantity < e2 THEN 1
+         |   WHEN l_quantity < e3 THEN 2 ELSE 3 END AS INT) AS qbin
+         |FROM lineitem, e""".stripMargin,
+
+    "r_array_norm" ->
+      """WITH t AS (SELECT vec_id,
+        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d FROM embeddings),
+        |s AS (SELECT vec_id, d, list_sum(d) / len(d) AS m,
+        |  CAST(list_aggregate(d, 'min') AS DOUBLE) AS mn,
+        |  CAST(list_aggregate(d, 'max') AS DOUBLE) AS mx FROM t),
+        |v AS (SELECT vec_id, d, m, mn, mx,
+        |  sqrt(list_sum(list_transform(d, x -> (x - m) * (x - m))) / len(d)) AS sd FROM s)
+        |SELECT vec_id, round((d[1] - m) / sd, 6) AS z0,
+        |  round((d[1] - mn) / (mx - mn), 6) AS mm0 FROM v""".stripMargin,
+
     "r_reduce" ->
       s"""SELECT $liKey,
          | round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 6) AS amount,

@@ -75,6 +75,16 @@ object SparkEntry {
       df.select(liKey :+ col("bin"): _*)
     }),
 
+    "m_kbins_quantile" -> ((s, d) => {
+      val df = MathOps.kbinsQuantile(t(s, d, "lineitem"), col("l_quantity"), 4, "qbin")
+      df.select(liKey :+ col("qbin"): _*)
+    }),
+
+    "r_array_norm" -> ((s, d) => t(s, d, "embeddings").select(
+      col("vec_id"),
+      round(element_at(MathOps.zscoreArray(col("embedding")), 1), 6).as("z0"),
+      round(element_at(MathOps.minMaxArray(col("embedding")), 1), 6).as("mm0"))),
+
     // ======== §2.2 reductions ========
     "r_reduce" -> ((s, d) => t(s, d, "lineitem").select(
       liKey ++ Seq(

@@ -1,0 +1,38 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Thin table abstraction so the engine's "Iceberg table" surface can slot a
+  * real Iceberg catalog in later (SURVEY.md §7.4: no Iceberg runtime jar
+  * ships offline, so the default realization is Hive-partitioned Parquet +
+  * the explicit Manifest snapshot table).
+  *
+  * Contract the validator relies on:
+  *  - `read` returns a DataFrame whose `partitionColumn` supports partition
+  *    pruning (a filter on it prunes files before the scan);
+  *  - `write` lays data out one directory/file-group per partition value.
+  */
+trait TableIO {
+  def read(spark: SparkSession, ident: String): DataFrame
+  def write(df: DataFrame, ident: String, partitionColumn: String): Unit
+}
+
+/** Hive-partitioned Parquet realization (the Iceberg-partition stand-in). */
+object HivePartitionedParquet extends TableIO {
+  override def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+  override def write(df: DataFrame, path: String, partitionColumn: String): Unit =
+    df.write.mode("overwrite").partitionBy(partitionColumn).parquet(path)
+}
+
+/** Typed record for the canonical tokenized-sequence table
+  * (BASELINE.json input_hint) — the Dataset[T] surface: compile-time field
+  * checks for engine code that prefers typed access. */
+final case class SeqRecord(doc_id: String, tokens: Array[Int], n_tok: Int,
+    source: String)
+
+object SeqRecord {
+  import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+  implicit val encoder: Encoder[SeqRecord] = Encoders.product[SeqRecord]
+  def dataset(df: DataFrame): Dataset[SeqRecord] = df.as[SeqRecord]
+}

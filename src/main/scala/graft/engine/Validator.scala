@@ -118,6 +118,21 @@ object Validator {
       }
     }
 
+    // approx quantiles per stats column — percentile_approx is a
+    // TypedImperativeAggregate (ObjectHashAggregate), so it runs as its OWN
+    // concurrent job over a single pruned column rather than polluting the
+    // codegen'd flag scan (north_star: approx-quantiles via approx_percentile)
+    val quantileFutures = statsRules.map { r =>
+      r.name -> Future {
+        df0.groupBy(col(pCol).as("partition"))
+          .agg(percentile_approx(col(r.column.get).cast("double"),
+            typedLit(Seq(0.5, 0.95, 0.99)), lit(10000)).as("q"))
+          .collect()
+          .map(row => Option(row.getString(0)).getOrElse("<null>") ->
+            row.getSeq[Double](1)).toMap
+      }
+    }.toMap
+
     val (rowResults: Seq[RuleResult], statsResults: Seq[RuleResult]) =
       if (rowRules.isEmpty && statsRules.isEmpty) (Nil, Nil) else {
       // stats as BUILT-IN declarative aggregates (not the typed Aggregator):
@@ -140,9 +155,12 @@ object Validator {
         val part = Option(row.getString(0)).getOrElse("<null>")
         statsRules.zipWithIndex.map { case (r, i) =>
           val s = row.getStruct(2 + rowRules.size + i)
+          val qs = Await.result(quantileFutures(r.name), Duration.Inf)
+            .get(part).map(q => f";p50=${q(0)}%.1f;p95=${q(1)}%.1f;p99=${q(2)}%.1f")
+            .getOrElse("")
           RuleResult(part, r.name, "pass", s.getLong(0), 0L, 0L, wall,
             f"nulls=${s.getLong(1)};min=${s.getDouble(2)}%.2f;max=${s.getDouble(3)}%.2f;" +
-            f"mean=${s.getDouble(4)}%.4f;var=${s.getDouble(5)}%.4f")
+            f"mean=${s.getDouble(4)}%.4f;var=${s.getDouble(5)}%.4f" + qs)
         }
       }
       (rowRes, statsRes)

@@ -112,4 +112,23 @@ object MathOps {
   def maxArray(arr: Column): Column = array_max(arr)
   def meanArray(arr: Column): Column =
     when(size(arr) > 0, sumArray(arr) / size(arr))
+
+  /** Per-row z-score of an array column — the reference's 2-D z_score with
+    * axis=1 (math.py:158-167): each row's vector standardized by its own
+    * mean/std. Pure HOFs, no shuffle. */
+  def zscoreArray(arr: Column): Column = {
+    val n = size(arr).cast("double")
+    val mean = sumArray(arr) / n
+    val varPop = aggregate(arr, lit(0.0),
+      (acc, x) => acc + (x.cast("double") - mean) * (x.cast("double") - mean)) / n
+    val std = sqrt(varPop)
+    transform(arr, x => (x.cast("double") - mean) / std)
+  }
+
+  /** Per-row min-max of an array column (math.py:199-206 axis mode). */
+  def minMaxArray(arr: Column): Column = {
+    val mn = array_min(arr).cast("double")
+    val mx = array_max(arr).cast("double")
+    transform(arr, x => (x.cast("double") - mn) / (mx - mn))
+  }
 }

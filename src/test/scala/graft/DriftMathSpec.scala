@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.checks.Drift
+import graft.functions.MathOps
+import graft.engine.SeqRecord
+
+/** Drift statistics math + per-row array ops + typed Dataset surface. */
+class DriftMathSpec extends AnyFunSuite {
+
+  test("PSI: identical distributions -> ~0; shifted -> large") {
+    val a = Array(10.0, 20.0, 30.0, 40.0)
+    assert(Drift.psi(a, a) < 1e-9)
+    val b = Array(40.0, 30.0, 20.0, 10.0)
+    assert(Drift.psi(a, b) > 0.25)
+  }
+
+  test("PSI matches hand computation") {
+    val e = Array(50.0, 50.0)
+    val o = Array(25.0, 75.0)
+    // (0.25-0.5)ln(0.5) + (0.75-0.5)ln(1.5)
+    val expect = (0.25 - 0.5) * math.log(0.25 / 0.5) + (0.75 - 0.5) * math.log(0.75 / 0.5)
+    assert(math.abs(Drift.psi(e, o) - expect) < 1e-12)
+  }
+
+  test("KS: max ECDF gap") {
+    val a = Array(50.0, 50.0, 0.0)
+    val b = Array(0.0, 50.0, 50.0)
+    assert(math.abs(Drift.ks(a, b) - 0.5) < 1e-12) // gap after first bin
+    assert(Drift.ks(a, a) == 0.0)
+  }
+}
+
+class ArrayOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("per-row z-score (2-D axis semantics, math.py:158-167)") {
+    val df = Seq(Seq(3.0, 5.0, 7.0)).toDF("arr")
+    val got = df.select(MathOps.zscoreArray(col("arr"))).head().getSeq[Double](0)
+    val std = math.sqrt(8.0 / 3.0)
+    assert(got.zip(Seq(-2.0 / std, 0.0, 2.0 / std)).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
+
+  test("per-row min-max (math.py:199-206 axis mode)") {
+    val df = Seq(Seq(0.0, 5.0, 10.0)).toDF("arr")
+    val got = df.select(MathOps.minMaxArray(col("arr"))).head().getSeq[Double](0)
+    assert(got == Seq(0.0, 0.5, 1.0))
+  }
+
+  test("typed Dataset[SeqRecord] round-trips the canonical schema") {
+    val df = graft.datagen.SeqTableGen.generate(spark, 100)
+    val ds = SeqRecord.dataset(df)
+    val r = ds.filter(_.n_tok > 0).map(r => r.tokens.length == r.n_tok)(
+      org.apache.spark.sql.Encoders.scalaBoolean)
+    assert(r.filter(identity[Boolean] _).count() == 100)
+  }
+}
