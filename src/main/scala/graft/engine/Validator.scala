@@ -36,6 +36,13 @@ object Validator {
       violations: DataFrame,
       validatedRows: Long)
 
+  /** Strict-mode failure: the reference's fail-fast exception with the rule
+    * log attached (core.py:72-76 dumps the transformation chain on error). */
+  final case class ValidationFailed(failed: Seq[RuleResult])
+      extends RuntimeException(
+        s"validation failed: " + failed.map(r =>
+          s"${r.rule}@${r.partition}(viol=${r.violationCount})").mkString(", "))
+
   def run(
       spark: SparkSession,
       table: DataFrame,
@@ -44,7 +51,8 @@ object Validator {
       runId: String,
       manifestPath: Option[String] = None,
       baseline: Option[DataFrame] = None,
-      collectViolations: Boolean = true): RunReport = {
+      collectViolations: Boolean = true,
+      strict: Boolean = false): RunReport = {
     import spark.implicits._
     val pCol = cfg.partitionColumn
     val t0 = System.nanoTime()
@@ -200,6 +208,16 @@ object Validator {
     }
 
     val all = schemaResults ++ rowResults ++ uniqueResults ++ statsResults ++ driftResults
+
+    // strict mode mirrors the reference's fail-fast exception (core.py:72-76):
+    // any failing rule aborts with the rule log instead of emitting verdicts
+    if (strict) {
+      val failed = all.filter(_.verdict == "fail")
+      if (failed.nonEmpty) {
+        if (collectViolations && rowRules.nonEmpty) flagged.unpersist()
+        throw ValidationFailed(failed)
+      }
+    }
 
     // ---- manifest append (lineage + resume checkpoint) ----
     manifestPath.foreach { mp =>

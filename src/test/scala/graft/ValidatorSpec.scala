@@ -85,6 +85,26 @@ class ValidatorSpec extends SparkTestBase {
     assert(d.filter(_.partition != "books").forall(_.verdict == "pass"))
   }
 
+  test("strict mode fail-fast mirrors the reference exception (core.py:72-76)") {
+    val bad = SeqTableGen.generate(spark, 3000, plant = true)
+    val e = intercept[Validator.ValidationFailed] {
+      Validator.run(spark, bad, DefaultSuite.config, "doc_id", "strict1",
+        strict = true)
+    }
+    assert(e.failed.nonEmpty && e.getMessage.contains("n_tok_range"))
+    val clean = SeqTableGen.generate(spark, 3000, plant = false)
+    val rep = Validator.run(spark, clean, DefaultSuite.config, "doc_id", "strict2",
+      strict = true)
+    assert(rep.results.nonEmpty)
+  }
+
+  test("stats rule reports approx quantiles") {
+    val clean = SeqTableGen.generate(spark, 3000, plant = false)
+    val rep = Validator.run(spark, clean, DefaultSuite.config, "doc_id", "q1s")
+    val prof = rep.results.filter(_.rule == "n_tok_profile")
+    assert(prof.nonEmpty && prof.forall(_.detail.contains("p95=")))
+  }
+
   test("manifest resume skips completed partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
     val mp = s"$dir/manifest"
