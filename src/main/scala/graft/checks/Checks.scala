@@ -66,15 +66,29 @@ object Checks {
       flagged: DataFrame,
       rowRules: Seq[RuleSpec],
       keyCol: String,
-      partitionCol: String): DataFrame = {
+      partitionCol: String,
+      maxPerRulePartition: Option[Int] = None): DataFrame = {
     if (rowRules.isEmpty) return flagged.sparkSession.emptyDataFrame
     val pairs = array(rowRules.map(r =>
       struct(lit(r.name).as("rule"), col(flagCol(r.name)).as("ok"))): _*)
-    flagged
+    val all = flagged
       .select(col(partitionCol).as("partition"), col(keyCol).as("key"),
         explode(pairs).as("f"))
       .filter(!col("f.ok"))
       .select(col("partition"), col("f.rule").as("rule"), col("key"))
+    // At 10^12 rows a badly corrupted partition could emit violations at
+    // table scale; cap the EXAMPLES per (partition, rule) — verdict counts
+    // stay exact in the aggregation pass regardless. Deterministic sample:
+    // smallest keys by hash order within each group.
+    maxPerRulePartition match {
+      case None => all
+      case Some(n) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("partition"), col("rule"))
+          .orderBy(xxhash64(col("key")))
+        all.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= n).drop("__rn")
+    }
   }
 
   /** Uniqueness violations: keys occurring more than once, with their counts

@@ -52,7 +52,8 @@ object Validator {
       manifestPath: Option[String] = None,
       baseline: Option[DataFrame] = None,
       collectViolations: Boolean = true,
-      strict: Boolean = false): RunReport = {
+      strict: Boolean = false,
+      maxViolationExamples: Option[Int] = None): RunReport = {
     import spark.implicits._
     val pCol = cfg.partitionColumn
     val t0 = System.nanoTime()
@@ -176,7 +177,7 @@ object Validator {
 
     val violDF: DataFrame =
       if (collectViolations && rowRules.nonEmpty)
-        Checks.violations(flagged, rowRules, keyCol, pCol)
+        Checks.violations(flagged, rowRules, keyCol, pCol, maxViolationExamples)
       else spark.emptyDataFrame
 
     // ---- uniqueness (the one required shuffle; submitted above) ----

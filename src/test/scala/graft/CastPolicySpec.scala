@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Casting-policy parity (SURVEY.md §7.4): the reference defaults to NumPy
+  * `casting='unsafe'` (C-style truncation, features.py:37) while its `safe`
+  * policy raises on lossy casts. Spark mapping: ANSI `cast` raises on
+  * overflow (= safe), `try_cast` nulls (= tolerant), truncation toward zero
+  * for fractional→int in both (= NumPy unsafe fractional behavior). */
+class CastPolicySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("fractional -> int truncates toward zero (unsafe policy)") {
+    val got = Seq(1.9, -1.9, 2.5).toDF("x")
+      .select(col("x").cast("int")).as[Int].collect()
+    assert(got.sameElements(Array(1, -1, 2)))
+  }
+
+  test("overflowing cast raises under ANSI (safe policy = reference raise)") {
+    val e = intercept[Exception] {
+      Seq(3000000000L).toDF("x").select(col("x").cast("int")).collect()
+    }
+    assert(e.getMessage.contains("CAST_OVERFLOW") || e.getMessage.contains("overflow"))
+  }
+
+  test("try_cast nulls instead of raising (tolerant mode)") {
+    val got = Seq(3000000000L, 5L).toDF("x")
+      .select(expr("try_cast(x AS int)").as("y"))
+      .collect().map(r => Option(r.get(0)))
+    assert(got.count(_.isEmpty) == 1 && got.contains(Some(5)))
+  }
+
+  test("violation examples cap is deterministic and bounded") {
+    val table = graft.datagen.SeqTableGen.generate(spark, 20000, plant = true)
+    val rep = graft.engine.Validator.run(spark, table,
+      graft.engine.DefaultSuite.config, "doc_id", "cap1",
+      maxViolationExamples = Some(3))
+    val counts = rep.violations.groupBy("partition", "rule").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getLong(2) <= 3))
+    // verdict counts remain exact (not capped)
+    val v = rep.results.filter(_.rule == "n_tok_range").map(_.violationCount).sum
+    assert(v == (0L until 20000L).count(_ % graft.datagen.SeqTableGen.PlantMod == 1))
+  }
+}
