@@ -385,6 +385,34 @@ object OracleSql {
         |        FROM events GROUP BY user_id))
         |WHERE rank <= 5""".stripMargin,
 
+    "a_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        | coalesce(l_linestatus, 'ALL') AS lstatus,
+        | CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "e_sessionize" ->
+      """WITH t AS (
+        |  SELECT event_id, user_id, ts, lag(ts) OVER w AS prev_ts FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |n AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN prev_ts IS NULL OR
+        |      (CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT)) > 1800
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM t)
+        |SELECT event_id, user_id,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM n""".stripMargin,
+
+    "arr_dim_stats" ->
+      """SELECT CAST(g.i - 1 AS INT) AS dim,
+        | round(avg(CAST(e.embedding[g.i] AS DOUBLE)), 6) AS dim_mean,
+        | round(stddev_pop(CAST(e.embedding[g.i] AS DOUBLE)), 6) AS dim_std
+        |FROM embeddings e, generate_series(1, 64) AS g(i)
+        |GROUP BY 1""".stripMargin,
+
     "set_ops" ->
       """SELECT c_mktsegment,
         | CAST(coalesce(sum(CASE WHEN has_o THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_with_orders,

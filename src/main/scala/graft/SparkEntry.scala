@@ -410,6 +410,35 @@ object SparkEntry {
         Window.orderBy(col("total").desc, col("user_id").asc)))
       .filter(col("rank") <= 5)),
 
+    "a_rollup" -> ((s, d) => t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n"))),
+
+    "e_sessionize" -> ((s, d) => {
+      // gap-based sessionization: new session when >30 min since previous
+      // event of the same user; session id = running count of gap-breaks
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("event_id"), col("user_id"), col("session_id"))
+    }),
+
+    "arr_dim_stats" -> ((s, d) => t(s, d, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(round(avg(col("x").cast("double")), 6).as("dim_mean"),
+        round(stddev_pop(col("x").cast("double")), 6).as("dim_std"))),
+
     "set_ops" -> ((s, d) => {
       val cust = t(s, d, "customer")
       val orders = t(s, d, "orders")
