@@ -96,8 +96,11 @@ object Bench {
     val (vRows, vSec) = validateThroughput(spark, seqRowsFor(sfDir), seqPath)
     val seqPerSec = vRows / vSec
 
+    // query keys are enforced [A-Za-z0-9_]+ (EntrySpec), so bare quoting is
+    // JSON-safe; guard anyway against a stray key breaking the driver's parse
+    def jkey(k: String): String = "\"" + k.replaceAll("[^A-Za-z0-9_]", "_") + "\""
     val qs = (results :+ ("validate_full_suite" -> vSec))
-      .map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      .map { case (k, v) => jkey(k) + f":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + vSec
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validate_rows":$vRows,"validate_sec":$vSec%.3f,"validated_seq_per_sec":${seqPerSec.toLong},"cpus":$cpus}""")
     spark.stop()

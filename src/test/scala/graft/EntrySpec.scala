@@ -16,5 +16,8 @@ class EntrySpec extends SparkTestBase {
     }
     val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(unknown.isEmpty, s"oracleSql without queries: $unknown")
+    // names become file paths (Verify) and raw JSON keys (Bench)
+    val bad = SparkEntry.queries.keySet.filterNot(_.matches("[A-Za-z0-9_]+"))
+    assert(bad.isEmpty, s"query names must be [A-Za-z0-9_]+: $bad")
   }
 }
