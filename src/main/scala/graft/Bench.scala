@@ -84,6 +84,8 @@ object Bench {
 
     // two runs per query, min reported: the first pays codegen/JIT and may
     // land in a host contention window; min is the capability number
+    headliners.foreach(n => require(SparkEntry.queries.contains(n),
+      s"headliner '$n' missing from SparkEntry.queries (renamed?)"))
     val results: Seq[(String, Double)] = headliners.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         name -> (try math.min(time(exec(fn(spark, sfDir))),

@@ -124,28 +124,36 @@ object Checks {
       .filter(col("n") > 1)
 
   /** Referential violations against a dictionary TABLE: broadcast left-anti
-    * join (the dictionary side is small by construction — it is a vocabulary). */
+    * join (the dictionary side is small by construction — it is a
+    * vocabulary). NULL values are excluded — null-ness is the NotNull rule's
+    * concern, matching the isin rule predicate's null-pass semantics (and
+    * SQL NOT IN, which the correctness oracle uses). */
   def referentialViolations(df: DataFrame, colName: String, dict: DataFrame,
       dictCol: String): DataFrame =
-    df.join(broadcast(dict.select(col(dictCol).as(colName)).distinct()),
-      Seq(colName), "left_anti")
+    df.filter(col(colName).isNotNull)
+      .join(broadcast(dict.select(col(dictCol).as(colName)).distinct()),
+        Seq(colName), "left_anti")
 
   /** Declared schema vs actual: (column, expected, actual, problem) rows.
-    * Mirrors FeatureSpec.data_type fail-fast validation (features.py:20-30). */
+    * Mirrors FeatureSpec.data_type fail-fast validation (features.py:20-30).
+    * Physical nullability is unreliable (parquet reports everything
+    * nullable), so a column declared non-nullable is checked STRUCTURALLY:
+    * the suite must carry a not_null row rule for it — actual null rows are
+    * then caught by that rule's scan. */
   def schemaCheck(actual: StructType, cfg: SuiteConfig): Seq[(String, String, String, String)] = {
     val actualByName = actual.fields.map(f => f.name -> f).toMap
+    val notNullRuleCols = cfg.rules
+      .filter(_.kind == RuleKind.NotNull).flatMap(_.column).toSet
     cfg.columns.flatMap { c =>
       actualByName.get(c.name) match {
         case None => Some((c.name, c.dataType, "<missing>", "missing_column"))
         case Some(f) =>
           val expected = DataType.fromDDL(c.dataType)
           val typeOk = f.dataType.simpleString == expected.simpleString
-          val nullOk = c.nullable || !f.nullable ||
-            true // parquet reports nullable=true; enforced by the not_null rule at row level
           if (!typeOk)
             Some((c.name, expected.simpleString, f.dataType.simpleString, "type_mismatch"))
-          else if (!nullOk)
-            Some((c.name, "not null", "nullable", "nullability"))
+          else if (!c.nullable && !notNullRuleCols.contains(c.name))
+            Some((c.name, "not null", "no not_null rule", "missing_not_null_rule"))
           else None
       }
     } ++ actual.fields.filterNot(f => cfg.columnNames.contains(f.name))

@@ -33,16 +33,34 @@ object Main {
 
     val cfg = RuleConfig.loadYamlFile(rulesPath)
     val table = spark.read.parquet(tablePath)
-    val report = Validator.run(
-      spark, table, cfg,
-      keyCol = opts.getOrElse("key", "doc_id"),
-      runId = opts.getOrElse("run-id", "run-default"),
-      manifestPath = opts.get("manifest"),
-      baseline = opts.get("baseline").map(spark.read.parquet(_)))
+    val keyCol = opts.getOrElse("key", "doc_id")
+    val runId = opts.getOrElse("run-id", "run-default")
+    val baseline = opts.get("baseline").map(spark.read.parquet(_))
 
-    opts.get("violations-out").foreach { out =>
-      report.violations.write.mode("overwrite").parquet(out)
+    // --per-partition: checkpoint after every partition (crash-resume
+    // granularity = one partition); requires --manifest
+    val results = if (opts.contains("per-partition")) {
+      val mp = opts.getOrElse("manifest",
+        sys.error("--per-partition requires --manifest"))
+      val reports = Validator.runPerPartition(spark, table, cfg, keyCol, runId,
+        mp, baseline = baseline)
+      opts.get("violations-out").foreach { out =>
+        reports.zipWithIndex.foreach { case (rep, i) =>
+          rep.violations.write.mode(if (i == 0) "overwrite" else "append")
+            .parquet(out)
+        }
+      }
+      Validator.RunReport(runId, reports.flatMap(_.results),
+        spark.emptyDataFrame, reports.map(_.validatedRows).sum)
+    } else {
+      val report = Validator.run(spark, table, cfg, keyCol, runId,
+        manifestPath = opts.get("manifest"), baseline = baseline)
+      opts.get("violations-out").foreach { out =>
+        report.violations.write.mode("overwrite").parquet(out)
+      }
+      report
     }
+    val report = results
     report.results.sortBy(r => (r.rule, r.partition)).foreach { r =>
       println(f"${r.rule}%-24s ${r.partition}%-10s ${r.verdict}%-5s " +
         f"rows=${r.rowCount}%-10d viol=${r.violationCount}%-8d ${r.detail}")

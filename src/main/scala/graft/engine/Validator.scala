@@ -43,6 +43,57 @@ object Validator {
         s"validation failed: " + failed.map(r =>
           s"${r.rule}@${r.partition}(viol=${r.violationCount})").mkString(", "))
 
+  /** Partition-granular checkpointed execution: validates one table
+    * partition per job, appending the manifest AFTER each — so a crash at
+    * any point loses at most one partition of work and the re-run with the
+    * same runId resumes exactly at the first unfinished partition. `run()`
+    * alone checkpoints only at the end (whole-table atomicity); this mode
+    * trades a little scheduling overhead for real crash-resume granularity,
+    * the right default for 10^12-row tables. Partition pruning on the Hive
+    * layout means each sub-run scans only its own directory. */
+  def runPerPartition(
+      spark: SparkSession,
+      table: DataFrame,
+      cfg: SuiteConfig,
+      keyCol: String,
+      runId: String,
+      manifestPath: String,
+      baseline: Option[DataFrame] = None,
+      collectViolations: Boolean = true,
+      maxViolationExamples: Option[Int] = None): Seq[RunReport] = {
+    val pCol = cfg.partitionColumn
+    // uniqueness is GLOBAL (duplicate keys span partitions) — it cannot be
+    // scoped to a partition sub-run; execute it once per runId, recorded
+    // under partition "*" (which completedPartitions treats as covering all)
+    val uniqueRules = cfg.rules.filter(_.kind == RuleKind.Unique)
+    val subCfg = cfg.copy(rules = cfg.rules.filterNot(_.kind == RuleKind.Unique))
+    val doneGlobal = Manifest.completed(spark, manifestPath, runId)
+    uniqueRules.filterNot(r => doneGlobal.contains(("*", r.name))).foreach { r =>
+      val t1 = System.nanoTime()
+      val agg = Checks.uniquenessViolations(table, r.column.get, pCol)
+        .agg(count(lit(1)).as("keys"),
+          coalesce(sum(col("n") - 1), lit(0L)).as("extra"),
+          coalesce(expr("bit_xor(xxhash64(key))"), lit(0L)).as("h"))
+        .head()
+      val wall = (System.nanoTime() - t1) / 1000000
+      Manifest.append(spark, manifestPath, Seq(Manifest.Entry(
+        runId, "*", r.name,
+        if (agg.getLong(1) == 0L) "pass" else "fail",
+        0L, agg.getLong(1), agg.getLong(2), wall, s"dupKeys=${agg.getLong(0)}")))
+    }
+    val done = Manifest.completedPartitions(
+      spark, manifestPath, runId, subCfg.rules.map(_.name))
+    val parts = table.select(col(pCol)).distinct()
+      .collect().map(_.getString(0)).sorted
+      .filterNot(done)
+    parts.map { p =>
+      run(spark, table.filter(col(pCol) === p), subCfg, keyCol, runId,
+        manifestPath = Some(manifestPath), baseline = baseline,
+        collectViolations = collectViolations,
+        maxViolationExamples = maxViolationExamples)
+    }.toSeq
+  }
+
   def run(
       spark: SparkSession,
       table: DataFrame,
@@ -137,8 +188,13 @@ object Validator {
           .agg(percentile_approx(col(r.column.get).cast("double"),
             typedLit(Seq(0.5, 0.95, 0.99)), lit(10000)).as("q"))
           .collect()
-          .map(row => Option(row.getString(0)).getOrElse("<null>") ->
-            row.getSeq[Double](1)).toMap
+          .flatMap { row =>
+            // an all-null partition yields a null quantile array — report
+            // the partition without quantiles instead of crashing the run
+            if (row.isNullAt(1)) None
+            else Some(Option(row.getString(0)).getOrElse("<null>") ->
+              row.getSeq[Double](1))
+          }.toMap
       }
     }.toMap
 
@@ -167,18 +223,27 @@ object Validator {
           val qs = Await.result(quantileFutures(r.name), Duration.Inf)
             .get(part).map(q => f";p50=${q(0)}%.1f;p95=${q(1)}%.1f;p99=${q(2)}%.1f")
             .getOrElse("")
+          // min/max/mean are null when the partition's column is all-null
+          def d(idx: Int): String =
+            if (s.isNullAt(idx)) "null" else f"${s.getDouble(idx)}%.4f"
           RuleResult(part, r.name, "pass", s.getLong(0), 0L, 0L, wall,
-            f"nulls=${s.getLong(1)};min=${s.getDouble(2)}%.2f;max=${s.getDouble(3)}%.2f;" +
-            f"mean=${s.getDouble(4)}%.4f;var=${s.getDouble(5)}%.4f" + qs)
+            s"nulls=${s.getLong(1)};min=${d(2)};max=${d(3)};" +
+            s"mean=${d(4)};var=${d(5)}" + qs)
         }
       }
       (rowRes, statsRes)
     }
 
+    // materialize the violation rows from the SAME persisted flag pass that
+    // fed the verdict aggregation (otherwise unpersisting below would make
+    // the caller's later action re-scan the raw table)
     val violDF: DataFrame =
-      if (collectViolations && rowRules.nonEmpty)
-        Checks.violations(flagged, rowRules, keyCol, pCol, maxViolationExamples)
-      else spark.emptyDataFrame
+      if (collectViolations && rowRules.nonEmpty) {
+        val v = Checks.violations(flagged, rowRules, keyCol, pCol, maxViolationExamples)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        v.count()
+        v
+      } else spark.emptyDataFrame
 
     // ---- uniqueness (the one required shuffle; submitted above) ----
     val uniqueResults = uniqueFutures.flatMap { case (r, fut) =>

@@ -72,6 +72,7 @@ object MathOps {
   def kbinsUniform(df: DataFrame, col: Column, k: Int, outCol: String): DataFrame = {
     val row = df.agg(min(col).cast("double"), max(col).cast("double")).head()
     val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    require(mn != mx, "kbins_uniform: constant column has no bin width")
     val w = (mx - mn) / k
     df.withColumn(outCol,
       least(floor((col.cast("double") - lit(mn)) / lit(w)), lit(k - 1)).cast("int"))

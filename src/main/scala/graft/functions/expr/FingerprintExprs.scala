@@ -71,8 +71,10 @@ case class CharMinHashSig(child: Expression, n: Int, k: Int, seed: Long)
     val text = Mix.normalize(input.asInstanceOf[UTF8String].toString)
     val sig = Array.fill(k)(Long.MaxValue)
     val len = text.length
-    if (len > 0) {
-      val limit = math.max(len - n + 1, 1) // short text: one truncated shingle
+    // text shorter than n has NO shingles (matches Dedup.shingles, which
+    // filters truncated shingles out) — signature stays all-MaxValue
+    if (len >= n) {
+      val limit = len - n + 1
       var i = 0
       while (i < limit) {
         var h = 0L
@@ -106,8 +108,11 @@ case class WordSimHash(child: Expression, n: Int, seed: Long)
 
   override def nullSafeEval(input: Any): Any = {
     val text = Mix.normalize(input.asInstanceOf[UTF8String].toString)
-    val words = text.split(' ')
+    // drop empties so blank text fingerprints to 0 like the HOF variant
+    // (wordShingles filters empty shingles)
+    val words = text.split(' ').filter(_.nonEmpty)
     val counts = new Array[Int](64)
+    if (words.isEmpty) return java.lang.Long.valueOf(0L)
     val m = math.max(words.length - n + 1, 1)
     var i = 0
     while (i < m) {

@@ -94,7 +94,7 @@ object Dedup {
     val pruned = inv.join(freq.select("s"), Seq("s"))
     val a = pruned.select(col("s"), col("id").as("id_a"), col("sz").as("sz_a"))
     val b = pruned.select(col("s"), col("id").as("id_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("s"))
+    val pairs = a.join(b, Seq("s"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "sz_a", "sz_b")
       .agg(count(lit(1)).as("inter"))
@@ -103,6 +103,11 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+    // materialize the (small) result, then release the postings cache —
+    // otherwise every call leaks cached blocks for the session lifetime
+    val out = pairs.localCheckpoint(true)
+    inv.unpersist()
+    out
   }
 
   // ---------- MinHash + LSH ----------
@@ -153,13 +158,16 @@ object Dedup {
       .filter(col("bn") <= maxBucket)
     val a = sized.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sized.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("bk"))
+    val pairs = a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           v => v)).cast("double") / lit(k)).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= estThreshold)
+    val out = pairs.localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 
   // ---------- SimHash ----------

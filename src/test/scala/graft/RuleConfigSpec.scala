@@ -74,6 +74,6 @@ class RuleConfigSpec extends AnyFunSuite {
   }
 
   test("bundled default suite loads") {
-    assert(graft.engine.DefaultSuite.config.rules.size == 9)
+    assert(graft.engine.DefaultSuite.config.rules.size == 12)
   }
 }

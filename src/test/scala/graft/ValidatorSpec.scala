@@ -105,6 +105,52 @@ class ValidatorSpec extends SparkTestBase {
     assert(prof.nonEmpty && prof.forall(_.detail.contains("p95=")))
   }
 
+  test("all-null stats partition reports instead of crashing") {
+    import org.apache.spark.sql.functions.{col => c, when => w, lit => l}
+    val t = SeqTableGen.generate(spark, 2000)
+      .withColumn("n_tok", w(c("source") === "books", l(null)).otherwise(c("n_tok")))
+    val rep = Validator.run(spark, t, DefaultSuite.config, "doc_id", "nulls1")
+    val prof = rep.results.filter(r => r.rule == "n_tok_profile" && r.partition == "books")
+    assert(prof.nonEmpty && prof.head.detail.contains("min=null"))
+    assert(rep.results.exists(r => r.rule == "n_tok_not_null" &&
+      r.partition == "books" && r.verdict == "fail"))
+  }
+
+  test("per-partition mode checkpoints incrementally and resumes mid-run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppm").toString
+    val mp = s"$dir/manifest"
+    val t = SeqTableGen.generate(spark, 5000, plant = true)
+    // simulate a crash after one partition: validate just 'books' directly
+    val sub = t.filter(col("source") === "books")
+    val subCfg = DefaultSuite.config.copy(rules =
+      DefaultSuite.config.rules.filterNot(_.kind == graft.config.RuleKind.Unique))
+    Validator.run(spark, sub, subCfg, "doc_id", "pp1", manifestPath = Some(mp))
+    // resume: per-partition mode must skip books and validate the rest
+    val reports = Validator.runPerPartition(spark, t, DefaultSuite.config,
+      "doc_id", "pp1", mp)
+    val validatedParts = reports.flatMap(_.results.map(_.partition)).toSet
+    assert(!validatedParts.contains("books"))
+    assert(validatedParts.contains("web") && validatedParts.contains("wiki"))
+    // global uniqueness recorded once under "*"
+    val m = graft.lineage.Manifest.read(spark, mp)
+      .filter(col("rule") === "doc_id_unique").select("partition", "verdict").collect()
+    assert(m.length == 1 && m.head.getString(0) == "*" && m.head.getString(1) == "fail")
+    // second resume: everything complete, nothing re-validated
+    val again = Validator.runPerPartition(spark, t, DefaultSuite.config,
+      "doc_id", "pp1", mp)
+    assert(again.isEmpty)
+  }
+
+  test("referential table check excludes nulls (NotNull rule's concern)") {
+    import spark.implicits._
+    val df = Seq(("a", "en"), ("b", null), ("c", "xx")).toDF("id", "lang")
+      .withColumn("part", lit("p"))
+    val dict = Seq("en", "de").toDF("lang")
+    val viol = graft.checks.Checks.referentialViolations(df, "lang", dict, "lang")
+      .select("id").as[String].collect()
+    assert(viol.sameElements(Array("c")))
+  }
+
   test("manifest resume skips completed partitions") {
     val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString
     val mp = s"$dir/manifest"
