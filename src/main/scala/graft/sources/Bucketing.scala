@@ -1,0 +1,32 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table support: pre-shuffle a table ONCE at write time so every
+  * later equi-join/aggregation on the bucket key runs shuffle-free.
+  *
+  * At 100 TB this is the difference between re-shuffling the fact table on
+  * every join and paying the partitioning cost once at ingest: two tables
+  * bucketed by the same key into the same bucket count sort-merge-join with
+  * NO Exchange on either side (asserted in PlanSpec). This is the managed-
+  * table analogue of Iceberg's bucket partition transform.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed managed table (requires a warehouse dir on the
+    * session; buckets co-locate rows by hash(key) % numBuckets). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      numBuckets: Int, sortBy: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(numBuckets, key)
+    (sortBy match {
+      case Some(s) => w.sortBy(s)
+      case None => w
+    }).saveAsTable(table)
+  }
+
+  /** Join two tables bucketed on the same key: planner sees compatible
+    * output partitionings and elides both shuffles. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

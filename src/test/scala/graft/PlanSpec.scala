@@ -89,6 +89,26 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortAggregate"), "flag agg fell back to sort")
   }
 
+  test("bucketed tables join WITHOUT a shuffle (co-located join)") {
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+    graft.sources.Bucketing.writeBucketed(
+      orders, "b_orders", "o_orderkey", 4, Some("o_orderkey"))
+    graft.sources.Bucketing.writeBucketed(
+      li.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 4, Some("o_orderkey"))
+    val joined = graft.sources.Bucketing.bucketedJoin(
+      spark, "b_orders", "b_lineitem", "o_orderkey")
+      .groupBy("o_orderstatus").count()
+    joined.collect()
+    val p = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // only the final single-key aggregation may exchange; the join itself
+    // must consume the bucketed layout with zero shuffles
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1,
+      s"bucketed join still shuffles:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+  }
+
   test("entry smoke has rows > 0 (driver t1 gate)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
