@@ -33,12 +33,14 @@ object Checks {
       val hi = r.max.map(m => c <= lit(m)).getOrElse(lit(true))
       Some(c.isNull || (lo && hi))
     case RuleKind.TokenRange =>
-      // every element of array<int> within [min, max] — a codegen'd
-      // higher-order `forall`, no explode, no shuffle.
+      // every element of array<int> within [min, max] — custom codegen'd
+      // expression (a HOF `forall` would run CodegenFallback-interpreted on
+      // the hottest check); no explode, no shuffle. Null element = fail,
+      // null array = pass (nullability is the NotNull rule's concern).
       val c = col(r.column.get)
       val lo = r.min.map(_.toInt).getOrElse(Int.MinValue)
       val hi = r.max.map(_.toInt).getOrElse(Int.MaxValue)
-      Some(c.isNull || forall(c, t => t >= lit(lo) && t <= lit(hi)))
+      Some(c.isNull || graft.functions.expr.TokenExprs.tokensInRange(c, lo, hi))
     case RuleKind.Expr =>
       Some(expr(r.expr.get))
     case RuleKind.Referential if r.values.nonEmpty =>

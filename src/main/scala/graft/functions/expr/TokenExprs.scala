@@ -1,0 +1,65 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+/** Codegen'd token-range check: `forall(tokens, t -> lo <= t <= hi)` as a
+  * primitive int loop INSIDE whole-stage codegen.
+  *
+  * Spark's higher-order functions evaluate their lambda through
+  * `CodegenFallback` — every row of the hottest validation check would run
+  * interpreted, boxing each element through a NamedLambdaVariable. This is
+  * the one place SURVEY.md §7.3 anticipated a custom codegen Expression:
+  * a tight `arr.getInt(i)` loop with early exit.
+  *
+  * Semantics match `coalesce(forall(c, t -> t BETWEEN lo AND hi), false)`
+  * on non-null arrays: a NULL element fails the check (three-valued forall
+  * would yield null, which the validator coalesces to fail). NULL array →
+  * NULL (the caller composes `c.isNull || ...`).
+  */
+case class TokensInRange(child: Expression, lo: Int, hi: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "tokens_in_range"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return false
+      val t = arr.getInt(i)
+      if (t < lo || t > hi) return false
+      i += 1
+    }
+    true
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |${ev.value} = true;
+         |final int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($arr.isNullAt($i)) { ${ev.value} = false; break; }
+         |  final int t = $arr.getInt($i);
+         |  if (t < $lo || t > $hi) { ${ev.value} = false; break; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object TokenExprs {
+  /** Column-facing API for the codegen'd range check. */
+  def tokensInRange(c: Column, lo: Int, hi: Int): Column =
+    ColumnBridge.column(TokensInRange(ColumnBridge.expression(c), lo, hi))
+}
