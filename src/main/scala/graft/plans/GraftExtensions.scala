@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.expr.{CharMinHashSig, TokensInRange, WordSimHash}
+
+/** SparkSessionExtensions registration: exposes the engine's custom Catalyst
+  * expressions to SQL, so suites written as SQL strings (RuleKind.Expr) can
+  * use them directly:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  *   SELECT tokens_in_range(tokens, 0, 49999) FROM sequences
+  *   SELECT word_simhash(text, 3, 42) FROM documents
+  *   SELECT char_minhash_sig(text, 5, 64, 42) FROM documents
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("tokens_in_range"),
+      new ExpressionInfo(classOf[TokensInRange].getName, "tokens_in_range"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "tokens_in_range(arr, lo, hi)")
+        TokensInRange(args.head, intLit(args(1), "lo"), intLit(args(2), "hi"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("word_simhash"),
+      new ExpressionInfo(classOf[WordSimHash].getName, "word_simhash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "word_simhash(text, n, seed)")
+        WordSimHash(args.head, intLit(args(1), "n"), intLit(args(2), "seed").toLong)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("char_minhash_sig"),
+      new ExpressionInfo(classOf[CharMinHashSig].getName, "char_minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "char_minhash_sig(text, n, k, seed)")
+        CharMinHashSig(args.head, intLit(args(1), "n"), intLit(args(2), "k"),
+          intLit(args(3), "seed").toLong)
+      }))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL surface of the custom expressions via SparkSessionExtensions.
+  * Needs its own session (extensions are builder-time), so this suite
+  * builds one with the extension installed and stops it after. */
+class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("custom expressions are callable from SQL via GraftExtensions") {
+    // ensure no shared session is reused (extensions differ)
+    val prior = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-test")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      val ok = spark.sql(
+        "SELECT tokens_in_range(array(1, 2, 3), 0, 10) AS a, " +
+        "tokens_in_range(array(1, -2, 3), 0, 10) AS b").head()
+      assert(ok.getBoolean(0) && !ok.getBoolean(1))
+      val fp = spark.sql(
+        "SELECT word_simhash('the quick brown fox', 2, 42) AS f1, " +
+        "word_simhash('the quick brown fox', 2, 42) AS f2, " +
+        "word_simhash('', 2, 42) AS blank").head()
+      assert(fp.getLong(0) == fp.getLong(1) && fp.getLong(2) == 0L)
+      val sig = spark.sql(
+        "SELECT char_minhash_sig('hello world text', 5, 16, 42) AS s").head()
+      assert(sig.getSeq[Long](0).length == 16)
+      // literal-arg validation surfaces as a clear error
+      val e = intercept[Exception] {
+        spark.sql("SELECT tokens_in_range(array(1), 0, n_tok) FROM (SELECT 5 AS n_tok)")
+          .collect()
+      }
+      assert(e.getMessage.contains("integer literal"))
+    } finally {
+      // do NOT spark.stop(): the SparkContext is shared with the other
+      // suites in this JVM — abandon only the session objects
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setActiveSession)
+    }
+  }
+}

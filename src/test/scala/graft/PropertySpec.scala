@@ -1,0 +1,84 @@
+package graft
+
+import org.scalacheck.{Gen, Prop}
+import org.scalacheck.rng.Seed
+import org.apache.spark.sql.functions._
+import graft.functions.expr.Mix
+
+/** Property-style checks over the deterministic primitives, sampled with
+  * seeded ScalaCheck generators (scalatestplus bridge is not on the offline
+  * classpath, so sampling is explicit and deterministic). */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("splitmix64 is injective on sampled inputs") {
+    val xs = samples(Gen.listOfN(200, Gen.long), 20)
+    xs.foreach { l =>
+      assert(l.distinct.size == l.map(Mix.splitmix64).distinct.size)
+    }
+  }
+
+  test("normalize is idempotent and whitespace-insensitive") {
+    val ws = Gen.oneOf(" ", "\t", "\n")
+    val token = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val text = Gen.listOf(Gen.oneOf(token, ws)).map(_.mkString)
+    samples(text, 200).foreach { s =>
+      val n = Mix.normalize(s)
+      assert(Mix.normalize(n) == n)
+      assert(Mix.normalize(s + "  ") == n)
+      assert(Mix.normalize("\t" + s) == n)
+      assert(!n.contains("  "))
+    }
+  }
+
+  test("minhash estimate tracks true jaccard within sketch error") {
+    val base = (1 to 60).map(i => s"w$i").toSeq
+    val cases = Seq(60, 40, 20, 0).map { shared =>
+      val a = base.mkString(" ")
+      val b = (base.take(shared) ++ (1 to (60 - shared)).map(i => s"x$i")).mkString(" ")
+      (a, b, shared)
+    }
+    val df = cases.toDF("a", "b", "shared")
+    val k = 128
+    val est = df.select(col("shared"),
+      (size(filter(zip_with(
+        graft.functions.expr.FingerprintExprs.charMinhashSig(col("a"), 4, k, 7L),
+        graft.functions.expr.FingerprintExprs.charMinhashSig(col("b"), 4, k, 7L),
+        (x, y) => x === y), v => v)).cast("double") / k).as("est"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(est(60) == 1.0)
+    assert(est(40) > est(20))
+    assert(est(20) > est(0))
+    assert(est(0) < 0.25)
+  }
+
+  test("simhash hamming distance is monotone in document similarity") {
+    val words = (1 to 50).map(i => s"tok$i")
+    def doc(changed: Int) =
+      (words.dropRight(changed) ++ (1 to changed).map(i => s"alt$i")).mkString(" ")
+    val df = Seq((doc(0), doc(1), doc(10), doc(45))).toDF("d0", "d1", "d10", "d45")
+    val fps = df.select(
+      Seq("d0", "d1", "d10", "d45").map(c =>
+        graft.functions.expr.FingerprintExprs.wordSimhash(col(c), 2).as(c)): _*)
+      .head()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val f0 = fps.getLong(0)
+    assert(ham(f0, fps.getLong(1)) <= ham(f0, fps.getLong(2)))
+    assert(ham(f0, fps.getLong(2)) < ham(f0, fps.getLong(3)))
+  }
+
+  test("rolling hash: deterministic and near-injective on sampled strings") {
+    val strs = samples(Gen.listOfN(80, Gen.alphaStr.suchThat(_.nonEmpty)), 5)
+    strs.foreach { ss =>
+      val d = ss.distinct
+      val df = d.toDF("s")
+      val hs = df.select(graft.operators.TextOps.rollingHash(col("s")))
+        .as[Long].collect()
+      assert(hs.length == d.length)
+      assert(hs.distinct.length >= (d.length * 0.95).toInt)
+    }
+  }
+}
