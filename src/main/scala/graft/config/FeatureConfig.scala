@@ -27,7 +27,8 @@ final case class FeatureDef(
     dataType: String,
     description: String,
     dependencies: Seq[String],
-    expr: Option[String]) {
+    expr: Option[String],
+    group: Option[String] = None) {
   def validate(): Unit = {
     if (description.length < 5)
       throw ConfigError(s"feature '$name': description must be >= 5 chars (features.py:14)")
@@ -84,7 +85,8 @@ object FeatureConfig {
         description = s("description").getOrElse(""),
         dependencies = Option(n.get("dependencies"))
           .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
-        expr = s("expr"))
+        expr = s("expr"),
+        group = s("group"))
     }
     feats.foreach(_.validate())
     val suite = FeatureSuite(feats)

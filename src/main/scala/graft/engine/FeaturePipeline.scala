@@ -43,4 +43,15 @@ object FeaturePipeline {
   def computeSelect(input: DataFrame, suite: FeatureSuite,
       select: Seq[String]): DataFrame =
     compute(input, suite).select(select.map(col): _*)
+
+  /** Reference `select_groups` by declared group attribute (core.py:178-179
+    * groups; 339-344 projection): computes the whole graph lazily and
+    * projects the features whose `group` is in `groups` — everything else
+    * is pruned by Catalyst, never computed. */
+  def computeGroups(input: DataFrame, suite: FeatureSuite,
+      groups: Set[String]): DataFrame = {
+    val selected = suite.features.filter(_.group.exists(groups)).map(_.name)
+    require(selected.nonEmpty, s"no features in groups $groups")
+    computeSelect(input, suite, selected)
+  }
 }

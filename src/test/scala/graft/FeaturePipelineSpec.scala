@@ -82,6 +82,24 @@ class FeaturePipelineSpec extends SparkTestBase {
     }
   }
 
+  test("group selection by declared group attribute (core.py:178-179,339-344)") {
+    val suite = FeatureConfig.loadYaml(
+      """features:
+        |  a: {type: int, description: raw input a, group: raw}
+        |  b: {type: int, description: raw input b, group: raw}
+        |  c: {type: double, description: derived sum, group: model,
+        |      dependencies: [a, b], expr: "a + b"}
+        |  d: {type: double, description: derived diff, group: debug,
+        |      dependencies: [a, b], expr: "a - b"}
+        |""".stripMargin)
+    val out = FeaturePipeline.computeGroups(
+      Seq((3, 4)).toDF("a", "b"), suite, Set("model"))
+    assert(out.columns.toSeq == Seq("c") && out.head().getDouble(0) == 7.0)
+    intercept[IllegalArgumentException] {
+      FeaturePipeline.computeGroups(Seq((3, 4)).toDF("a", "b"), suite, Set("nope"))
+    }
+  }
+
   test("100-element vectorized identity: c = 0.5*(a+2b) (test_core.py:55-94)") {
     val suite = FeatureConfig.loadYaml(basicYaml)
     val input = spark.range(100).select(
