@@ -39,7 +39,7 @@ object Main {
 
     // --per-partition: checkpoint after every partition (crash-resume
     // granularity = one partition); requires --manifest
-    val results = if (opts.contains("per-partition")) {
+    val report = if (opts.contains("per-partition")) {
       val mp = opts.getOrElse("manifest",
         sys.error("--per-partition requires --manifest"))
       val reports = Validator.runPerPartition(spark, table, cfg, keyCol, runId,
@@ -60,7 +60,6 @@ object Main {
       }
       report
     }
-    val report = results
     report.results.sortBy(r => (r.rule, r.partition)).foreach { r =>
       println(f"${r.rule}%-24s ${r.partition}%-10s ${r.verdict}%-5s " +
         f"rows=${r.rowCount}%-10d viol=${r.violationCount}%-8d ${r.detail}")

@@ -30,6 +30,8 @@ object Validator {
       rowCount: Long, violationCount: Long, contentHash: Long,
       wallMs: Long, detail: String)
 
+  /** `violations` is materialized and cached by run(); the caller owns its
+    * lifecycle (unpersist after writing if the session is long-lived). */
   final case class RunReport(
       runId: String,
       results: Seq[RuleResult],
