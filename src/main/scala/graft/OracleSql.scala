@@ -342,6 +342,49 @@ object OracleSql {
         |   (a, b) -> (a * 31 + b) % 2147483647) AS fp_roll
         |FROM documents""".stripMargin,
 
+    "t_vocab" ->
+      """WITH w AS (
+        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS word
+        |  FROM documents),
+        |c AS (SELECT word, count(*) AS n FROM w WHERE word <> '' GROUP BY word)
+        |SELECT word, n, CAST(rank AS INT) AS rank FROM (
+        |  SELECT word, n, row_number() OVER (ORDER BY n DESC, word ASC) AS rank FROM c)
+        |WHERE rank <= 20""".stripMargin,
+
+    "v_ks" ->
+      """WITH b AS (
+        |  SELECT source, CAST(least(greatest(floor(n_chars / 60.0), 0), 9) AS INT) AS bin
+        |  FROM documents),
+        |ps AS (SELECT source, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |st AS (SELECT source, count(*) AS tot FROM b GROUP BY 1),
+        |g AS (SELECT bin, count(*) AS gcnt FROM b GROUP BY 1),
+        |gt AS (SELECT CAST(count(*) AS DOUBLE) AS gtot FROM b),
+        |grid AS (SELECT st.source, st.tot, CAST(gs.i AS INT) AS bin
+        |         FROM st, generate_series(0, 9) AS gs(i)),
+        |pq AS (
+        |  SELECT grid.source, grid.bin,
+        |    coalesce(ps.cnt, 0) / CAST(grid.tot AS DOUBLE) AS p,
+        |    coalesce(g.gcnt, 0) / (SELECT gtot FROM gt) AS q
+        |  FROM grid
+        |  LEFT JOIN ps ON ps.source = grid.source AND ps.bin = grid.bin
+        |  LEFT JOIN g ON g.bin = grid.bin),
+        |e AS (
+        |  SELECT source,
+        |    sum(p) OVER (PARTITION BY source ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp,
+        |    sum(q) OVER (PARTITION BY source ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cq
+        |  FROM pq)
+        |SELECT source, round(max(abs(cp - cq)), 6) AS ks FROM e GROUP BY source""".stripMargin,
+
+    "s_strip_chars" ->
+      "SELECT c_custkey, trim(c_name, 'Custmer#0') AS stripped FROM customer",
+
+    "d_diff_time" ->
+      """SELECT event_id,
+        | CAST(floor((floor(epoch(ts)) - floor(epoch(TIMESTAMP '2024-01-01 00:00:00'))) / 3600) AS BIGINT) AS hours_since,
+        | CAST(floor((floor(epoch(ts)) - floor(epoch(TIMESTAMP '2024-01-01 00:00:00'))) / 60) AS BIGINT) AS mins_since,
+        | CAST(floor(epoch(ts)) - floor(epoch(TIMESTAMP '2024-01-01 00:00:00')) AS BIGINT) AS secs_since
+        |FROM events""".stripMargin,
+
     "mm_decode" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio'

@@ -348,6 +348,32 @@ object SparkEntry {
       TextOps.fingerprint(col("text")).as("fp_md5"),
       TextOps.rollingHash(col("text")).as("fp_roll"))),
 
+    "t_vocab" -> ((s, d) => { // corpus vocabulary stats: top-20 words
+      val words = t(s, d, "documents")
+        .select(explode(split(Dedup.normText(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      words.groupBy("word").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n").desc, col("word").asc)))
+        .filter(col("rank") <= 20)
+        .select(col("word"), col("n"), col("rank").cast("int").as("rank"))
+    }),
+
+    "v_ks" -> ((s, d) => ksPerSource(t(s, d, "documents"))),
+
+    "s_strip_chars" -> ((s, d) => t(s, d, "customer").select(
+      col("c_custkey"),
+      StringOps.strip(col("c_name"), "Custmer#0").as("stripped"))),
+
+    "d_diff_time" -> ((s, d) => t(s, d, "events").select(
+      col("event_id"),
+      DateTimeOps.dateTimeDiff(col("ts"), lit("2024-01-01 00:00:00").cast("timestamp"), "h")
+        .as("hours_since"),
+      DateTimeOps.dateTimeDiff(col("ts"), lit("2024-01-01 00:00:00").cast("timestamp"), "m")
+        .as("mins_since"),
+      DateTimeOps.dateTimeDiff(col("ts"), lit("2024-01-01 00:00:00").cast("timestamp"), "s")
+        .as("secs_since"))),
+
     // ======== multimodal plumbing ========
     "mm_decode" -> ((s, d) => {
       val docs = t(s, d, "documents").select(col("doc_id"),
@@ -480,6 +506,34 @@ object SparkEntry {
         greatest(coalesce(col("gcnt"), lit(0L)) / lit(gTot), lit(eps)).as("q"))
       .groupBy("source")
       .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+  }
+
+  /** Two-sample KS statistic per source vs the global n_chars distribution —
+    * Drift.ks expressed relationally (dense bin grid, windowed ECDF cumsum,
+    * max absolute gap) so the oracle can replicate it. */
+  private def ksPerSource(docs: DataFrame): DataFrame = {
+    val k = 10
+    val binCol = least(greatest(floor(col("n_chars") / 60.0), lit(0)), lit(k - 1))
+      .cast("int")
+    val binned = docs.select(col("source"), binCol.as("bin"))
+    val perSrc = binned.groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+    val srcTot = binned.groupBy("source").agg(count(lit(1)).as("tot"))
+    val global = binned.groupBy("bin").agg(count(lit(1)).as("gcnt"))
+    val gTot = binned.count().toDouble
+    val grid = srcTot.crossJoin(
+      docs.sparkSession.range(k).select(col("id").cast("int").as("bin")))
+    val w = Window.partitionBy("source").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .join(perSrc, Seq("source", "bin"), "left")
+      .join(global, Seq("bin"), "left")
+      .select(col("source"), col("bin"),
+        (coalesce(col("cnt"), lit(0L)) / col("tot")).as("p"),
+        (coalesce(col("gcnt"), lit(0L)) / lit(gTot)).as("q"))
+      .withColumn("cp", sum("p").over(w))
+      .withColumn("cq", sum("q").over(w))
+      .groupBy("source")
+      .agg(round(max(abs(col("cp") - col("cq"))), 6).as("ks"))
   }
 
   /** DuckDB-equivalent SQL per query (same aliases, same rounding). */
