@@ -82,14 +82,13 @@ object Bench {
     // warm-up (JIT, codegen, parquet footer cache)
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
 
-    // two runs per query, min reported: the first pays codegen/JIT and may
-    // land in a host contention window; min is the capability number
+    // three runs per query, min reported: the first pays codegen/JIT and any
+    // run may land in a host contention window; min is the capability number
     headliners.foreach(n => require(SparkEntry.queries.contains(n),
       s"headliner '$n' missing from SparkEntry.queries (renamed?)"))
     val results: Seq[(String, Double)] = headliners.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        name -> (try math.min(time(exec(fn(spark, sfDir))),
-                              time(exec(fn(spark, sfDir))))
+        name -> (try (1 to 3).map(_ => time(exec(fn(spark, sfDir)))).min
                  catch { case _: Throwable => -1.0 })
       }
     }
