@@ -297,10 +297,11 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         graft.functions.expr.FingerprintExprs.wordSimhash(col("text"), 3).as("fp"))),
 
-    "dd_embed_neardup" -> ((s, d) => // rows-only (O(n^2) oracle too slow)
-      // testdata embeddings are near-orthogonal (max pairwise cos ~0.51), so
-      // the "near-dup" threshold is set where pairs exist; 4 planes = 16
-      // buckets keeps within-bucket brute force tiny while retaining recall
+    // cosine-similarity pair mining via LSH buckets; true near-dup use sets
+    // threshold ~0.95 (OperatorsSpec proves that on crafted vectors) — the
+    // testdata embeddings are near-orthogonal (max pairwise cos ~0.51), so
+    // this entry exercises the operator at a threshold where pairs exist
+    "dd_embed_sim_pairs" -> ((s, d) => // rows-only (O(n^2) oracle too slow)
       Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
         dim = 64, planes = 4, threshold = 0.35)),
 

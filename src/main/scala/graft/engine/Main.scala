@@ -37,28 +37,34 @@ object Main {
     val runId = opts.getOrElse("run-id", "run-default")
     val baseline = opts.get("baseline").map(spark.read.parquet(_))
 
-    // --per-partition: checkpoint after every partition (crash-resume
-    // granularity = one partition); requires --manifest
-    val report = if (opts.contains("per-partition")) {
+    // --per-partition true: checkpoint after every partition (crash-resume
+    // granularity = one partition); requires --manifest. The printed report
+    // and exit code come from the MANIFEST, which covers this run's global
+    // uniqueness verdict and all partitions completed by earlier attempts —
+    // sub-run results alone would miss both.
+    val perPartition = opts.get("per-partition").exists(_.equalsIgnoreCase("true"))
+    val report = if (perPartition) {
       val mp = opts.getOrElse("manifest",
         sys.error("--per-partition requires --manifest"))
       val reports = Validator.runPerPartition(spark, table, cfg, keyCol, runId,
-        mp, baseline = baseline)
-      opts.get("violations-out").foreach { out =>
-        reports.zipWithIndex.foreach { case (rep, i) =>
-          rep.violations.write.mode(if (i == 0) "overwrite" else "append")
-            .parquet(out)
-        }
-      }
-      Validator.RunReport(runId, reports.flatMap(_.results),
+        mp, baseline = baseline, violationsOut = opts.get("violations-out"))
+      val manifestRows = graft.lineage.Manifest.read(spark, mp)
+        .filter(org.apache.spark.sql.functions.col("runId") === runId)
+        .collect()
+        .map(r => Validator.RuleResult(r.getAs[String]("partition"),
+          r.getAs[String]("rule"), r.getAs[String]("verdict"),
+          r.getAs[Long]("rowCount"), r.getAs[Long]("violationCount"),
+          r.getAs[Long]("contentHash"), r.getAs[Long]("wallMs"),
+          r.getAs[String]("detail")))
+      // global rules (schema, no-baseline drift) re-evaluate per sub-run and
+      // append one "*" row each time — report each (partition, rule) once
+      Validator.RunReport(runId,
+        manifestRows.toSeq.distinctBy(r => (r.partition, r.rule)),
         spark.emptyDataFrame, reports.map(_.validatedRows).sum)
     } else {
-      val report = Validator.run(spark, table, cfg, keyCol, runId,
-        manifestPath = opts.get("manifest"), baseline = baseline)
-      opts.get("violations-out").foreach { out =>
-        report.violations.write.mode("overwrite").parquet(out)
-      }
-      report
+      Validator.run(spark, table, cfg, keyCol, runId,
+        manifestPath = opts.get("manifest"), baseline = baseline,
+        violationsOut = opts.get("violations-out"))
     }
     report.results.sortBy(r => (r.rule, r.partition)).foreach { r =>
       println(f"${r.rule}%-24s ${r.partition}%-10s ${r.verdict}%-5s " +

@@ -62,7 +62,8 @@ object Validator {
       manifestPath: String,
       baseline: Option[DataFrame] = None,
       collectViolations: Boolean = true,
-      maxViolationExamples: Option[Int] = None): Seq[RunReport] = {
+      maxViolationExamples: Option[Int] = None,
+      violationsOut: Option[String] = None): Seq[RunReport] = {
     val pCol = cfg.partitionColumn
     // uniqueness is GLOBAL (duplicate keys span partitions) — it cannot be
     // scoped to a partition sub-run; execute it once per runId, recorded
@@ -85,14 +86,31 @@ object Validator {
     }
     val done = Manifest.completedPartitions(
       spark, manifestPath, runId, subCfg.rules.map(_.name))
+    // null partition values validate as the "<null>" partition (run() reports
+    // them under that name; a naive String sort would NPE on null)
     val parts = table.select(col(pCol)).distinct()
-      .collect().map(_.getString(0)).sorted
-      .filterNot(done)
+      .collect().map(r => Option(r.getString(0)).getOrElse("<null>"))
+      .sorted.filterNot(done)
     parts.map { p =>
-      run(spark, table.filter(col(pCol) === p), subCfg, keyCol, runId,
-        manifestPath = Some(manifestPath), baseline = baseline,
+      val subTable =
+        if (p == "<null>") table.filter(col(pCol).isNull)
+        else table.filter(col(pCol) === p)
+      // prune the baseline to this partition too — passing the full baseline
+      // would re-histogram the ENTIRE baseline table once per partition
+      val subBaseline = baseline.map { b =>
+        if (p == "<null>") b.filter(col(pCol).isNull)
+        else b.filter(col(pCol) === p)
+      }
+      val rep = run(spark, subTable, subCfg, keyCol, runId,
+        manifestPath = Some(manifestPath), baseline = subBaseline,
         collectViolations = collectViolations,
-        maxViolationExamples = maxViolationExamples)
+        maxViolationExamples = maxViolationExamples,
+        violationsOut = violationsOut.map(o =>
+          s"$o/part=${p.replaceAll("[^A-Za-z0-9_-]", "_")}"))
+      // violations are durable on disk (written inside run()); release the
+      // cached copy so N partitions don't pile up N cached violation sets
+      if (collectViolations) rep.violations.unpersist()
+      rep
     }.toSeq
   }
 
@@ -106,7 +124,8 @@ object Validator {
       baseline: Option[DataFrame] = None,
       collectViolations: Boolean = true,
       strict: Boolean = false,
-      maxViolationExamples: Option[Int] = None): RunReport = {
+      maxViolationExamples: Option[Int] = None,
+      violationsOut: Option[String] = None): RunReport = {
     import spark.implicits._
     val pCol = cfg.partitionColumn
     val t0 = System.nanoTime()
@@ -244,6 +263,10 @@ object Validator {
         val v = Checks.violations(flagged, rowRules, keyCol, pCol, maxViolationExamples)
           .persist(StorageLevel.MEMORY_AND_DISK)
         v.count()
+        // write BEFORE the manifest append below: once a partition is marked
+        // complete its violations must already be durable (crash-resume
+        // consistency — a resumed run never revisits completed partitions)
+        violationsOut.foreach(o => v.write.mode("overwrite").parquet(o))
         v
       } else spark.emptyDataFrame
 

@@ -27,6 +27,17 @@ case class TokensInRange(child: Expression, lo: Int, hi: Int)
   override def dataType: DataType = BooleanType
   override def prettyName: String = "tokens_in_range"
 
+  // getInt on a non-int array reads garbage bytes — make the mismatch an
+  // analysis-time error (the SQL registration exposes this to arbitrary input)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tokens_in_range requires array<int>, got ${other.simpleString}")
+    }
+
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()

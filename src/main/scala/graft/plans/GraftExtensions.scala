@@ -21,9 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
-    case Literal(v: Long, _) => v.toInt
+    case Literal(v: Long, _) if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
     case other => throw new IllegalArgumentException(
-      s"$what must be an integer literal, got $other")
+      s"$what must be an Int-range integer literal, got $other")
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
