@@ -406,6 +406,37 @@ object OracleSql {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
 
+    "q3_shipping" ->
+      """WITH r AS (
+        |  SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |  GROUP BY 1, 2)
+        |SELECT l_orderkey, odate, revenue, CAST(rank AS INT) AS rank FROM (
+        |  SELECT l_orderkey, odate, revenue,
+        |    row_number() OVER (ORDER BY revenue DESC, l_orderkey ASC) AS rank
+        |  FROM r)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q5_local_volume" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+
     "e_window" ->
       """SELECT event_id, user_id,
         | CAST(row_number() OVER w AS INT) AS rn,

@@ -417,6 +417,42 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    "q3_shipping" -> ((s, d) => { // TPC-H Q3 shape: filtered 3-way join, top-10
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val orders = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val li = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("revenue").desc, col("l_orderkey").asc)))
+        .filter(col("rank") <= 10)
+        .select(col("l_orderkey"), col("odate"), col("revenue"),
+          col("rank").cast("int").as("rank"))
+    }),
+
+    "q5_local_volume" -> ((s, d) => { // TPC-H Q5 shape: 5-way join per nation
+      val li = t(s, d, "lineitem")
+      val sup = t(s, d, "supplier")
+      val nat = t(s, d, "nation")
+      val reg = t(s, d, "region")
+      val orders = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg.filter(col("r_name") === "ASIA")),
+          nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+
     "e_window" -> ((s, d) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       t(s, d, "events").select(
