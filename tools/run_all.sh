@@ -1,0 +1,18 @@
+#!/usr/bin/env bash
+# Full local gate: mirrors everything the driver checks for a round.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== 1/4 tests =="
+sbt -batch test
+
+echo "== 2/4 correctness (driver gate mirror, sf0.01) =="
+SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/graft-verify-gate"
+python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/graft-verify-gate
+
+echo "== 3/4 bench (sf0.1, one JSON line) =="
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"'
+
+echo "== 4/4 scaling evidence (appends BENCH/BASELINE.md; ~15 min) =="
+echo "run manually: sbt -batch 'runMain graft.ScalingBench 4000000 BENCH/BASELINE.md 1,4'"
