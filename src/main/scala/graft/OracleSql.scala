@@ -406,6 +406,15 @@ object OracleSql {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name""".stripMargin,
 
+    "q6_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
     "q3_shipping" ->
       """WITH r AS (
         |  SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate,

@@ -417,6 +417,15 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
     }),
 
+    "q6_forecast" -> ((s, d) => // TPC-H Q6 shape: pure pushed-filter aggregate
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))),
+
     "q3_shipping" -> ((s, d) => { // TPC-H Q3 shape: filtered 3-way join, top-10
       val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
       val orders = t(s, d, "orders")

@@ -206,6 +206,39 @@ class OpsSpec extends SparkTestBase {
     assert(mode(2) == 5.0) // tie between 5 and 7 -> smallest wins (np.unique order)
   }
 
+  test("datetime diff in weeks/hours/minutes/seconds units (datetime.py:46)") {
+    val df = Seq(("2023-01-15 06:30:45", "2023-01-01 00:00:00")).toDF("a", "b")
+      .select(col("a").cast("timestamp").as("a"), col("b").cast("timestamp").as("b"))
+    val got = df.select(
+      DateTimeOps.dateTimeDiff(col("a"), col("b"), "W"),
+      DateTimeOps.dateTimeDiff(col("a"), col("b"), "h"),
+      DateTimeOps.dateTimeDiff(col("a"), col("b"), "m"),
+      DateTimeOps.dateTimeDiff(col("a"), col("b"), "s")).head()
+    assert(got.getLong(0) == 2L)               // 14.27 days -> 2 whole weeks
+    assert(got.getLong(1) == 14 * 24 + 6)      // 342 whole hours
+    assert(got.getLong(2) == (14 * 24 + 6) * 60 + 30)
+    assert(got.getLong(3) == ((14 * 24 + 6) * 60 + 30) * 60 + 45)
+    intercept[IllegalArgumentException] {
+      DateTimeOps.dateTimeDiff(col("a"), col("b"), "ns")
+    }
+  }
+
+  test("concat ragged mode: array of strings joined per row (string.py:26-46)") {
+    val df = Seq(Seq("OR", "ANGE", "!")).toDF("arr")
+    assert(df.select(StringOps.concatArray(col("arr"))).head().getString(0) == "ORANGE!")
+  }
+
+  test("divide: exactly one of numerator/denominator fixed (math.py:70-72)") {
+    val df = Seq(4.0).toDF("x")
+    assert(df.select(MathOps.divideByData(100.0, col("x"))).head().getDouble(0) == 25.0)
+    assert(df.select(MathOps.divideData(col("x"), 8.0)).head().getDouble(0) == 0.5)
+  }
+
+  test("scale by another feature column (PromiseValue factor, math.py:94-103)") {
+    val df = Seq((3.0, 4.0)).toDF("x", "f")
+    assert(df.select(MathOps.scale(col("x"), col("f"))).head().getDouble(0) == 12.0)
+  }
+
   // ---- casting (test_generic_transforms.py) ----
 
   test("astype unsafe truncation: [1.5,2.6,3.7] -> int [1,2,3] (features.py:37)") {
