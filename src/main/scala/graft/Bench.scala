@@ -103,7 +103,17 @@ object Bench {
     val qs = (results :+ ("validate_full_suite" -> vSec))
       .map { case (k, v) => jkey(k) + f":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + vSec
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validate_rows":$vRows,"validate_sec":$vSec%.3f,"validated_seq_per_sec":${seqPerSec.toLong},"cpus":$cpus}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validate_rows":$vRows,"validate_sec":$vSec%.3f,"validated_seq_per_sec":${seqPerSec.toLong},"cpus":$cpus}"""
+    println(line)
+    // ALSO write to a file: sbt prefixes stdout lines with "[info] ", which
+    // broke the driver's machine-parse of the bench line in round 1
+    // (BENCH_r01.json "parsed": null) — a clean file is unambiguous
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("BENCH"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH/last_run.json"), line + "\n")
+    } catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write BENCH/last_run.json: $e") }
     spark.stop()
   }
 }

@@ -38,6 +38,17 @@ object SparkEntry {
   // deterministic per-row key for lineitem outputs
   private def liKey: Seq[Column] = Seq(col("l_orderkey"), col("l_linenumber"))
 
+  /** Global top-k WITHOUT a single-partition window over unbounded input:
+    * orderBy+limit compiles to TakeOrderedAndProject (per-partition heap,
+    * driver merges k rows per partition); the rank column is then derived by
+    * a window over the ALREADY-k-row result, so the single-partition
+    * exchange that window needs is bounded by k rows — safe at any table
+    * size. (A bare `Window.orderBy` over the full input would funnel every
+    * row through ONE reducer.) */
+  private def rankedTopK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+      .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ======== §2.1 element-wise math ========
@@ -310,11 +321,10 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      emb.filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), round(Similarity.cosineTo(col("embedding"), q), 6).as("cos"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("cos").desc, col("vec_id").asc)))
-        .filter(col("rank") <= 10)
+      rankedTopK(
+        emb.filter(col("vec_id") =!= 0)
+          .select(col("vec_id"), round(Similarity.cosineTo(col("embedding"), q), 6).as("cos")),
+        10, col("cos").desc, col("vec_id").asc)
     }),
 
     "ann_lsh" -> ((s, d) => { // rows-only: LSH bucketing is approximate
@@ -353,10 +363,8 @@ object SparkEntry {
       val words = t(s, d, "documents")
         .select(explode(split(Dedup.normText(col("text")), " ")).as("word"))
         .filter(col("word") =!= "")
-      words.groupBy("word").agg(count(lit(1)).as("n"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("n").desc, col("word").asc)))
-        .filter(col("rank") <= 20)
+      rankedTopK(words.groupBy("word").agg(count(lit(1)).as("n")),
+        20, col("n").desc, col("word").asc)
         .select(col("word"), col("n"), col("rank").cast("int").as("rank"))
     }),
 
@@ -432,14 +440,13 @@ object SparkEntry {
         .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
       val li = t(s, d, "lineitem")
         .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
-      li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-        .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
-        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("revenue"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("revenue").desc, col("l_orderkey").asc)))
-        .filter(col("rank") <= 10)
+      rankedTopK(
+        li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+          .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue")),
+        10, col("revenue").desc, col("l_orderkey").asc)
         .select(col("l_orderkey"), col("odate"), col("revenue"),
           col("rank").cast("int").as("rank"))
     }),
@@ -478,12 +485,11 @@ object SparkEntry {
       .groupBy("event_type")
       .agg(sum(col("k")).cast("long").as("sum_k"), count(lit(1)).as("n"))),
 
-    "e_topk_users" -> ((s, d) => t(s, d, "events")
-      .groupBy("user_id")
-      .agg(round(sum(col("value")), 2).as("total"), count(lit(1)).as("n_events"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("total").desc, col("user_id").asc)))
-      .filter(col("rank") <= 5)),
+    "e_topk_users" -> ((s, d) => rankedTopK(
+      t(s, d, "events")
+        .groupBy("user_id")
+        .agg(round(sum(col("value")), 2).as("total"), count(lit(1)).as("n_events")),
+      5, col("total").desc, col("user_id").asc)),
 
     "a_rollup" -> ((s, d) => t(s, d, "lineitem")
       .rollup(col("l_returnflag"), col("l_linestatus"))
@@ -528,58 +534,66 @@ object SparkEntry {
     })
   )
 
+  /** Dense per-(source, bin) frame with per-source probability `p` and
+    * global probability `q` of the n_chars histogram — the shared input of
+    * the relational PSI and KS statistics. ONE scan of `docs`: the
+    * (source, bin) counts are aggregated once and persisted (output is
+    * O(sources × bins) rows); source totals, global bin counts and the
+    * grand total all derive from that tiny cached aggregate via window sums
+    * instead of re-scanning the table. */
+  private def densePQ(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val binCol = least(greatest(floor(col("n_chars") / 60.0), lit(0)), lit(k - 1))
+      .cast("int")
+    val perSrc = docs.select(col("source"), binCol.as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // grand total: O(1) action on the cached tiny aggregate, not a re-scan
+    val gTot = perSrc.agg(sum("cnt")).head().getLong(0).toDouble
+    // dense (source × bin) grid so empty bins contribute eps
+    val grid = perSrc.select("source").distinct()
+      .crossJoin(docs.sparkSession.range(k).select(col("id").cast("int").as("bin")))
+    val filled = grid.join(perSrc, Seq("source", "bin"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val pq = filled
+      .withColumn("tot", sum("cnt").over(Window.partitionBy("source")))
+      .withColumn("gcnt", sum("cnt").over(Window.partitionBy("bin")))
+      .select(col("source"), col("bin"),
+        (col("cnt") / col("tot")).as("p"),
+        (col("gcnt") / lit(gTot)).as("q"))
+    (pq, perSrc)
+  }
+
   /** PSI of each source's n_chars histogram vs the global distribution —
     * the drift statistic (Drift.psi) expressed relationally so DuckDB can
     * replicate it. 10 bins over [0, 600), eps=1e-6, matching Drift.psi. */
   private def psiPerSource(docs: DataFrame): DataFrame = {
-    val k = 10
-    val binCol = least(greatest(floor(col("n_chars") / 60.0), lit(0)), lit(k - 1))
-      .cast("int")
-    val binned = docs.select(col("source"), binCol.as("bin"))
-    val perSrc = binned.groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
-    val srcTot = binned.groupBy("source").agg(count(lit(1)).as("tot"))
-    val global = binned.groupBy("bin").agg(count(lit(1)).as("gcnt"))
-    val gTot = binned.count().toDouble
-    // dense (source × bin) grid so empty bins contribute eps
-    val grid = srcTot.crossJoin(
-      docs.sparkSession.range(k).select(col("id").cast("int").as("bin")))
+    val (pq, cached) = densePQ(docs, 10)
     val eps = 1e-6
-    grid
-      .join(perSrc, Seq("source", "bin"), "left")
-      .join(global, Seq("bin"), "left")
+    val out = pq
       .select(col("source"),
-        greatest(coalesce(col("cnt"), lit(0L)) / col("tot"), lit(eps)).as("p"),
-        greatest(coalesce(col("gcnt"), lit(0L)) / lit(gTot), lit(eps)).as("q"))
+        greatest(col("p"), lit(eps)).as("p"), greatest(col("q"), lit(eps)).as("q"))
       .groupBy("source")
       .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+      .localCheckpoint(true)
+    cached.unpersist()
+    out
   }
 
   /** Two-sample KS statistic per source vs the global n_chars distribution —
     * Drift.ks expressed relationally (dense bin grid, windowed ECDF cumsum,
     * max absolute gap) so the oracle can replicate it. */
   private def ksPerSource(docs: DataFrame): DataFrame = {
-    val k = 10
-    val binCol = least(greatest(floor(col("n_chars") / 60.0), lit(0)), lit(k - 1))
-      .cast("int")
-    val binned = docs.select(col("source"), binCol.as("bin"))
-    val perSrc = binned.groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
-    val srcTot = binned.groupBy("source").agg(count(lit(1)).as("tot"))
-    val global = binned.groupBy("bin").agg(count(lit(1)).as("gcnt"))
-    val gTot = binned.count().toDouble
-    val grid = srcTot.crossJoin(
-      docs.sparkSession.range(k).select(col("id").cast("int").as("bin")))
+    val (pq, cached) = densePQ(docs, 10)
     val w = Window.partitionBy("source").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, 0)
-    grid
-      .join(perSrc, Seq("source", "bin"), "left")
-      .join(global, Seq("bin"), "left")
-      .select(col("source"), col("bin"),
-        (coalesce(col("cnt"), lit(0L)) / col("tot")).as("p"),
-        (coalesce(col("gcnt"), lit(0L)) / lit(gTot)).as("q"))
+    val out = pq
       .withColumn("cp", sum("p").over(w))
       .withColumn("cq", sum("q").over(w))
       .groupBy("source")
       .agg(round(max(abs(col("cp") - col("cq"))), 6).as("ks"))
+      .localCheckpoint(true)
+    cached.unpersist()
+    out
   }
 
   /** DuckDB-equivalent SQL per query (same aliases, same rounding). */

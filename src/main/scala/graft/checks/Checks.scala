@@ -101,14 +101,17 @@ object Checks {
     * table before the exchange); count-only keeps the buffer fixed-size and
     * codegen'd, and partial aggregation map-side means duplicate-key skew
     * cannot create a hot reducer. (2) resolve partitions ONLY for the
-    * violating keys via a broadcast semi-style join over a 2-column pruned
-    * re-scan — dup keys are rare, so this side is tiny. */
+    * violating keys via a join over a 2-column pruned re-scan. The join
+    * strategy is deliberately LEFT TO AQE: on healthy data the dup side is
+    * tiny and AQE broadcasts it at runtime; on pathological data (the
+    * validator's whole job) a forced broadcast of an unbounded dup-key table
+    * would OOM the driver — AQE falls back to a shuffle join instead. */
   def uniquenessViolations(df: DataFrame, keyCol: String, partitionCol: String): DataFrame = {
     val dupCounts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
     df.select(col(keyCol).as("key"), col(partitionCol).as("__p"))
-      .join(broadcast(dupCounts), "key")
+      .join(dupCounts, "key")
       .groupBy(col("key"))
       .agg(first(col("n")).as("n"), min(col("__p")).as("partition"))
   }

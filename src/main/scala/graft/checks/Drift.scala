@@ -74,10 +74,12 @@ object Drift {
       lo: Double, hi: Double, k: Int,
       psiMax: Double, ksMax: Double): Seq[DriftVerdict] = {
 
+    // null partition values map to "<null>" — the validator's convention;
+    // a raw null key would NPE in the sort below
     def collectHists(df: DataFrame): Map[String, Array[Double]] =
       histogram(df, valueCol, partitionCol, lo, hi, k)
         .collect()
-        .groupBy(_.getString(0))
+        .groupBy(r => Option(r.getString(0)).getOrElse("<null>"))
         .map { case (p, rows) =>
           p -> toDense(rows.map(r => (r.getInt(1), r.getLong(2))).toSeq, k)
         }

@@ -45,6 +45,12 @@ object Validator {
         s"validation failed: " + failed.map(r =>
           s"${r.rule}@${r.partition}(viol=${r.violationCount})").mkString(", "))
 
+  /** Deterministic 8-hex-char tag of a raw partition value (String.hashCode
+    * is JVM-stable by spec; splitmix64 spreads it). Makes sanitized
+    * violation-output directory names injective. */
+  private[engine] def partitionTag(p: String): String =
+    f"${graft.functions.expr.Mix.splitmix64(p.hashCode.toLong) >>> 32}%08x"
+
   /** Partition-granular checkpointed execution: validates one table
     * partition per job, appending the manifest AFTER each — so a crash at
     * any point loses at most one partition of work and the re-run with the
@@ -63,13 +69,18 @@ object Validator {
       baseline: Option[DataFrame] = None,
       collectViolations: Boolean = true,
       maxViolationExamples: Option[Int] = None,
-      violationsOut: Option[String] = None): Seq[RunReport] = {
+      violationsOut: Option[String] = None,
+      maxParallel: Int = 1): Seq[RunReport] = {
     val pCol = cfg.partitionColumn
     // uniqueness is GLOBAL (duplicate keys span partitions) — it cannot be
     // scoped to a partition sub-run; execute it once per runId, recorded
     // under partition "*" (which completedPartitions treats as covering all)
     val uniqueRules = cfg.rules.filter(_.kind == RuleKind.Unique)
     val subCfg = cfg.copy(rules = cfg.rules.filterNot(_.kind == RuleKind.Unique))
+    // ONE manifest read for the whole call: both the global-uniqueness check
+    // and completedPartitions derive from it. At 10^4 partitions a re-read
+    // per sub-run would rescan an ever-growing small-file manifest N times
+    // (quadratic in partitions).
     val doneGlobal = Manifest.completed(spark, manifestPath, runId)
     uniqueRules.filterNot(r => doneGlobal.contains(("*", r.name))).foreach { r =>
       val t1 = System.nanoTime()
@@ -84,14 +95,14 @@ object Validator {
         if (agg.getLong(1) == 0L) "pass" else "fail",
         0L, agg.getLong(1), agg.getLong(2), wall, s"dupKeys=${agg.getLong(0)}")))
     }
-    val done = Manifest.completedPartitions(
-      spark, manifestPath, runId, subCfg.rules.map(_.name))
+    val done = Manifest.completedPartitionsFrom(
+      doneGlobal, subCfg.rules.map(_.name))
     // null partition values validate as the "<null>" partition (run() reports
     // them under that name; a naive String sort would NPE on null)
     val parts = table.select(col(pCol)).distinct()
       .collect().map(r => Option(r.getString(0)).getOrElse("<null>"))
       .sorted.filterNot(done)
-    parts.map { p =>
+    def subRun(p: String): RunReport = {
       val subTable =
         if (p == "<null>") table.filter(col(pCol).isNull)
         else table.filter(col(pCol) === p)
@@ -105,13 +116,38 @@ object Validator {
         manifestPath = Some(manifestPath), baseline = subBaseline,
         collectViolations = collectViolations,
         maxViolationExamples = maxViolationExamples,
+        // sanitized name + short content hash: sanitization alone is not
+        // injective ('2024/01' and '2024_01' both map to '2024_01'), and
+        // mode("overwrite") inside run() would silently clobber the first
+        // partition's durable violations
         violationsOut = violationsOut.map(o =>
-          s"$o/part=${p.replaceAll("[^A-Za-z0-9_-]", "_")}"))
+          s"$o/part=${p.replaceAll("[^A-Za-z0-9_-]", "_")}-${partitionTag(p)}"),
+        // this sub-run's partition set was pruned from the ONE manifest read
+        // above; run() must not re-read the manifest (O(partitions) reads of
+        // a growing small-file table) or re-prune (the sub-table IS one
+        // unfinished partition already)
+        resumeDone = Some(Set.empty))
       // violations are durable on disk (written inside run()); release the
       // cached copy so N partitions don't pile up N cached violation sets
       if (collectViolations) rep.violations.unpersist()
       rep
-    }.toSeq
+    }
+    if (maxParallel <= 1) parts.map(subRun).toSeq
+    else {
+      // Bounded-parallel sub-runs: checkpoint granularity stays one
+      // partition (each sub-run appends its own manifest rows on completion)
+      // but the cluster no longer idles between sub-jobs during driver-side
+      // scheduling. Parquet append-mode writes use task-unique file names,
+      // so concurrent manifest appends do not collide.
+      import java.util.concurrent.Executors
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = Executors.newFixedThreadPool(maxParallel)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try Await.result(
+        Future.sequence(parts.toSeq.map(p => Future(subRun(p)))), Duration.Inf)
+      finally pool.shutdown()
+    }
   }
 
   def run(
@@ -125,19 +161,36 @@ object Validator {
       collectViolations: Boolean = true,
       strict: Boolean = false,
       maxViolationExamples: Option[Int] = None,
-      violationsOut: Option[String] = None): RunReport = {
+      violationsOut: Option[String] = None,
+      resumeDone: Option[Set[String]] = None): RunReport = {
     import spark.implicits._
     val pCol = cfg.partitionColumn
     val t0 = System.nanoTime()
 
     // ---- resume: prune completed partitions before the scan ----
+    // `resumeDone` short-circuits the manifest read when the caller already
+    // holds the completed set (runPerPartition reads the manifest ONCE and
+    // threads it through instead of re-reading per sub-run)
     val ruleNames = cfg.rules.map(_.name)
-    val doneParts: Set[String] = manifestPath
+    val doneParts: Set[String] = resumeDone.getOrElse(manifestPath
       .map(p => Manifest.completedPartitions(spark, p, runId, ruleNames))
-      .getOrElse(Set.empty)
+      .getOrElse(Set.empty))
+    // Null-safe prune: rows with a NULL partition value make `isin` evaluate
+    // to NULL under three-valued logic, so `!isin` would silently DROP them
+    // from the scan whenever any partition is already done. Nulls validate
+    // under the "<null>" pseudo-partition, so they are pruned only when that
+    // pseudo-partition itself is complete.
     val df0 =
       if (doneParts.isEmpty) table
-      else table.filter(!col(pCol).isin(doneParts.toSeq: _*))
+      else {
+        val nonNullDone = (doneParts - "<null>").toSeq
+        val keepNonNull =
+          if (nonNullDone.isEmpty) lit(true) else !col(pCol).isin(nonNullDone: _*)
+        val keep =
+          if (doneParts.contains("<null>")) col(pCol).isNotNull && keepNonNull
+          else col(pCol).isNull || keepNonNull
+        table.filter(keep)
+      }
 
     // ---- schema rule (plan-time, zero scan) ----
     val schemaProblems = Checks.schemaCheck(table.schema, cfg)

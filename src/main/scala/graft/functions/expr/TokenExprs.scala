@@ -55,13 +55,15 @@ case class TokensInRange(child: Expression, lo: Int, hi: Int)
     nullSafeCodeGen(ctx, ev, arr => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
+      val t = ctx.freshName("t") // unqualified 't' could shadow an enclosing
+                                 // generated local and fail codegen compile
       s"""
          |${ev.value} = true;
          |final int $n = $arr.numElements();
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($arr.isNullAt($i)) { ${ev.value} = false; break; }
-         |  final int t = $arr.getInt($i);
-         |  if (t < $lo || t > $hi) { ${ev.value} = false; break; }
+         |  final int $t = $arr.getInt($i);
+         |  if ($t < $lo || $t > $hi) { ${ev.value} = false; break; }
          |}
        """.stripMargin
     })

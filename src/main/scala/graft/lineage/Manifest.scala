@@ -43,11 +43,20 @@ object Manifest {
         .partitionBy("runId").parquet(path)
   }
 
-  def read(spark: SparkSession, path: String): DataFrame =
-    try spark.read.schema(schemaDDL).parquet(path)
-    catch { case _: Throwable => spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(schemaDDL)) }
+  /** Read the manifest. A missing path (first run) yields an empty frame;
+    * any OTHER failure (corrupt files, transient I/O) PROPAGATES — Main's
+    * per-partition report and exit code are built from this read, so
+    * swallowing a genuine error would print failed=0 and exit 0 against a
+    * manifest we could not actually read (and silently restart resume). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+    if (!exists)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+    else spark.read.schema(schemaDDL).parquet(path)
+  }
 
   /** (partition, rule) pairs already completed for this run. */
   def completed(spark: SparkSession, path: String, runId: String): Set[(String, String)] =
@@ -63,13 +72,39 @@ object Manifest {
     * cover every partition. */
   def completedPartitions(
       spark: SparkSession, path: String, runId: String,
-      rules: Seq[String]): Set[String] = {
-    val done = completed(spark, path, runId)
+      rules: Seq[String]): Set[String] =
+    completedPartitionsFrom(completed(spark, path, runId), rules)
+
+  /** Same, from an already-read completed set — lets a caller that loops
+    * over partitions read the manifest ONCE instead of once per partition. */
+  def completedPartitionsFrom(
+      done: Set[(String, String)], rules: Seq[String]): Set[String] = {
     val globalRules = done.collect { case ("*", r) => r }
     done.groupBy(_._1).collect {
       case (p, rs) if p != "*" &&
         rules.forall(r => rs.contains((p, r)) || globalRules.contains(r)) => p
     }.toSet
+  }
+
+  /** Rewrite the manifest as one compacted file per runId. Per-partition
+    * checkpointing appends one tiny parquet file per (partition, attempt);
+    * at 10^4 partitions the accumulated small files dominate read time —
+    * run this between attempts (NOT concurrently with appends). */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val snapshot = read(spark, path).collect()
+    if (snapshot.nonEmpty) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(snapshot.toSeq, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+      // write aside, then swap — a crash mid-compaction must not lose rows
+      val tmp = path + ".compact-tmp"
+      df.coalesce(1).write.mode(SaveMode.Overwrite).partitionBy("runId").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+      ()
+    }
   }
 
   /** Order-insensitive content hash of a violation DataFrame: XOR of
