@@ -47,7 +47,9 @@ object Main {
       val mp = opts.getOrElse("manifest",
         sys.error("--per-partition requires --manifest"))
       val reports = Validator.runPerPartition(spark, table, cfg, keyCol, runId,
-        mp, baseline = baseline, violationsOut = opts.get("violations-out"))
+        mp, baseline = baseline, violationsOut = opts.get("violations-out"),
+        // bounded-parallel sub-runs (checkpoint granularity stays 1 partition)
+        maxParallel = opts.get("max-parallel").map(_.toInt).getOrElse(1))
       val manifestRows = graft.lineage.Manifest.read(spark, mp)
         .filter(org.apache.spark.sql.functions.col("runId") === runId)
         .collect()

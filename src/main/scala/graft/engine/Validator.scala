@@ -48,7 +48,7 @@ object Validator {
   /** Deterministic 8-hex-char tag of a raw partition value (String.hashCode
     * is JVM-stable by spec; splitmix64 spreads it). Makes sanitized
     * violation-output directory names injective. */
-  private[engine] def partitionTag(p: String): String =
+  private[graft] def partitionTag(p: String): String =
     f"${graft.functions.expr.Mix.splitmix64(p.hashCode.toLong) >>> 32}%08x"
 
   /** Partition-granular checkpointed execution: validates one table

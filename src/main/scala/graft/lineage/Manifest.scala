@@ -36,12 +36,19 @@ object Manifest {
     "rowCount bigint, violationCount bigint, contentHash bigint, " +
     "wallMs bigint, detail string"
 
-  def append(spark: SparkSession, path: String, entries: Seq[Entry]): Unit = {
-    import spark.implicits._
-    if (entries.nonEmpty)
-      entries.toDF().coalesce(1).write.mode(SaveMode.Append)
-        .partitionBy("runId").parquet(path)
-  }
+  // Concurrent appends to the SAME path from one driver collide in the
+  // Hadoop commit protocol's shared _temporary staging dir — serialize them
+  // in-process (appends are tiny; bounded-parallel sub-runs keep their
+  // crash-consistency ordering per thread).
+  private val appendLock = new Object
+
+  def append(spark: SparkSession, path: String, entries: Seq[Entry]): Unit =
+    appendLock.synchronized {
+      import spark.implicits._
+      if (entries.nonEmpty)
+        entries.toDF().coalesce(1).write.mode(SaveMode.Append)
+          .partitionBy("runId").parquet(path)
+    }
 
   /** Read the manifest. A missing path (first run) yields an empty frame;
     * any OTHER failure (corrupt files, transient I/O) PROPAGATES — Main's
@@ -90,15 +97,12 @@ object Manifest {
     * checkpointing appends one tiny parquet file per (partition, attempt);
     * at 10^4 partitions the accumulated small files dominate read time —
     * run this between attempts (NOT concurrently with appends). */
-  def compact(spark: SparkSession, path: String): Unit = {
-    val snapshot = read(spark, path).collect()
-    if (snapshot.nonEmpty) {
-      val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(snapshot.toSeq, 1),
-        org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
+  def compact(spark: SparkSession, path: String): Unit = appendLock.synchronized {
+    val src = read(spark, path)
+    if (!src.isEmpty) {
       // write aside, then swap — a crash mid-compaction must not lose rows
       val tmp = path + ".compact-tmp"
-      df.coalesce(1).write.mode(SaveMode.Overwrite).partitionBy("runId").parquet(tmp)
+      src.coalesce(1).write.mode(SaveMode.Overwrite).partitionBy("runId").parquet(tmp)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(path), true)

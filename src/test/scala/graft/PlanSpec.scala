@@ -112,4 +112,56 @@ class PlanSpec extends SparkTestBase {
   test("entry smoke has rows > 0 (driver t1 gate)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  /** The round-1 scale-killer gate: NO query may funnel an unbounded input
+    * through a single-partition shuffle (the `Window.orderBy` top-k
+    * anti-pattern). A single-partition exchange is allowed only when its
+    * subtree provably bounds the row count: a limit (TakeOrderedAndProject /
+    * CollectLimit / Local/GlobalLimit) or a grand-total aggregate (partial
+    * aggregate with no grouping keys ⇒ one row per partition). */
+  test("no query funnels unbounded input through a single-partition exchange") {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => a +: flatten(a.inputPlan)
+      case other => other +: other.children.flatMap(flatten)
+    }
+    def bounded(p: SparkPlan): Boolean = flatten(p).exists {
+      case _: TakeOrderedAndProjectExec => true
+      case _: CollectLimitExec          => true
+      case _: LocalLimitExec            => true
+      case _: GlobalLimitExec           => true
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty => true
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf()).queryExecution.executedPlan
+      flatten(plan).collect {
+        case s: ShuffleExchangeExec
+            if s.outputPartitioning == SinglePartition && !bounded(s.child) =>
+          s"$name: ${s.nodeName} over ${s.child.nodeName}"
+      }
+    }
+    assert(offenders.isEmpty,
+      s"single-partition exchanges over unbounded input:\n${offenders.mkString("\n")}")
+  }
+
+  test("uniqueness resolve join carries no forced broadcast hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // pathological 50%-duplicate table: a forced broadcast of the dup side
+    // would ship half the table through the driver
+    val dupHeavy = spark.range(20000)
+      .selectExpr("cast(id % 10000 as string) as doc_id", "'p' as part")
+    val df = graft.checks.Checks.uniquenessViolations(dupHeavy, "doc_id", "part")
+    val hinted = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.hint.leftHint.nonEmpty || j.hint.rightHint.nonEmpty => j
+    }
+    assert(hinted.isEmpty, "uniqueness resolve join must leave strategy to AQE")
+    // and it still finds exactly the planted duplicates
+    assert(df.count() == 10000)
+  }
 }

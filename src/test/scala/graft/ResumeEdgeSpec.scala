@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.datagen.SeqTableGen
+import graft.engine.{DefaultSuite, Validator}
+import graft.lineage.Manifest
+
+/** Regression tests for resume/manifest edge cases flagged by round-1
+  * review: null partition values under three-valued isin logic, manifest
+  * error propagation, violation-dir injectivity, drift on null partitions,
+  * single-read + compaction + bounded-parallel per-partition execution. */
+class ResumeEdgeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Planted table whose 'wiki' rows get a NULL source — exercises the
+    * "<null>" pseudo-partition everywhere. */
+  private def nullPartTable(n: Long) =
+    SeqTableGen.generate(spark, n, plant = true)
+      .withColumn("source",
+        when(col("source") === "wiki", lit(null: String)).otherwise(col("source")))
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("resume does NOT silently drop null-partition rows (3VL isin)") {
+    val mp = s"${tmp("graft-nullres")}/manifest"
+    val t = nullPartTable(4000).cache()
+    val nullRows = t.filter(col("source").isNull).count()
+    assert(nullRows > 0)
+    // complete ONE named partition first — doneParts becomes non-empty,
+    // which under the old !isin prune made every NULL-source row vanish
+    val subCfg = DefaultSuite.config.copy(rules =
+      DefaultSuite.config.rules.filterNot(_.kind == graft.config.RuleKind.Unique))
+    Validator.run(spark, t.filter(col("source") === "books"), subCfg,
+      "doc_id", "nr1", manifestPath = Some(mp))
+    // full-table resume with the same runId must still validate the nulls
+    val rep = Validator.run(spark, t, subCfg, "doc_id", "nr1",
+      manifestPath = Some(mp))
+    val nullRes = rep.results.filter(r =>
+      r.rule == "n_tok_range" && r.partition == "<null>")
+    assert(nullRes.nonEmpty, "null partition was silently skipped on resume")
+    assert(nullRes.head.rowCount == nullRows)
+    assert(!rep.results.exists(_.partition == "books"), "books not pruned")
+    t.unpersist()
+  }
+
+  test("resume prunes the <null> pseudo-partition once IT is complete") {
+    val mp = s"${tmp("graft-nullres2")}/manifest"
+    val t = nullPartTable(3000).cache()
+    val subCfg = DefaultSuite.config.copy(rules =
+      DefaultSuite.config.rules.filterNot(_.kind == graft.config.RuleKind.Unique))
+    Validator.run(spark, t.filter(col("source").isNull), subCfg,
+      "doc_id", "nr2", manifestPath = Some(mp))
+    val rep = Validator.run(spark, t, subCfg, "doc_id", "nr2",
+      manifestPath = Some(mp))
+    assert(!rep.results.exists(_.partition == "<null>"), "<null> not pruned")
+    assert(rep.results.exists(_.partition == "books"))
+    t.unpersist()
+  }
+
+  test("per-partition mode validates the <null> partition after named siblings") {
+    val mp = s"${tmp("graft-ppnull")}/manifest"
+    val t = nullPartTable(3000).cache()
+    val nullRows = t.filter(col("source").isNull).count()
+    val reports = Validator.runPerPartition(spark, t, DefaultSuite.config,
+      "doc_id", "ppn1", mp)
+    val byPart = reports.flatMap(_.results)
+      .filter(_.rule == "n_tok_range").map(r => r.partition -> r.rowCount).toMap
+    assert(byPart.get("<null>").contains(nullRows),
+      s"<null> partition missing or wrong rows: $byPart")
+    // resume: nothing left, including the null pseudo-partition
+    assert(Validator.runPerPartition(spark, t, DefaultSuite.config,
+      "doc_id", "ppn1", mp).isEmpty)
+    t.unpersist()
+  }
+
+  test("violation output dirs are injective for colliding partition names") {
+    assert(Validator.partitionTag("2024/01") != Validator.partitionTag("2024_01"))
+    val out = tmp("graft-vdirs")
+    val mp = s"${tmp("graft-vdirs-m")}/manifest"
+    val t = SeqTableGen.generate(spark, 2000, plant = true)
+      .withColumn("source",
+        when(col("source") === "books", "2024/01")
+          .when(col("source") === "web", "2024_01").otherwise(col("source")))
+    Validator.runPerPartition(spark, t, DefaultSuite.config, "doc_id", "vd1",
+      mp, violationsOut = Some(out))
+    val dirs = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(dirs.count(_.startsWith("part=2024_01-")) == 2,
+      s"expected two distinct dirs for 2024/01 and 2024_01, got $dirs")
+  }
+
+  test("corrupt manifest read propagates instead of reporting empty") {
+    val mp = s"${tmp("graft-corrupt")}/manifest"
+    Manifest.append(spark, mp, Seq(Manifest.Entry(
+      "r1", "p1", "rule1", "pass", 1L, 0L, 0L, 0L, "")))
+    // clobber the parquet data file with garbage
+    val dir = new java.io.File(s"$mp/runId=r1")
+    val pq = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.write(pq.toPath, "not parquet".getBytes)
+    intercept[Throwable] { Manifest.read(spark, mp).collect() }
+    // missing path still reads as empty (first-run behavior)
+    assert(Manifest.read(spark, s"${tmp("graft-missing")}/nope").isEmpty)
+  }
+
+  test("drift compare handles null partition values as <null>") {
+    val base = Seq(("a", 10.0), (null: String, 12.0), ("a", 11.0), (null, 13.0))
+      .toDF("part", "x")
+    val cur = Seq(("a", 10.5), (null: String, 12.5)).toDF("part", "x")
+    val verdicts = graft.checks.Drift.compare(base, cur, "x", "part",
+      0.0, 20.0, 4, psiMax = 10.0, ksMax = 1.0)
+    assert(verdicts.map(_.partition).toSet == Set("a", "<null>"))
+    assert(verdicts.forall(_.pass))
+  }
+
+  test("manifest compaction preserves rows and shrinks file count") {
+    val mp = s"${tmp("graft-compact")}/manifest"
+    (1 to 20).foreach(i => Manifest.append(spark, mp, Seq(Manifest.Entry(
+      "r1", s"p$i", "rule1", "pass", i.toLong, 0L, 0L, 0L, ""))))
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(mp)).count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles()
+    assert(before >= 20)
+    val rowsBefore = Manifest.read(spark, mp).collect().map(_.toString).sorted
+    Manifest.compact(spark, mp)
+    assert(parquetFiles() == 1, "compaction should leave one file per runId")
+    val rowsAfter = Manifest.read(spark, mp).collect().map(_.toString).sorted
+    assert(rowsAfter.sameElements(rowsBefore))
+    assert(Manifest.completed(spark, mp, "r1").size == 20)
+  }
+
+  test("bounded-parallel per-partition run matches sequential results") {
+    val t = SeqTableGen.generate(spark, 4000, plant = true).cache()
+    val mpSeq = s"${tmp("graft-par-s")}/manifest"
+    val mpPar = s"${tmp("graft-par-p")}/manifest"
+    val seqRep = Validator.runPerPartition(spark, t, DefaultSuite.config,
+      "doc_id", "par1", mpSeq, collectViolations = false)
+    val parRep = Validator.runPerPartition(spark, t, DefaultSuite.config,
+      "doc_id", "par1", mpPar, collectViolations = false, maxParallel = 4)
+    def key(rs: Seq[Validator.RunReport]) = rs.flatMap(_.results)
+      .map(r => (r.partition, r.rule, r.verdict, r.rowCount, r.violationCount))
+      .toSet
+    assert(key(parRep) == key(seqRep))
+    // both manifests agree on the completed set
+    assert(Manifest.completed(spark, mpPar, "par1")
+      == Manifest.completed(spark, mpSeq, "par1"))
+    t.unpersist()
+  }
+}
