@@ -61,6 +61,28 @@ object OracleSql {
          |   WHEN l_quantity < e3 THEN 2 ELSE 3 END AS INT) AS qbin
          |FROM lineitem, e""".stripMargin,
 
+    // self-verifying: the engine checks approx-vs-exact bin agreement and
+    // emits the verdict; the oracle pins the expected verdict + row count
+    "m_kbins_quantile_approx" ->
+      "SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS agree_ok FROM lineitem",
+
+    "m_kbins_kmeans" ->
+      """SELECT CAST(5 AS INT) AS n_bins_used,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | true AS centers_are_means
+        |FROM lineitem""".stripMargin,
+
+    "r_array_norm_axis0" ->
+      """WITH s AS (SELECT
+        |  avg(CAST(embedding[1] AS DOUBLE)) AS m0,
+        |  stddev_pop(CAST(embedding[1] AS DOUBLE)) AS s0,
+        |  avg(CAST(embedding[64] AS DOUBLE)) AS m63,
+        |  stddev_pop(CAST(embedding[64] AS DOUBLE)) AS s63 FROM embeddings)
+        |SELECT vec_id,
+        |  round((CAST(embedding[1] AS DOUBLE) - m0) / s0, 6) AS z0,
+        |  round((CAST(embedding[64] AS DOUBLE) - m63) / s63, 6) AS z63
+        |FROM embeddings, s""".stripMargin,
+
     "r_array_norm" ->
       """WITH t AS (SELECT vec_id,
         |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS d FROM embeddings),
@@ -252,6 +274,37 @@ object OracleSql {
         | bit_xor(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT)) AS content_hash,
         | count(*) AS n
         |FROM documents GROUP BY source""".stripMargin,
+
+    "v_schema_check" ->
+      """SELECT * FROM (VALUES
+        | ('lang', 'not null', 'no not_null rule', 'missing_not_null_rule'),
+        | ('n_chars', 'string', 'bigint', 'type_mismatch'),
+        | ('quality', 'double', '<missing>', 'missing_column'),
+        | ('source', '<absent>', 'string', 'unexpected_column')
+        |) AS t(col_name, expected, actual, problem)""".stripMargin,
+
+    "v_manifest_resume" ->
+      "SELECT 'p1' AS part",
+
+    // engine computes the estimate-vs-exact bound check; oracle pins the verdict
+    "dd_minhash_parity" ->
+      "SELECT true AS has_pairs, true AS est_within_bounds",
+
+    // group count is derived by the oracle from the same planted-duplicate
+    // construction; fingerprint consistency is the engine's claim
+    "dd_simhash_consistency" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 20)
+        |SELECT CAST(count(*) AS BIGINT) AS n_dup_groups, true AS all_consistent
+        |FROM (SELECT md5(text) FROM all_docs GROUP BY 1 HAVING count(*) > 1) t""".stripMargin,
+
+    // the LSH pair miner must recover exactly the planted near-duplicates
+    "dd_embed_sim_pairs" ->
+      """SELECT vec_id AS id_a, vec_id + 100000 AS id_b,
+        | CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
     "dd_exact_summary" ->
       """SELECT

@@ -91,10 +91,46 @@ object SparkEntry {
       df.select(liKey :+ col("qbin"): _*)
     }),
 
+    // scale-path quantile binning (approx_percentile edges, bounded memory),
+    // self-verified against the exact-percentile edges: ≥99% of rows must
+    // land in the same bin (GK rank error ≤ rows/accuracy)
+    "m_kbins_quantile_approx" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val both = MathOps.kbinsQuantile(
+        MathOps.kbinsQuantileApprox(li, col("l_quantity"), 4, "abin"),
+        col("l_quantity"), 4, "qbin")
+      both.agg(count(lit(1)).as("n_rows"),
+        (sum(when(col("abin") === col("qbin"), 1L).otherwise(0L)) >=
+          count(lit(1)) * 0.99).as("agree_ok"))
+    }),
+
+    // kbins strategy='kmeans' (sklearn: 1-D Lloyd's from uniform midpoints);
+    // self-verified invariants: every bin used, row count preserved, and the
+    // converged center of each bin equals the mean of its members
+    "m_kbins_kmeans" -> ((s, d) => {
+      val km = MathOps.kbinsKmeans(t(s, d, "lineitem"), col("l_extendedprice"), 5, "kb")
+      km.groupBy(col("kb"))
+        .agg(count(lit(1)).as("n"), avg(col("l_extendedprice")).as("m"),
+          first(col("__kb_center")).as("c"))
+        .agg(count(lit(1)).cast("int").as("n_bins_used"),
+          sum(col("n")).cast("long").as("n_rows"),
+          coalesce(every(abs(col("m") - col("c")) <= lit(1.0)), lit(false))
+            .as("centers_are_means"))
+    }),
+
     "r_array_norm" -> ((s, d) => t(s, d, "embeddings").select(
       col("vec_id"),
       round(element_at(MathOps.zscoreArray(col("embedding")), 1), 6).as("z0"),
       round(element_at(MathOps.minMaxArray(col("embedding")), 1), 6).as("mm0"))),
+
+    // 2-D z-score along axis=0 (math.py:158-167 axis param): per-DIMENSION
+    // stats across all rows, one posexplode agg + literal-array transform
+    "r_array_norm_axis0" -> ((s, d) => {
+      val z = MathOps.zscoreArrayAxis0(t(s, d, "embeddings"), col("embedding"), "z")
+      z.select(col("vec_id"),
+        round(element_at(col("z"), 1), 6).as("z0"),
+        round(element_at(col("z"), 64), 6).as("z63"))
+    }),
 
     // ======== §2.2 reductions ========
     "r_reduce" -> ((s, d) => t(s, d, "lineitem").select(
@@ -285,6 +321,48 @@ object SparkEntry {
         .as("content_hash"),
         count(lit(1)).as("n"))),
 
+    // schema check as an oracle-gated query: a deliberately mis-declared
+    // suite over the documents table must emit exactly the four problem rows
+    // (wrong type, missing column, undeclared column, non-nullable column
+    // without its structural not_null rule)
+    "v_schema_check" -> ((s, d) => {
+      import graft.config.{ColumnSpec, SuiteConfig}
+      val cfg = SuiteConfig("documents", "source",
+        columns = Seq(
+          ColumnSpec("doc_id", "bigint", nullable = true),
+          ColumnSpec("text", "string", nullable = true),
+          ColumnSpec("lang", "string", nullable = false), // no not_null rule
+          ColumnSpec("n_chars", "string", nullable = true), // actually bigint
+          ColumnSpec("quality", "double", nullable = true)), // absent
+        rules = Nil)
+      val rows = graft.checks.Checks.schemaCheck(t(s, d, "documents").schema, cfg)
+      import s.implicits._
+      rows.toDF("col_name", "expected", "actual", "problem")
+    }),
+
+    // manifest lineage round-trip as an oracle-gated query: append two runs'
+    // entries (one partition complete, one missing a rule, one global "*"
+    // rule), compact, and read back the resume frontier — only p1 of r1 has
+    // every rule covered
+    "v_manifest_resume" -> ((s, d) => {
+      import graft.lineage.Manifest
+      val dir = java.nio.file.Files.createTempDirectory("graft-vmr").toString
+      val mp = s"$dir/manifest"
+      Manifest.append(s, mp, Seq(
+        Manifest.Entry("r1", "p1", "rule_a", "pass", 10L, 0L, 0L, 1L, ""),
+        Manifest.Entry("r1", "p1", "rule_b", "fail", 10L, 2L, 0L, 1L, "")))
+      Manifest.append(s, mp, Seq(
+        Manifest.Entry("r1", "p2", "rule_a", "pass", 20L, 0L, 0L, 1L, ""),
+        Manifest.Entry("r1", "*", "rule_g", "pass", 0L, 0L, 0L, 1L, "")))
+      Manifest.append(s, mp, Seq(
+        Manifest.Entry("r2", "p3", "rule_a", "pass", 5L, 0L, 0L, 1L, "")))
+      Manifest.compact(s, mp)
+      val done = Manifest.completedPartitions(s, mp, "r1",
+        Seq("rule_a", "rule_b", "rule_g"))
+      import s.implicits._
+      done.toSeq.sorted.toDF("part")
+    }),
+
     // ======== dedup family ========
     "dd_exact_summary" -> ((s, d) => {
       val docs = t(s, d, "documents")
@@ -308,13 +386,55 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         graft.functions.expr.FingerprintExprs.wordSimhash(col("text"), 3).as("fp"))),
 
-    // cosine-similarity pair mining via LSH buckets; true near-dup use sets
-    // threshold ~0.95 (OperatorsSpec proves that on crafted vectors) — the
-    // testdata embeddings are near-orthogonal (max pairwise cos ~0.51), so
-    // this entry exercises the operator at a threshold where pairs exist
-    "dd_embed_sim_pairs" -> ((s, d) => // rows-only (O(n^2) oracle too slow)
-      Dedup.embeddingNearDupPairs(t(s, d, "embeddings"), "embedding", "vec_id",
-        dim = 64, planes = 4, threshold = 0.35)),
+    // oracle-backed minhash evidence: every LSH candidate pair's estimated
+    // Jaccard (fraction of equal signature components, k=64) must sit within
+    // ±0.3 of the EXACT char-5-gram Jaccard computed independently via the
+    // inverted-index join (4.2σ at k=64) — a genuine two-implementation check
+    "dd_minhash_parity" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", estThreshold = 0.2)
+      val exact = Dedup.jaccardPairs(docs, "text", "doc_id", n = 5,
+        threshold = 0.0, maxDocsPerShingle = 1000000, words = false)
+      lsh.join(exact, Seq("id_a", "id_b"), "left")
+        .select(col("est_jaccard"), coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
+        .agg((count(lit(1)) > 0).as("has_pairs"),
+          coalesce(every(abs(col("est_jaccard") - col("jaccard")) <= 0.3), lit(true))
+            .as("est_within_bounds"))
+    }),
+
+    // oracle-backed simhash evidence: planted exact-duplicate texts (new
+    // doc_ids) must fingerprint identically — group count is computed by the
+    // oracle from the same construction, consistency by the engine
+    "dd_simhash_consistency" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + 100000)
+      docs.unionByName(dups)
+        .select(md5(col("text")).as("h"),
+          graft.functions.expr.FingerprintExprs.wordSimhash(col("text"), 3).as("fp"))
+        .groupBy("h")
+        .agg(countDistinct(col("fp")).as("nfp"), count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(count(lit(1)).cast("long").as("n_dup_groups"),
+          coalesce(every(col("nfp") === 1), lit(true)).as("all_consistent"))
+    }),
+
+    // cosine near-dup mining at the documented 0.95 threshold, oracle-exact:
+    // the testdata embeddings are unit vectors with max pairwise cos ~0.51,
+    // so we PLANT true near-duplicates (vec_id+100000, first component
+    // nudged by 1e-4 ⇒ cos ≈ 1-5e-9) and the operator must recover exactly
+    // those pairs — same-bucket LSH + within-bucket compare, no all-pairs
+    "dd_embed_sim_pairs" -> ((s, d) => {
+      val emb = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + 100000)
+        .withColumn("embedding", zip_with(col("embedding"),
+          sequence(lit(0), lit(63)),
+          (x, i) => when(i === 0, x + lit(0.0001f)).otherwise(x)))
+      Dedup.embeddingNearDupPairs(emb.unionByName(planted), "embedding",
+        "vec_id", dim = 64, planes = 8, threshold = 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    }),
 
     // ======== similarity search ========
     "ann_topk" -> ((s, d) => {

@@ -94,6 +94,78 @@ object MathOps {
     df.withColumn(outCol, binExpr.cast("int"))
   }
 
+  /** Quantile k-bins on the SCALE PATH: approx_percentile edges (GK sketch,
+    * bounded memory — rank error ≤ rows/accuracy) instead of the exact
+    * `percentile` TypedImperativeAggregate, which buffers the full value
+    * multiset and is a memory bomb at 10^12 rows. Keep `kbinsQuantile` for
+    * sklearn-exact parity at test scale; route big data through this. */
+  def kbinsQuantileApprox(df: DataFrame, col: Column, k: Int, outCol: String,
+      accuracy: Int = 10000): DataFrame = {
+    val probs = (1 until k).map(i => i.toDouble / k)
+    val edges = df
+      .agg(percentile_approx(col.cast("double"), typedLit(probs), lit(accuracy)).as("p"))
+      .head().getSeq[Double](0)
+    val binExpr = edges.zipWithIndex.foldRight(lit(k - 1)) {
+      case ((edge, i), elseCol) => when(col < lit(edge), lit(i)).otherwise(elseCol)
+    }
+    df.withColumn(outCol, binExpr.cast("int"))
+  }
+
+  /** K-bins with strategy='kmeans' (math.py:209-227; sklearn semantics:
+    * 1-D KMeans, centers initialized at uniform-bin midpoints, n_init=1,
+    * then bin edges = midpoints between the sorted converged centers).
+    * Distributed Lloyd's: each iteration is ONE map-side-combinable
+    * aggregation — assignment is a bucketize against the current midpoints
+    * (sorted 1-D centers make nearest-center = interval membership), so no
+    * per-row distance matrix and no shuffle beyond the k-row agg. */
+  def kbinsKmeans(df: DataFrame, col: Column, k: Int, outCol: String,
+      maxIter: Int = 25, tol: Double = 1e-7): DataFrame = {
+    val row = df.agg(min(col).cast("double"), max(col).cast("double")).head()
+    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    require(mn != mx, "kbins_kmeans: constant column")
+    val w = (mx - mn) / k
+    var centers = Array.tabulate(k)(i => mn + w * (i + 0.5))
+    def assignExpr(cs: Array[Double]): Column = {
+      val mids = cs.sliding(2).map(p => (p(0) + p(1)) / 2).toSeq
+      mids.zipWithIndex.foldRight(lit(k - 1)) {
+        case ((m, i), elseCol) => when(col.cast("double") < lit(m), lit(i)).otherwise(elseCol)
+      }
+    }
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol * (mx - mn)) {
+      val upd = df.groupBy(assignExpr(centers).as("b"))
+        .agg(avg(col.cast("double")).as("m"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val next = centers.indices.map(i => upd.getOrElse(i, centers(i))).toArray
+      moved = centers.zip(next).map { case (a, b) => math.abs(a - b) }.max
+      centers = next
+      iter += 1
+    }
+    df.withColumn(outCol, assignExpr(centers).cast("int"))
+      .withColumn(s"__${outCol}_center",
+        element_at(typedLit(centers.toSeq), org.apache.spark.sql.functions.col(outCol) + 1))
+  }
+
+  /** 2-D z-score along axis=0 (math.py:158-167 with an axis param over
+    * stacked rows): per-DIMENSION mean/std across ALL rows of an array
+    * column, then each element standardized by its dimension's stats.
+    * One posexplode aggregation (output is O(dims) rows to the driver),
+    * then a pure per-row transform with literal stat arrays — no second
+    * shuffle. */
+  def zscoreArrayAxis0(df: DataFrame, arr: Column, outCol: String): DataFrame = {
+    val stats = df.select(posexplode(arr).as(Seq("d", "x")))
+      .groupBy("d")
+      .agg(avg(col("x").cast("double")).as("m"),
+        stddev_pop(col("x").cast("double")).as("s"))
+      .orderBy("d").collect()
+    val means = typedLit(stats.map(_.getDouble(1)).toSeq)
+    val stds = typedLit(stats.map(_.getDouble(2)).toSeq)
+    df.withColumn(outCol,
+      zip_with(arr, sequence(lit(1), lit(stats.length)),
+        (x, i) => (x.cast("double") - element_at(means, i)) / element_at(stds, i)))
+  }
+
   // ---- Reductions (BaseReduce, math.py:13-59) ----
 
   /** Operand mode: element-wise fold over columns (math.py:27-31). */

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.MathOps
+
+/** Unit tests for the round-2 operator additions: approx-quantile binning,
+  * kmeans binning, axis-0 array z-score. */
+class NewOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // NOT cached: the suites share one session, and a cached lineitem would
+  // turn other suites' parquet scans into InMemoryRelation hits (breaking
+  // PlanSpec's pushdown/pruning assertions)
+  lazy val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+
+  test("kbinsQuantileApprox agrees with exact quantile bins on ≥99% of rows") {
+    val both = MathOps.kbinsQuantile(
+      MathOps.kbinsQuantileApprox(li, col("l_quantity"), 4, "a"),
+      col("l_quantity"), 4, "q")
+    val (n, agree) = both.agg(count(lit(1)),
+      sum(when(col("a") === col("q"), 1L).otherwise(0L))).as[(Long, Long)].head()
+    assert(agree >= n * 0.99, s"approx/exact bin agreement $agree/$n")
+  }
+
+  test("kbinsKmeans: bins are value-monotone intervals covering all rows") {
+    val km = MathOps.kbinsKmeans(li, col("l_extendedprice"), 5, "kb")
+    assert(km.count() == li.count())
+    // monotone: max value of bin i < min value of bin i+1
+    val ranges = km.groupBy("kb")
+      .agg(min(col("l_extendedprice")).as("lo"), max(col("l_extendedprice")).as("hi"))
+      .orderBy("kb").as[(Int, Double, Double)].collect()
+    assert(ranges.map(_._1).sameElements(0 until 5), "all 5 bins used")
+    ranges.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._2, s"bins overlap: $a vs $b")
+    }
+  }
+
+  test("kbinsKmeans converges: each center equals the mean of its members") {
+    val km = MathOps.kbinsKmeans(li, col("l_extendedprice"), 5, "kb")
+    val rows = km.groupBy("kb")
+      .agg(avg(col("l_extendedprice")).as("m"), first(col("__kb_center")).as("c"))
+      .as[(Int, Double, Double)].collect()
+    rows.foreach { case (b, m, c) =>
+      assert(math.abs(m - c) <= 1.0, f"bin $b center $c%.3f vs mean $m%.3f")
+    }
+  }
+
+  test("kbinsKmeans is deterministic") {
+    val a = MathOps.kbinsKmeans(li, col("l_extendedprice"), 5, "kb")
+      .select("l_orderkey", "l_linenumber", "kb")
+    val b = MathOps.kbinsKmeans(li.repartition(7), col("l_extendedprice"), 5, "kb")
+      .select("l_orderkey", "l_linenumber", "kb")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("zscoreArrayAxis0 standardizes each dimension over all rows") {
+    val df = Seq(
+      (1L, Seq(1.0f, 10.0f)),
+      (2L, Seq(2.0f, 20.0f)),
+      (3L, Seq(3.0f, 30.0f))).toDF("id", "v")
+    val z = MathOps.zscoreArrayAxis0(df, col("v"), "z")
+      .select(col("id"), element_at(col("z"), 1).as("z0"), element_at(col("z"), 2).as("z1"))
+      .orderBy("id").as[(Long, Double, Double)].collect()
+    // dim0: mean 2, std sqrt(2/3); dim1: mean 20, std sqrt(200/3)
+    val s0 = math.sqrt(2.0 / 3)
+    assert(math.abs(z(0)._2 - (-1.0 / s0)) < 1e-9)
+    assert(math.abs(z(1)._2) < 1e-9)
+    assert(math.abs(z(2)._3 - (10.0 / math.sqrt(200.0 / 3))) < 1e-9)
+    // per-dimension: z-scores of a column and its 10x scale are identical
+    assert(math.abs(z(0)._2 - z(0)._3) < 1e-9)
+  }
+
+  test("planted embedding near-dups are recovered at threshold 0.95") {
+    val out = SparkEntry.queries("dd_embed_sim_pairs")(spark, sf())
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.length == 10)
+    out.zipWithIndex.foreach { case ((a, b, c), i) =>
+      assert(a == i && b == i + 100000 && c == 1.0)
+    }
+  }
+}
