@@ -275,6 +275,12 @@ object OracleSql {
         | count(*) AS n
         |FROM documents GROUP BY source""".stripMargin,
 
+    "f_stage_import" ->
+      s"""SELECT $liKey,
+         | round(l_quantity * 6 / 2, 4) AS feature_d,
+         | round(l_quantity * 6 + 2, 4) AS feature_z
+         |FROM lineitem""".stripMargin,
+
     "v_schema_check" ->
       """SELECT * FROM (VALUES
         | ('lang', 'not null', 'no not_null rule', 'missing_not_null_rule'),

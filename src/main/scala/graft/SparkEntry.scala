@@ -277,6 +277,39 @@ object SparkEntry {
         .withColumn("feature_d", round(col("feature_d"), 6))
     }),
 
+    // layered config (defaults: include) + named chain stages + a
+    // feature:stage intermediate import — the reference's
+    // examples/import_features.yaml shape (importer.py:40-43,
+    // yaml_parser.py:13-27) over lineitem
+    "f_stage_import" -> ((s, d) => {
+      val base =
+        """features:
+          |  l_quantity: {type: double, description: raw quantity column}
+          |  feature_d:
+          |    type: double
+          |    description: scale by 6 then halve (named chain stages)
+          |    dependencies: [l_quantity]
+          |    stages:
+          |      multiply: "l_quantity * 6"
+          |      divide: "_prev / 2"
+          |""".stripMargin
+      val main =
+        """defaults: [_self_, base_features]
+          |features:
+          |  feature_z:
+          |    type: double
+          |    description: imports feature_d's multiply stage
+          |    dependencies: [feature_d]
+          |    expr: "feature_d:multiply + 2"
+          |""".stripMargin
+      val suite = graft.config.FeatureConfig.loadYaml(main,
+        Map("base_features" -> base))
+      graft.engine.FeaturePipeline.computeSelect(t(s, d, "lineitem"), suite,
+        Seq("l_orderkey", "l_linenumber", "feature_d", "feature_z"))
+        .withColumn("feature_d", round(col("feature_d"), 4))
+        .withColumn("feature_z", round(col("feature_z"), 4))
+    }),
+
     // ======== §2.10 validation engine ops (on driver testdata) ========
     "v_stats_profile" -> ((s, d) => {
       val sa = StatsAggregator.statsAgg(0.0, 600.0, 10)

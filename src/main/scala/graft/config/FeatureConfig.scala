@@ -12,15 +12,33 @@ import scala.jdk.CollectionConverters._
   * optimizes what the reference's shunting-yard DSL hand-built).
   *
   * ```yaml
+  * defaults: [_self_, basic_features]     # config layering (yaml_parser.py)
   * features:
   *   feature_a: {type: int, description: raw input column}
-  *   feature_c:
+  *   feature_d:                           # named chain stages (base.py)
   *     type: double
-  *     description: scaled sum
-  *     dependencies: [feature_a, feature_b]
-  *     expr: "(feature_a + 2 * feature_b) / 2"
+  *     description: scale then halve
+  *     dependencies: [feature_a]
+  *     stages:
+  *       multiply: "feature_a * 6"
+  *       divide: "_prev / 2"              # _prev = previous stage's value
+  *   feature_z:
+  *     type: double
+  *     description: imports an intermediate stage
+  *     dependencies: [feature_d]
+  *     expr: "feature_d:multiply + 2"     # feature:stage import (importer.py:40-43)
   * ```
-  * A feature with no `expr` is a raw input column (must exist in the input).
+  * A feature with neither `expr` nor `stages` is a raw input column (must
+  * exist in the input). A chained feature's value is its LAST stage; every
+  * named stage is published as an importable `feature:stage` reference
+  * (the reference's promise_manager stage publication, promise_manager
+  * .py:84-85 — here each stage is a hidden column and Catalyst prunes the
+  * ones nobody imports).
+  *
+  * `defaults:` composes documents Hydra-style (yaml_parser.py:13-27): the
+  * list is merged in order, later entries overriding earlier ones by
+  * feature name; `_self_` marks where this document's own features merge
+  * (prepended if absent, matching Hydra's self-first default).
   */
 final case class FeatureDef(
     name: String,
@@ -28,7 +46,8 @@ final case class FeatureDef(
     description: String,
     dependencies: Seq[String],
     expr: Option[String],
-    group: Option[String] = None) {
+    group: Option[String] = None,
+    stages: Seq[(String, String)] = Nil) {
   def validate(): Unit = {
     if (description.length < 5)
       throw ConfigError(s"feature '$name': description must be >= 5 chars (features.py:14)")
@@ -36,10 +55,21 @@ final case class FeatureDef(
     catch { case _: Throwable =>
       throw ConfigError(s"feature '$name': invalid data type '$dataType' (features.py:20-30)")
     }
+    if (expr.nonEmpty && stages.nonEmpty)
+      throw ConfigError(s"feature '$name': declare either 'expr' or 'stages', not both")
+    val stageNames = stages.map(_._1)
+    if (stageNames.distinct.size != stageNames.size)
+      throw ConfigError(s"feature '$name': duplicate stage names")
+    stages.headOption.foreach { case (st, ex) =>
+      if (FeatureConfig.PrevRef.findFirstIn(ex).nonEmpty)
+        throw ConfigError(s"feature '$name': first stage '$st' has no _prev")
+    }
   }
 }
 
 final case class FeatureSuite(features: Seq[FeatureDef]) {
+  def byName: Map[String, FeatureDef] = features.map(f => f.name -> f).toMap
+
   /** Topological levels (reference compile, core.py:186-260): raw features
     * level 1; derived = 1 + max(dep level); cycle -> error. */
   def levels: Map[Int, Seq[FeatureDef]] = {
@@ -71,26 +101,97 @@ final case class FeatureSuite(features: Seq[FeatureDef]) {
 object FeatureConfig {
   private val yaml = new ObjectMapper(new YAMLFactory())
 
-  def loadYaml(text: String): FeatureSuite = {
-    val root = yaml.readTree(text)
-    val fNode = Option(root.get("features"))
-      .getOrElse(throw ConfigError("missing 'features'"))
-    val feats = fNode.properties().asScala.toSeq.map { e =>
-      val n = e.getValue
+  /** `feature:stage` import reference inside an expression (importer.py:
+    * 40-43 promise syntax). Identifier:identifier with no spaces — does not
+    * collide with SQL `::` casts or quoted literals in practice. */
+  val StageRef = "([A-Za-z_][A-Za-z0-9_]*):([A-Za-z_][A-Za-z0-9_]*)".r
+  /** Previous-stage reference inside a chain stage expression. */
+  val PrevRef = "\\b_prev\\b".r
+
+  def loadYaml(text: String): FeatureSuite =
+    loadYaml(text, name => throw ConfigError(
+      s"defaults include '$name' but no resolver was provided"))
+
+  /** Load with inline includes (tests / embedded suites). */
+  def loadYaml(text: String, includes: Map[String, String]): FeatureSuite =
+    loadYaml(text, name => includes.getOrElse(name,
+      throw ConfigError(s"unknown defaults include '$name'")))
+
+  /** Load from a file; `defaults:` names resolve to sibling `<name>.yaml`
+    * files (Hydra config-dir semantics, yaml_parser.py:13-27). */
+  def loadYamlFile(path: String): FeatureSuite = {
+    val p = java.nio.file.Paths.get(path)
+    def readF(q: java.nio.file.Path): String =
+      new String(java.nio.file.Files.readAllBytes(q), "UTF-8")
+    val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get("."))
+    loadYaml(readF(p), name => readF(dir.resolve(s"$name.yaml")))
+  }
+
+  def loadYaml(text: String, resolve: String => String): FeatureSuite = {
+    val merged = mergeFeatures(yaml.readTree(text), resolve, Set.empty)
+    val feats = merged.map { case (name, n) =>
       def s(f: String): Option[String] =
         Option(n.get(f)).filterNot(_.isNull).map(_.asText)
       FeatureDef(
-        name = e.getKey,
+        name = name,
         dataType = s("type").getOrElse("double"),
         description = s("description").getOrElse(""),
         dependencies = Option(n.get("dependencies"))
           .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
         expr = s("expr"),
-        group = s("group"))
+        group = s("group"),
+        stages = Option(n.get("stages"))
+          .map(_.properties().asScala.toSeq.map(e => e.getKey -> e.getValue.asText))
+          .getOrElse(Nil))
     }
     feats.foreach(_.validate())
     val suite = FeatureSuite(feats)
     suite.levels // cycle + dependency check at load time (fail-fast)
+    validateStageRefs(suite)
     suite
+  }
+
+  /** Depth-first Hydra-style merge of `defaults:` documents; later list
+    * entries override earlier ones by feature name, `_self_` positions this
+    * document's own features (prepended when absent). */
+  private def mergeFeatures(root: JsonNode, resolve: String => String,
+      seen: Set[String]): Seq[(String, JsonNode)] = {
+    val defaults: Seq[String] = Option(root.get("defaults"))
+      .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Seq("_self_"))
+    val order = if (defaults.contains("_self_")) defaults else "_self_" +: defaults
+    val merged = scala.collection.mutable.LinkedHashMap[String, JsonNode]()
+    order.foreach {
+      case "_self_" =>
+        val own = Option(root.get("features"))
+          .getOrElse(throw ConfigError("missing 'features'"))
+        own.properties().asScala.foreach(e => merged(e.getKey) = e.getValue)
+      case name =>
+        if (seen.contains(name))
+          throw ConfigError(s"cyclic defaults include '$name'")
+        mergeFeatures(yaml.readTree(resolve(name)), resolve, seen + name)
+          .foreach { case (k, v) => merged(k) = v }
+    }
+    merged.toSeq
+  }
+
+  /** `feature:stage` references must name a DECLARED dependency that
+    * actually publishes that stage (importer.py:40-43 resolution through
+    * promise_manager; base.py:56-60 requires the feature in
+    * feature_dependencies). */
+  private def validateStageRefs(suite: FeatureSuite): Unit = {
+    val byName = suite.byName
+    suite.features.foreach { f =>
+      (f.expr.toSeq ++ f.stages.map(_._2)).foreach { text =>
+        StageRef.findAllMatchIn(text).foreach { m =>
+          val (base, st) = (m.group(1), m.group(2))
+          if (!f.dependencies.contains(base))
+            throw ConfigError(s"feature '${f.name}': stage import '$base:$st' " +
+              s"requires '$base' in dependencies (importer.py:40-43)")
+          if (!byName(base).stages.exists(_._1 == st))
+            throw ConfigError(
+              s"feature '${f.name}': '$base' publishes no stage '$st'")
+        }
+      }
+    }
   }
 }

@@ -21,19 +21,47 @@ import graft.config.{ConfigError, FeatureSuite}
   */
 object FeaturePipeline {
 
+  /** Hidden column carrying a published chain stage — the Spark analogue of
+    * the reference's promise_manager stage publication (promise_manager.py:
+    * 84-85): every named stage materializes as a column other features can
+    * import via `feature:stage`; Catalyst's ColumnPruning removes the ones
+    * nobody imports, so unused intermediates cost nothing. */
+  def stageColName(feature: String, stage: String): String =
+    s"__stage_${feature}__$stage"
+
+  /** Rewrite `feature:stage` import references (importer.py:40-43) to their
+    * hidden stage columns. Validity was checked at config load. */
+  private def rewriteRefs(e: String): String =
+    graft.config.FeatureConfig.StageRef.replaceAllIn(e,
+      m => s"`${stageColName(m.group(1), m.group(2))}`")
+
   /** Add every derived feature as a column, dependency order; raw features
-    * must already exist in `input`. */
+    * must already exist in `input`. Chained features bind one hidden column
+    * per stage (each stage may reference `_prev`), the feature value being
+    * the LAST stage cast to the declared type (base.py chain semantics). */
   def compute(input: DataFrame, suite: FeatureSuite): DataFrame = {
     val existing = input.columns.toSet
-    suite.features.filter(_.expr.isEmpty).foreach { f =>
+    suite.features.filter(f => f.expr.isEmpty && f.stages.isEmpty).foreach { f =>
       if (!existing.contains(f.name))
         throw ConfigError(s"raw feature '${f.name}' missing from input")
     }
     val ordered = suite.levels.toSeq.sortBy(_._1).flatMap(_._2)
     ordered.foldLeft(input) { (df, f) =>
-      f.expr match {
+      if (f.stages.nonEmpty) {
+        val (staged, last) = f.stages.foldLeft((df, Option.empty[String])) {
+          case ((d, prev), (st, ex)) =>
+            val withPrev = prev match {
+              case Some(p) =>
+                graft.config.FeatureConfig.PrevRef.replaceAllIn(ex, s"`$p`")
+              case None => ex
+            }
+            val cn = stageColName(f.name, st)
+            (d.withColumn(cn, expr(rewriteRefs(withPrev))), Some(cn))
+        }
+        staged.withColumn(f.name, col(last.get).cast(f.dataType))
+      } else f.expr match {
         case None => df.withColumn(f.name, col(f.name).cast(f.dataType))
-        case Some(e) => df.withColumn(f.name, expr(e).cast(f.dataType))
+        case Some(e) => df.withColumn(f.name, expr(rewriteRefs(e)).cast(f.dataType))
       }
     }
   }

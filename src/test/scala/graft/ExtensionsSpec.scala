@@ -47,4 +47,71 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       prior.foreach(SparkSession.setActiveSession)
     }
   }
+
+  /** The reference's custom-transform e2e (tests/test_custom_transform.py:
+    * 10-23): a user-registered operator, invoked purely from YAML, end to
+    * end through the engine — here a YAML `expr` RULE and a YAML feature
+    * `expr` both calling a GraftExtensions-registered Catalyst expression. */
+  test("extensions-registered op runs end-to-end from YAML rule and feature exprs") {
+    val prior = SparkSession.getActiveSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-e2e")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      spark.sparkContext.setLogLevel("ERROR")
+      val N = 3000L
+      val planted2 = (0L until N).count(_ % graft.datagen.SeqTableGen.PlantMod == 2L)
+      val cfg = graft.config.RuleConfig.loadYaml(
+        """table:
+          |  name: sequences
+          |  partition_column: source
+          |  columns:
+          |    doc_id: {type: string, nullable: false}
+          |    tokens: {type: "array<int>", nullable: true}
+          |    n_tok:  {type: int, nullable: false}
+          |    source: {type: string, nullable: false}
+          |rules:
+          |  - name: doc_id_not_null
+          |    description: doc_id must be present on every row
+          |    kind: not_null
+          |    column: doc_id
+          |  - name: vocab_via_sql_udf
+          |    description: every token in vocab via the registered custom op
+          |    kind: expr
+          |    expr: "tokens IS NULL OR tokens_in_range(tokens, 0, 49999)"
+          |""".stripMargin)
+      val table = graft.datagen.SeqTableGen.generate(spark, N, plant = true)
+      val rep = graft.engine.Validator.run(spark, table, cfg, "doc_id", "ext-e2e")
+      val v = rep.results.filter(_.rule == "vocab_via_sql_udf")
+        .map(_.violationCount).sum
+      assert(v == planted2, s"custom-op rule found $v violations, planted $planted2")
+
+      // feature expr path: a YAML feature calling the registered op
+      val suite = graft.config.FeatureConfig.loadYaml(
+        """features:
+          |  text: {type: string, description: raw text input column}
+          |  fp:
+          |    type: bigint
+          |    description: simhash via the registered custom op
+          |    dependencies: [text]
+          |    expr: "word_simhash(text, 3, 42)"
+          |""".stripMargin)
+      import spark.implicits._
+      val out = graft.engine.FeaturePipeline.compute(
+        Seq("the quick brown fox", "the quick brown fox", "something else entirely")
+          .toDF("text"), suite)
+        .select("fp").as[Long].collect()
+      assert(out(0) == out(1) && out(0) != out(2))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      prior.foreach(SparkSession.setActiveSession)
+    }
+  }
 }

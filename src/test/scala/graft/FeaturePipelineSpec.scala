@@ -100,6 +100,123 @@ class FeaturePipelineSpec extends SparkTestBase {
     }
   }
 
+  // ---- named chain stages + feature:stage imports + defaults layering ----
+
+  private val chainBase =
+    """features:
+      |  feature_a: {type: int, description: raw integer input}
+      |  feature_d:
+      |    type: double
+      |    description: multiply then divide (basic_features.yaml feature_d)
+      |    dependencies: [feature_a]
+      |    stages:
+      |      multiply: "feature_a * 6"
+      |      divide: "_prev / 2"
+      |""".stripMargin
+
+  test("chain stages execute in order; value = last stage (basic_features.yaml)") {
+    val suite = FeatureConfig.loadYaml(chainBase)
+    val out = FeaturePipeline.compute(Seq(10).toDF("feature_a"), suite)
+    assert(out.select("feature_d").head().getDouble(0) == 30.0) // 10*6/2
+  }
+
+  test("feature:stage import resolves an intermediate stage (import_features.yaml feature_z)") {
+    val main =
+      """defaults: [_self_, base_features]
+        |features:
+        |  feature_z:
+        |    type: double
+        |    description: feature_d's multiply stage plus two
+        |    dependencies: [feature_d]
+        |    expr: "feature_d:multiply + 2"
+        |""".stripMargin
+    val suite = FeatureConfig.loadYaml(main, Map("base_features" -> chainBase))
+    val out = FeaturePipeline.compute(Seq(10).toDF("feature_a"), suite)
+    val r = out.select("feature_d", "feature_z").head()
+    assert(r.getDouble(0) == 30.0 && r.getDouble(1) == 62.0) // 10*6+2
+  }
+
+  test("unimported stages are pruned from the optimized plan (promise publication for free)") {
+    val main =
+      """defaults: [_self_, base_features]
+        |features:
+        |  feature_z:
+        |    type: double
+        |    description: only needs the multiply stage
+        |    dependencies: [feature_d]
+        |    expr: "feature_d:multiply + 2"
+        |""".stripMargin
+    val suite = FeatureConfig.loadYaml(main, Map("base_features" -> chainBase))
+    // select ONLY feature_z: the divide stage (and feature_d itself) must be
+    // pruned by Catalyst even though the chain declared them
+    val out = FeaturePipeline.computeSelect(
+      Seq(10).toDF("feature_a"), suite, Seq("feature_z"))
+    assert(out.head().getDouble(0) == 62.0)
+    val opt = out.queryExecution.optimizedPlan.toString
+    assert(!opt.contains("__stage_feature_d__divide"),
+      s"unimported stage not pruned:\n$opt")
+  }
+
+  test("defaults layering: later entries override earlier by feature name") {
+    val overlay =
+      """defaults: [_self_, base_features]
+        |features:
+        |  feature_d:
+        |    type: double
+        |    description: overridden by the later defaults entry
+        |    dependencies: [feature_a]
+        |    expr: "feature_a * 100"
+        |""".stripMargin
+    // _self_ first, base second ⇒ base's feature_d wins (Hydra order)
+    val s1 = FeatureConfig.loadYaml(overlay, Map("base_features" -> chainBase))
+    assert(FeaturePipeline.compute(Seq(10).toDF("feature_a"), s1)
+      .select("feature_d").head().getDouble(0) == 30.0)
+    // base first, _self_ second ⇒ this document's override wins
+    val s2 = FeatureConfig.loadYaml(
+      overlay.replace("[_self_, base_features]", "[base_features, _self_]"),
+      Map("base_features" -> chainBase))
+    assert(FeaturePipeline.compute(Seq(10).toDF("feature_a"), s2)
+      .select("feature_d").head().getDouble(0) == 1000.0)
+  }
+
+  test("stage import of an undeclared dependency fails at load (importer.py:40-43)") {
+    intercept[ConfigError] {
+      FeatureConfig.loadYaml(
+        """defaults: [_self_, base_features]
+          |features:
+          |  z: {type: double, description: missing dependency declaration,
+          |      expr: "feature_d:multiply + 1"}
+          |""".stripMargin, Map("base_features" -> chainBase))
+    }
+  }
+
+  test("import of a nonexistent stage / _prev in first stage / cyclic defaults fail") {
+    intercept[ConfigError] {
+      FeatureConfig.loadYaml(
+        """defaults: [_self_, base_features]
+          |features:
+          |  z: {type: double, description: no such stage name,
+          |      dependencies: [feature_d], expr: "feature_d:nope + 1"}
+          |""".stripMargin, Map("base_features" -> chainBase))
+    }
+    intercept[ConfigError] {
+      FeatureConfig.loadYaml(
+        """features:
+          |  a: {type: int, description: raw integer input}
+          |  b:
+          |    type: double
+          |    description: prev before any stage
+          |    dependencies: [a]
+          |    stages:
+          |      first: "_prev + 1"
+          |""".stripMargin)
+    }
+    intercept[ConfigError] {
+      FeatureConfig.loadYaml("defaults: [_self_, loop]\nfeatures: {}\n",
+        Map("loop" -> "defaults: [_self_, loop]\nfeatures: {}\n"))
+    }
+  }
+
   test("100-element vectorized identity: c = 0.5*(a+2b) (test_core.py:55-94)") {
     val suite = FeatureConfig.loadYaml(basicYaml)
     val input = spark.range(100).select(
