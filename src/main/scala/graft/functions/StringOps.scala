@@ -60,10 +60,20 @@ object StringOps {
     * One distinct aggregation (shuffle on the category — small), sorted on
     * the driver, broadcast back as a lookup. Correct and skew-free at scale
     * because the distinct partial-aggregates map-side. */
-  def labelEncodeInferred(df: DataFrame, colName: String, outCol: String): DataFrame = {
-    val cats = df.select(col(colName)).na.drop().distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
-    df.withColumn(outCol, labelEncode(col(colName), cats))
+  def labelEncodeInferred(df: DataFrame, colName: String, outCol: String,
+      maxVocab: Int = 100000): DataFrame = {
+    // size guard: batch-fit semantics collect the vocabulary to the driver
+    // (matches the reference's in-memory fit) — refuse a runaway cardinality
+    // column instead of OOMing the driver. limit(max+1) bounds the collect
+    // itself, not just the check.
+    val distinct = df.select(col(colName)).na.drop().distinct()
+    val cats = distinct.limit(maxVocab + 1).collect().map(_.getString(0))
+    if (cats.length > maxVocab)
+      throw new IllegalArgumentException(
+        s"labelEncodeInferred: '$colName' exceeds $maxVocab distinct values; " +
+        "label-encoding a near-unique column is almost certainly a mistake " +
+        "(use a hash or fingerprint instead)")
+    df.withColumn(outCol, labelEncode(col(colName), cats.sorted.toSeq))
   }
 
   /** Binary encode (string.py:143-191): category → dense sorted rank →
