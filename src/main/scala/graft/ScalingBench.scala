@@ -66,9 +66,12 @@ object ScalingBench {
         (n1, n2, eff)
     }.toSeq
 
-    // note the doubled leading pipe: stripMargin consumes one per line
-    val rowsFmt = times.map { case (n, t) =>
-      f"|| local[$n] | $t%.2f | ${(rows / t).toLong}%,d |"
+    // stripMargin consumes one leading pipe per TEMPLATE line; the first
+    // interpolated row rides the template's own `|` so it needs a single
+    // pipe, while continuation lines need a doubled one
+    val rowsFmt = times.zipWithIndex.map { case ((n, t), i) =>
+      val lead = if (i == 0) "|" else "||"
+      f"$lead local[$n] | $t%.2f | ${(rows / t).toLong}%,d |"
     }.mkString("\n")
     val effFmt = pairs.map { case (a, b, e) =>
       f"- **local[$a] -> local[$b] (ideal ${b / a}x): efficiency $e%.3f**"
