@@ -292,6 +292,15 @@ object OracleSql {
     "v_manifest_resume" ->
       "SELECT 'p1' AS part",
 
+    // structural top-k invariants computed in-engine; oracle pins the verdict
+    "ann_lsh_check" ->
+      "SELECT true AS ranks_ok, true AS cos_monotone",
+
+    "mm_parity" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS byte_len_ok,
+        | true AS type_ok, true AS ranges_ok
+        |FROM documents""".stripMargin,
+
     // engine computes the estimate-vs-exact bound check; oracle pins the verdict
     "dd_minhash_parity" ->
       "SELECT true AS has_pairs, true AS est_within_bounds",

@@ -486,6 +486,23 @@ object SparkEntry {
         dim = 64, k = 5, planes = 6)
     }),
 
+    // oracle-backed ANN evidence: per-query ranks must be consecutive from 1
+    // and cosine non-increasing with rank — structural invariants of a
+    // correct top-k, checked in-engine, verdict pinned by the oracle
+    "ann_lsh_check" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val res = Similarity.lshTopK(emb, emb.limit(20), "embedding", "vec_id",
+        dim = 64, k = 5, planes = 6)
+      val w = Window.partitionBy("query_id").orderBy("rank")
+      res.withColumn("prev_cos", lag("cos", 1).over(w))
+        .withColumn("prev_rank", lag("rank", 1).over(w))
+        .agg(
+          coalesce(every(col("prev_rank").isNull ||
+            col("rank") === col("prev_rank") + 1), lit(false)).as("ranks_ok"),
+          coalesce(every(col("prev_cos").isNull ||
+            col("cos") <= col("prev_cos") + 1e-12), lit(false)).as("cos_monotone"))
+    }),
+
     // ======== text analysis ========
     "t_langid" -> ((s, d) => t(s, d, "documents").select(
       col("doc_id"),
@@ -561,6 +578,26 @@ object SparkEntry {
       Multimodal.decodeBatched(docs, "payload", "mtype", "doc_id")
         .select(col("id"), col("meta.media_type"), col("meta.width"),
           col("meta.n_frames"), col("meta.byte_len"))
+    }),
+
+    // oracle-backed mapPartitions-plumbing evidence: the batched decode must
+    // preserve row multiplicity and ids, carry exact byte lengths, pass the
+    // media type through, and emit in-range fake dimensions
+    "mm_parity" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        when(col("doc_id") % 3 === 0, "image")
+          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("mtype"))
+      val batched = Multimodal.decodeBatched(docs, "payload", "mtype", "doc_id")
+      batched.join(docs, batched("id") === docs("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          coalesce(every(col("meta.byte_len") === length(col("payload"))),
+            lit(false)).as("byte_len_ok"),
+          coalesce(every(col("meta.media_type") === col("mtype")),
+            lit(false)).as("type_ok"),
+          coalesce(every((col("mtype") =!= "image") ||
+            (col("meta.width").between(64, 1920) &&
+             col("meta.height").between(64, 1080))), lit(false)).as("ranges_ok"))
     }),
 
     // ======== relational coverage: joins / windows / json / set ops ========
