@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Compute-bound scaling probe — the counterpart to ScalingBench's
+  * scan-bound suite. The validation suite streams ~2.3 GB of parquet per
+  * run, so past ~8 local cores it saturates the host's SINGLE memory
+  * controller and wall time stops improving (BENCH/BASELINE.md rolloff).
+  * This probe runs a hash-dominated job with near-zero input bytes
+  * (synthesized strings from `spark.range`, fused MinHash signatures,
+  * one XOR aggregate) — if 8→32 efficiency is high HERE, the engine and
+  * scheduler scale with cores and the suite's rolloff is bandwidth, not a
+  * plan defect.
+  *
+  * Usage: runMain graft.CpuScalingBench [rows] [levels] [outMd]
+  */
+object CpuScalingBench {
+
+  def runAt(cpus: Int, rows: Long, timedRuns: Int = 3): Seq[Double] = {
+    val spark = Bench.buildSession(cpus.toString)
+    try {
+      def job(): Long = {
+        val text = concat_ws(" ", md5(col("id").cast("string")),
+          md5((col("id") + 1).cast("string")), md5((col("id") + 2).cast("string")),
+          md5((col("id") + 3).cast("string")))
+        spark.range(rows)
+          .select(graft.functions.expr.FingerprintExprs
+            .charMinhashSig(text, 5, 64, 42L).as("sig"))
+          .agg(expr("bit_xor(xxhash64(sig))")).head().getLong(0)
+      }
+      job() // warm-up (codegen/JIT), untimed
+      val times = (1 to timedRuns).map(_ => Bench.time(job()))
+      System.err.println(
+        s"[cpu-scaling] cpus=$cpus times=${times.sorted.map(t => f"$t%.2f").mkString(",")}")
+      times
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(3000000L)
+    val levels = args.lift(1).getOrElse("8,32").split(",").map(_.trim.toInt).toSeq
+    val outMd = args.lift(2).getOrElse("BENCH/BASELINE.md")
+    val passes = 2
+    val all = scala.collection.mutable.Map[Int, Vector[Double]]()
+    (1 to passes).foreach { _ =>
+      levels.foreach { n => all(n) = all.getOrElse(n, Vector.empty) ++ runAt(n, rows) }
+    }
+    val times = levels.map(n => n -> all(n).min)
+    val pairs = times.sliding(2).collect {
+      case Seq((n1, t1), (n2, t2)) => (n1, n2, (t1 / t2) / (n2.toDouble / n1))
+    }.toSeq
+    val rowsFmt = times.zipWithIndex.map { case ((n, t), i) =>
+      val lead = if (i == 0) "|" else "||"
+      f"$lead local[$n] | $t%.2f | ${(rows / t).toLong}%,d |"
+    }.mkString("\n")
+    val effFmt = pairs.map { case (a, b, e) =>
+      f"- **local[$a] -> local[$b] (ideal ${b / a}x): efficiency $e%.3f**"
+    }.mkString("\n")
+    val md =
+      f"""
+         |## Compute-bound scaling probe — ${java.time.Instant.now()}
+         |
+         |Hash-dominated job with near-zero input bytes ($rows%,d synthesized
+         |~131-char strings from `spark.range`, fused 64-component MinHash
+         |signature per row, XOR aggregate): isolates CPU/scheduler scaling
+         |from the host's single shared memory controller. 2 interleaved
+         |passes x 3 timed runs per level, min per level.
+         |
+         || parallelism | wall (s) | rows/s |
+         || --- | --- | --- |
+         |$rowsFmt
+         |
+         |$effFmt
+         |""".stripMargin
+    val p = java.nio.file.Paths.get(outMd)
+    java.nio.file.Files.write(p, md.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    val pairsJson = pairs.map { case (a, b, e) => f""""${a}to$b":$e%.3f""" }.mkString(",")
+    println(s"""{"rows":$rows,$pairsJson}""")
+  }
+}
