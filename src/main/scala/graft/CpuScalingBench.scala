@@ -40,22 +40,10 @@ object CpuScalingBench {
     val rows = args.headOption.map(_.toLong).getOrElse(3000000L)
     val levels = args.lift(1).getOrElse("8,32").split(",").map(_.trim.toInt).toSeq
     val outMd = args.lift(2).getOrElse("BENCH/BASELINE.md")
-    val passes = 2
-    val all = scala.collection.mutable.Map[Int, Vector[Double]]()
-    (1 to passes).foreach { _ =>
-      levels.foreach { n => all(n) = all.getOrElse(n, Vector.empty) ++ runAt(n, rows) }
-    }
-    val times = levels.map(n => n -> all(n).min)
-    val pairs = times.sliding(2).collect {
-      case Seq((n1, t1), (n2, t2)) => (n1, n2, (t1 / t2) / (n2.toDouble / n1))
-    }.toSeq
-    val rowsFmt = times.zipWithIndex.map { case ((n, t), i) =>
-      val lead = if (i == 0) "|" else "||"
-      f"$lead local[$n] | $t%.2f | ${(rows / t).toLong}%,d |"
-    }.mkString("\n")
-    val effFmt = pairs.map { case (a, b, e) =>
-      f"- **local[$a] -> local[$b] (ideal ${b / a}x): efficiency $e%.3f**"
-    }.mkString("\n")
+    val times = ScalingReport.minPerLevel(levels, passes = 2)(n => runAt(n, rows))
+    val pairs = ScalingReport.efficiencyPairs(times)
+    val rowsFmt = ScalingReport.tableRows(times, rows)
+    val effFmt = ScalingReport.efficiencyLines(pairs)
     val md =
       f"""
          |## Compute-bound scaling probe — ${java.time.Instant.now()}
@@ -72,11 +60,7 @@ object CpuScalingBench {
          |
          |$effFmt
          |""".stripMargin
-    val p = java.nio.file.Paths.get(outMd)
-    java.nio.file.Files.write(p, md.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
-    val pairsJson = pairs.map { case (a, b, e) => f""""${a}to$b":$e%.3f""" }.mkString(",")
-    println(s"""{"rows":$rows,$pairsJson}""")
+    ScalingReport.appendMd(outMd, md)
+    println(ScalingReport.jsonLine(rows, times, pairs))
   }
 }

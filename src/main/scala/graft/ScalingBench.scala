@@ -47,35 +47,15 @@ object ScalingBench {
     val levels = args.lift(2).getOrElse("2,8,32").split(",").map(_.trim.toInt).toSeq
     val path = "/tmp/graft-scaling-seq"
 
-    // INTERLEAVED passes: the sandbox host shows time-varying contention
-    // windows, so visiting each level in several separated time windows and
-    // taking the min across passes samples every level under comparable
-    // conditions (a single visit per level conflates level with window).
-    val passes = 2
-    val all = scala.collection.mutable.Map[Int, Vector[Double]]()
-    (1 to passes).foreach { p =>
-      levels.zipWithIndex.foreach { case (n, i) =>
-        val ts = runAt(n, rows, path, generate = p == 1 && i == 0)
-        all(n) = all.getOrElse(n, Vector.empty) ++ ts
-      }
+    var generated = false
+    val times = ScalingReport.minPerLevel(levels, passes = 2) { n =>
+      val ts = runAt(n, rows, path, generate = !generated)
+      generated = true
+      ts
     }
-    val times = levels.map(n => n -> all(n).min)
-    val pairs = times.sliding(2).collect {
-      case Seq((n1, t1), (n2, t2)) =>
-        val eff = (t1 / t2) / (n2.toDouble / n1)
-        (n1, n2, eff)
-    }.toSeq
-
-    // stripMargin consumes one leading pipe per TEMPLATE line; the first
-    // interpolated row rides the template's own `|` so it needs a single
-    // pipe, while continuation lines need a doubled one
-    val rowsFmt = times.zipWithIndex.map { case ((n, t), i) =>
-      val lead = if (i == 0) "|" else "||"
-      f"$lead local[$n] | $t%.2f | ${(rows / t).toLong}%,d |"
-    }.mkString("\n")
-    val effFmt = pairs.map { case (a, b, e) =>
-      f"- **local[$a] -> local[$b] (ideal ${b / a}x): efficiency $e%.3f**"
-    }.mkString("\n")
+    val pairs = ScalingReport.efficiencyPairs(times)
+    val rowsFmt = ScalingReport.tableRows(times, rows)
+    val effFmt = ScalingReport.efficiencyLines(pairs)
 
     val md =
       f"""
@@ -102,13 +82,7 @@ object ScalingBench {
          |N->4N rule targets.)
          |""".stripMargin
 
-    val p = java.nio.file.Paths.get(outMd)
-    java.nio.file.Files.createDirectories(p.getParent)
-    java.nio.file.Files.write(p, md.getBytes("UTF-8"),
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND)
-    val pairsJson = pairs.map { case (a, b, e) => f""""${a}to$b":$e%.3f""" }.mkString(",")
-    val timesJson = times.map { case (n, t) => f""""t$n":$t%.2f""" }.mkString(",")
-    println(s"""{"rows":$rows,$timesJson,$pairsJson}""")
+    ScalingReport.appendMd(outMd, md)
+    println(ScalingReport.jsonLine(rows, times, pairs))
   }
 }

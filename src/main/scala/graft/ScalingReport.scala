@@ -1,0 +1,59 @@
+package graft
+
+/** Shared mechanics for the two scaling benchmarks (ScalingBench = scan-bound
+  * suite, CpuScalingBench = compute-bound probe): interleaved-pass min
+  * aggregation, efficiency pairs, markdown table emission (stripMargin pipe
+  * rules in ONE place), and machine-readable JSON fragments. */
+object ScalingReport {
+
+  /** Visit every level `passes` times in order (interleaved time windows —
+    * the host has sporadic contention windows, so one visit per level would
+    * conflate level with window) and return min time per level. */
+  def minPerLevel(levels: Seq[Int], passes: Int)(
+      run: Int => Seq[Double]): Seq[(Int, Double)] = {
+    val all = scala.collection.mutable.Map[Int, Vector[Double]]()
+    (1 to passes).foreach { _ =>
+      levels.foreach(n => all(n) = all.getOrElse(n, Vector.empty) ++ run(n))
+    }
+    levels.map(n => n -> all(n).min)
+  }
+
+  /** Adjacent-level scaling efficiency: (t1/t2) / (n2/n1). */
+  def efficiencyPairs(times: Seq[(Int, Double)]): Seq[(Int, Int, Double)] =
+    times.sliding(2).collect {
+      case Seq((n1, t1), (n2, t2)) => (n1, n2, (t1 / t2) / (n2.toDouble / n1))
+    }.toSeq
+
+  /** Markdown table rows for a stripMargin template whose embedding line
+    * starts with `|`: the first interpolated row rides the template's own
+    * pipe (single `|`), continuation lines need a doubled one. */
+  def tableRows(times: Seq[(Int, Double)], rows: Long): String =
+    times.zipWithIndex.map { case ((n, t), i) =>
+      val lead = if (i == 0) "|" else "||"
+      f"$lead local[$n] | $t%.2f | ${(rows / t).toLong}%,d |"
+    }.mkString("\n")
+
+  def efficiencyLines(pairs: Seq[(Int, Int, Double)]): String =
+    pairs.map { case (a, b, e) =>
+      f"- **local[$a] -> local[$b] (ideal ${b / a}x): efficiency $e%.3f**"
+    }.mkString("\n")
+
+  def appendMd(outMd: String, md: String): Unit = {
+    val p = java.nio.file.Paths.get(outMd)
+    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(p, md.getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    ()
+  }
+
+  /** Comma-joined JSON members; valid for ANY level count (a single level
+    * yields no pairs — the caller must not emit a dangling comma). */
+  def jsonLine(rows: Long, times: Seq[(Int, Double)],
+      pairs: Seq[(Int, Int, Double)]): String = {
+    val members = Seq(s""""rows":$rows""") ++
+      times.map { case (n, t) => f""""t$n":$t%.2f""" } ++
+      pairs.map { case (a, b, e) => f""""${a}to$b":$e%.3f""" }
+    members.mkString("{", ",", "}")
+  }
+}

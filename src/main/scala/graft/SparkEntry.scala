@@ -49,6 +49,10 @@ object SparkEntry {
     df.orderBy(order: _*).limit(k)
       .withColumn("rank", row_number().over(Window.orderBy(order: _*)))
 
+  /** Once-per-JVM cache of the v_manifest_resume round-trip result. */
+  private val manifestResumeFrontier =
+    new java.util.concurrent.atomic.AtomicReference[Seq[String]](null)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ======== §2.1 element-wise math ========
@@ -376,24 +380,38 @@ object SparkEntry {
     // manifest lineage round-trip as an oracle-gated query: append two runs'
     // entries (one partition complete, one missing a rule, one global "*"
     // rule), compact, and read back the resume frontier — only p1 of r1 has
-    // every rule covered
+    // every rule covered. Runs ONCE per JVM (plan-only callers like the
+    // PlanSpec gate invoke every query closure; re-doing filesystem work and
+    // leaking a temp dir per invocation would be waste) — the round-trip is
+    // deterministic, so the cached frontier is the same every time.
     "v_manifest_resume" -> ((s, d) => {
-      import graft.lineage.Manifest
-      val dir = java.nio.file.Files.createTempDirectory("graft-vmr").toString
-      val mp = s"$dir/manifest"
-      Manifest.append(s, mp, Seq(
-        Manifest.Entry("r1", "p1", "rule_a", "pass", 10L, 0L, 0L, 1L, ""),
-        Manifest.Entry("r1", "p1", "rule_b", "fail", 10L, 2L, 0L, 1L, "")))
-      Manifest.append(s, mp, Seq(
-        Manifest.Entry("r1", "p2", "rule_a", "pass", 20L, 0L, 0L, 1L, ""),
-        Manifest.Entry("r1", "*", "rule_g", "pass", 0L, 0L, 0L, 1L, "")))
-      Manifest.append(s, mp, Seq(
-        Manifest.Entry("r2", "p3", "rule_a", "pass", 5L, 0L, 0L, 1L, "")))
-      Manifest.compact(s, mp)
-      val done = Manifest.completedPartitions(s, mp, "r1",
-        Seq("rule_a", "rule_b", "rule_g"))
+      val done = Option(manifestResumeFrontier.get()).getOrElse {
+        import graft.lineage.Manifest
+        val dir = java.nio.file.Files.createTempDirectory("graft-vmr")
+        val mp = s"$dir/manifest"
+        try {
+          Manifest.append(s, mp, Seq(
+            Manifest.Entry("r1", "p1", "rule_a", "pass", 10L, 0L, 0L, 1L, ""),
+            Manifest.Entry("r1", "p1", "rule_b", "fail", 10L, 2L, 0L, 1L, "")))
+          Manifest.append(s, mp, Seq(
+            Manifest.Entry("r1", "p2", "rule_a", "pass", 20L, 0L, 0L, 1L, ""),
+            Manifest.Entry("r1", "*", "rule_g", "pass", 0L, 0L, 0L, 1L, "")))
+          Manifest.append(s, mp, Seq(
+            Manifest.Entry("r2", "p3", "rule_a", "pass", 5L, 0L, 0L, 1L, "")))
+          Manifest.compact(s, mp)
+          val r = Manifest.completedPartitions(s, mp, "r1",
+            Seq("rule_a", "rule_b", "rule_g")).toSeq.sorted
+          manifestResumeFrontier.set(r)
+          r
+        } finally {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+          }
+          rm(dir.toFile)
+        }
+      }
       import s.implicits._
-      done.toSeq.sorted.toDF("part")
+      done.toDF("part")
     }),
 
     // ======== dedup family ========
@@ -734,7 +752,12 @@ object SparkEntry {
   private def densePQ(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val binCol = least(greatest(floor(col("n_chars") / 60.0), lit(0)), lit(k - 1))
       .cast("int")
-    val perSrc = docs.select(col("source"), binCol.as("bin"))
+    // null sources map to "<null>" (the validator's convention) BEFORE the
+    // grid join: a raw null key would never equi-join back into the grid,
+    // dropping those rows from gcnt while gTot still counted them — every
+    // source's q would then sum below 1
+    val perSrc = docs
+      .select(coalesce(col("source"), lit("<null>")).as("source"), binCol.as("bin"))
       .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // grand total: O(1) action on the cached tiny aggregate, not a re-scan

@@ -27,7 +27,9 @@ object FeaturePipeline {
     * import via `feature:stage`; Catalyst's ColumnPruning removes the ones
     * nobody imports, so unused intermediates cost nothing. */
   def stageColName(feature: String, stage: String): String =
-    s"__stage_${feature}__$stage"
+    // length prefix keeps the encoding injective even when feature/stage
+    // names themselves contain double underscores ("a__b"+"c" vs "a"+"b__c")
+    s"__stage_${feature.length}_${feature}__$stage"
 
   /** Rewrite `feature:stage` import references (importer.py:40-43) to their
     * hidden stage columns. Validity was checked at config load. */

@@ -69,13 +69,19 @@ object MathOps {
   /** Uniform-width k-bins discretize, ordinal encoding (math.py:209-227 with
     * strategy='uniform'): bin i covers [min + i*w, min + (i+1)*w), last bin
     * closed. One stats pass + scalar arithmetic. */
+  /** Null-in → null-out guard shared by the binning ops: without it a NULL
+    * value falls through `when` chains / null-skipping `least` to bin k-1,
+    * silently corrupting the last bin (sklearn rejects NaN outright). */
+  private def nullSafeBin(c: Column, bin: Column): Column =
+    when(c.isNull, lit(null).cast("int")).otherwise(bin.cast("int"))
+
   def kbinsUniform(df: DataFrame, col: Column, k: Int, outCol: String): DataFrame = {
     val row = df.agg(min(col).cast("double"), max(col).cast("double")).head()
     val (mn, mx) = (row.getDouble(0), row.getDouble(1))
     require(mn != mx, "kbins_uniform: constant column has no bin width")
     val w = (mx - mn) / k
-    df.withColumn(outCol,
-      least(floor((col.cast("double") - lit(mn)) / lit(w)), lit(k - 1)).cast("int"))
+    df.withColumn(outCol, nullSafeBin(col,
+      least(floor((col.cast("double") - lit(mn)) / lit(w)), lit(k - 1))))
   }
 
   /** Quantile k-bins (math.py:209-227 strategy='quantile'): exact percentile
@@ -91,7 +97,7 @@ object MathOps {
     val binExpr = interior.zipWithIndex.foldRight(lit(k - 1)) {
       case ((edge, i), elseCol) => when(col < lit(edge), lit(i)).otherwise(elseCol)
     }
-    df.withColumn(outCol, binExpr.cast("int"))
+    df.withColumn(outCol, nullSafeBin(col, binExpr))
   }
 
   /** Quantile k-bins on the SCALE PATH: approx_percentile edges (GK sketch,
@@ -108,7 +114,7 @@ object MathOps {
     val binExpr = edges.zipWithIndex.foldRight(lit(k - 1)) {
       case ((edge, i), elseCol) => when(col < lit(edge), lit(i)).otherwise(elseCol)
     }
-    df.withColumn(outCol, binExpr.cast("int"))
+    df.withColumn(outCol, nullSafeBin(col, binExpr))
   }
 
   /** K-bins with strategy='kmeans' (math.py:209-227; sklearn semantics:
@@ -120,6 +126,7 @@ object MathOps {
     * per-row distance matrix and no shuffle beyond the k-row agg. */
   def kbinsKmeans(df: DataFrame, col: Column, k: Int, outCol: String,
       maxIter: Int = 25, tol: Double = 1e-7): DataFrame = {
+    require(k >= 2, "kbins_kmeans: k must be >= 2 (sklearn KBinsDiscretizer semantics)")
     val row = df.agg(min(col).cast("double"), max(col).cast("double")).head()
     val (mn, mx) = (row.getDouble(0), row.getDouble(1))
     require(mn != mx, "kbins_kmeans: constant column")
@@ -134,7 +141,10 @@ object MathOps {
     var iter = 0
     var moved = Double.MaxValue
     while (iter < maxIter && moved > tol * (mx - mn)) {
-      val upd = df.groupBy(assignExpr(centers).as("b"))
+      // null values are excluded from center updates (avg skips them) AND
+      // from assignment below — they must not be binned at all
+      val upd = df.filter(col.isNotNull)
+        .groupBy(assignExpr(centers).as("b"))
         .agg(avg(col.cast("double")).as("m"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       val next = centers.indices.map(i => upd.getOrElse(i, centers(i))).toArray
@@ -142,7 +152,7 @@ object MathOps {
       centers = next
       iter += 1
     }
-    df.withColumn(outCol, assignExpr(centers).cast("int"))
+    df.withColumn(outCol, nullSafeBin(col, assignExpr(centers)))
       .withColumn(s"__${outCol}_center",
         element_at(typedLit(centers.toSeq), org.apache.spark.sql.functions.col(outCol) + 1))
   }

@@ -42,9 +42,20 @@ object Manifest {
   // crash-consistency ordering per thread).
   private val appendLock = new Object
 
+  /** If a crash during compact() left the live path missing with the aside
+    * copy present, promote the aside copy back — BEFORE any read or append,
+    * or the old state would be silently shadowed by fresh writes. */
+  private def recoverIfNeeded(spark: SparkSession, path: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    if (!fs.exists(live) && fs.exists(aside)) { fs.rename(aside, live); () }
+  }
+
   def append(spark: SparkSession, path: String, entries: Seq[Entry]): Unit =
     appendLock.synchronized {
       import spark.implicits._
+      recoverIfNeeded(spark, path)
       if (entries.nonEmpty)
         entries.toDF().coalesce(1).write.mode(SaveMode.Append)
           .partitionBy("runId").parquet(path)
@@ -56,13 +67,16 @@ object Manifest {
     * swallowing a genuine error would print failed=0 and exit 0 against a
     * manifest we could not actually read (and silently restart resume). */
   def read(spark: SparkSession, path: String): DataFrame = {
+    // compact() renames the live manifest aside before swapping in the
+    // compacted copy; if a crash hit that window, promote the aside copy
+    // back instead of silently restarting resume from scratch
+    recoverIfNeeded(spark, path)
     val hp = new org.apache.hadoop.fs.Path(path)
-    val exists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-    if (!exists)
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
-    else spark.read.schema(schemaDDL).parquet(path)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) spark.read.schema(schemaDDL).parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDDL))
   }
 
   /** (partition, rule) pairs already completed for this run. */
@@ -100,13 +114,20 @@ object Manifest {
   def compact(spark: SparkSession, path: String): Unit = appendLock.synchronized {
     val src = read(spark, path)
     if (!src.isEmpty) {
-      // write aside, then swap — a crash mid-compaction must not lose rows
+      // write the compacted copy aside, rename the live manifest ASIDE (not
+      // delete!), swap the copy in, then drop the aside: at every instant a
+      // crash leaves either the live path or the .compact-old recovery copy
+      // that read() knows to fall back to — never a silent empty manifest
       val tmp = path + ".compact-tmp"
       src.coalesce(1).write.mode(SaveMode.Overwrite).partitionBy("runId").parquet(tmp)
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(path), true)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+      val live = new org.apache.hadoop.fs.Path(path)
+      val old = new org.apache.hadoop.fs.Path(path + ".compact-old")
+      fs.delete(old, true) // clear any previous recovery copy
+      fs.rename(live, old)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+      fs.delete(old, true)
       ()
     }
   }

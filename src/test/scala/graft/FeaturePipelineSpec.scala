@@ -148,13 +148,15 @@ class FeaturePipelineSpec extends SparkTestBase {
         |""".stripMargin
     val suite = FeatureConfig.loadYaml(main, Map("base_features" -> chainBase))
     // select ONLY feature_z: the divide stage (and feature_d itself) must be
-    // pruned by Catalyst even though the chain declared them
-    val out = FeaturePipeline.computeSelect(
-      Seq(10).toDF("feature_a"), suite, Seq("feature_z"))
-    assert(out.head().getDouble(0) == 62.0)
+    // pruned by Catalyst even though the chain declared them. Input is a
+    // range (not a LocalRelation) so constant folding can't collapse the
+    // whole projection and hide what was pruned vs computed.
+    val input = spark.range(100).select(col("id").cast("int").as("feature_a"))
+    val out = FeaturePipeline.computeSelect(input, suite, Seq("feature_z"))
+    assert(out.orderBy("feature_z").head().getDouble(0) == 2.0) // 0*6+2
     val opt = out.queryExecution.optimizedPlan.toString
-    assert(!opt.contains("__stage_feature_d__divide"),
-      s"unimported stage not pruned:\n$opt")
+    val divideCol = FeaturePipeline.stageColName("feature_d", "divide")
+    assert(!opt.contains(divideCol), s"unimported stage not pruned:\n$opt")
   }
 
   test("defaults layering: later entries override earlier by feature name") {

@@ -70,6 +70,23 @@ class NewOpsSpec extends SparkTestBase {
     assert(math.abs(z(0)._2 - z(0)._3) < 1e-9)
   }
 
+  test("binning is null-in null-out (no silent assignment to the last bin)") {
+    val df = Seq(Some(1.0), Some(5.0), None, Some(9.0)).toDF("x")
+    def nullBins(out: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = out.agg(sum(when(col("x").isNull && col("b").isNull, 1L).otherwise(0L)),
+        sum(when(col("x").isNull && col("b").isNotNull, 1L).otherwise(0L)))
+        .as[(Long, Long)].head()
+      r
+    }
+    assert(nullBins(MathOps.kbinsUniform(df, col("x"), 3, "b")) == ((1L, 0L)))
+    assert(nullBins(MathOps.kbinsQuantile(df, col("x"), 3, "b")) == ((1L, 0L)))
+    assert(nullBins(MathOps.kbinsQuantileApprox(df, col("x"), 3, "b")) == ((1L, 0L)))
+    assert(nullBins(MathOps.kbinsKmeans(df, col("x"), 3, "b")) == ((1L, 0L)))
+    intercept[IllegalArgumentException] {
+      MathOps.kbinsKmeans(df, col("x"), 1, "b")
+    }
+  }
+
   test("planted embedding near-dups are recovered at threshold 0.95") {
     val out = SparkEntry.queries("dd_embed_sim_pairs")(spark, sf())
       .as[(Long, Long, Double)].collect().sortBy(_._1)

@@ -132,6 +132,24 @@ class ResumeEdgeSpec extends SparkTestBase {
     assert(Manifest.completed(spark, mp, "r1").size == 20)
   }
 
+  test("compact crash window recovers from the aside copy, never empty") {
+    val mp = s"${tmp("graft-compact-crash")}/manifest"
+    (1 to 5).foreach(i => Manifest.append(spark, mp, Seq(Manifest.Entry(
+      "r1", s"p$i", "rule1", "pass", i.toLong, 0L, 0L, 0L, ""))))
+    // simulate a crash between "rename live aside" and "swap compacted in":
+    // live path missing, .compact-old present
+    val fs = new org.apache.hadoop.fs.Path(mp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(mp),
+      new org.apache.hadoop.fs.Path(mp + ".compact-old"))
+    assert(Manifest.completed(spark, mp, "r1").size == 5,
+      "read() must recover resume state from the aside copy")
+    // a fresh compact() from the recovered state works too
+    Manifest.append(spark, mp, Seq(Manifest.Entry(
+      "r1", "p6", "rule1", "pass", 6L, 0L, 0L, 0L, "")))
+    assert(Manifest.completed(spark, mp, "r1").map(_._1).contains("p6"))
+  }
+
   test("bounded-parallel per-partition run matches sequential results") {
     val t = SeqTableGen.generate(spark, 4000, plant = true).cache()
     val mpSeq = s"${tmp("graft-par-s")}/manifest"
