@@ -44,6 +44,26 @@ object StreamOps {
     events.filter(!col("event_type").isin(validTypes: _*) ||
       col("value").isNull || col("value") < 0)
 
+  /** Incremental validation from the SAME YAML rule suite the batch
+    * validator runs: row-level rules compile once via `Checks.withFlags`
+    * (identical predicates, identical null semantics), then verdict counts
+    * aggregate per (watermarked event-time window, table partition). The
+    * batch/stream split is ONLY the groupBy key — the check logic is shared,
+    * so a rule change applies to both paths atomically. */
+  def validateStream(table: DataFrame, cfg: graft.config.SuiteConfig,
+      tsCol: String, window_ : String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val (flagged, rowRules) = graft.checks.Checks.withFlags(
+      table.withColumn(tsCol, col(tsCol).cast("timestamp")), cfg.rules)
+    val aggs = count(lit(1)).as("rows") +: rowRules.map(r =>
+      sum(when(!col(graft.checks.Checks.flagCol(r.name)), 1L).otherwise(0L))
+        .as(s"viol_${r.name}"))
+    flagged
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(cfg.partitionColumn))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Custom keyed state: running per-user totals via mapGroupsWithState —
     * the KeyValueGroupedDataset state API the north-rule scale path needs
     * for resumable incremental aggregation. */

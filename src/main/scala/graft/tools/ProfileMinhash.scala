@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** One-off profiling harness for the minhash-LSH pipeline stages (kept in
+  * the repo so perf claims are reproducible): times signature computation
+  * alone vs banding+join vs the full pair mining on the sf dir given. */
+object ProfileMinhash {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.Bench.buildSession(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.count() // warm
+    def t(name: String)(f: => Unit): Unit = {
+      val best = (1 to 3).map(_ => graft.Bench.time(f)).min
+      println(f"[profile] $name%-18s $best%.3f s")
+    }
+    t("sig-only") {
+      docs.select(graft.functions.expr.FingerprintExprs
+        .charMinhashSig(col("text"), 5, 64, 42L).as("sig"))
+        .agg(expr("bit_xor(xxhash64(sig))")).head()
+    }
+    t("full-lsh-pairs") {
+      graft.operators.Dedup.minhashLshPairs(docs, "text", "doc_id",
+        estThreshold = 0.2).count()
+    }
+    spark.stop()
+  }
+}

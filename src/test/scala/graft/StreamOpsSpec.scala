@@ -89,6 +89,58 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q2.stop()
   }
 
+  test("YAML rule suite validates incrementally with batch-identical counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream4").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val cfg = graft.config.RuleConfig.loadYaml(
+      """table:
+        |  name: events
+        |  partition_column: event_type
+        |  columns:
+        |    event_id: {type: bigint, nullable: false}
+        |    ts: {type: timestamp, nullable: false}
+        |    user_id: {type: bigint, nullable: false}
+        |    event_type: {type: string, nullable: false}
+        |    value: {type: double, nullable: true}
+        |    props: {type: string, nullable: true}
+        |rules:
+        |  - name: value_not_null
+        |    description: value must be present
+        |    kind: not_null
+        |    column: value
+        |  - name: value_range
+        |    description: value within [0, 1000]
+        |    kind: range
+        |    column: value
+        |    min: 0
+        |    max: 1000
+        |""".stripMargin)
+    val stream = StreamOps.readEvents(spark, dir, schema)
+    val verdicts = StreamOps.validateStream(stream, cfg, "ts",
+      window_ = "1 hour", watermark = "2 hours")
+    val q = verdicts.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("stream_verdicts").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("stream_verdicts")
+      // summed over windows+partitions, the streaming verdict counts equal
+      // the batch validator's over the same table and the same suite
+      val batch = spark.read.parquet(s"$dir/events.parquet")
+      val rep = graft.engine.Validator.run(spark, batch, cfg, "event_id", "st1",
+        collectViolations = false)
+      def batchViol(rule: String): Long =
+        rep.results.filter(_.rule == rule).map(_.violationCount).sum
+      val streamed = out.agg(
+        sum("rows"), sum("viol_value_not_null"), sum("viol_value_range"))
+        .head()
+      assert(streamed.getLong(0) == batch.count())
+      assert(streamed.getLong(1) == batchViol("value_not_null"))
+      assert(streamed.getLong(2) == batchViol("value_range"))
+    } finally q.stop()
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream3").toString
     java.nio.file.Files.copy(
