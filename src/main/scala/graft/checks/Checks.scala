@@ -61,6 +61,16 @@ object Checks {
     (flagged, rowRules)
   }
 
+  /** Verdict-count aggregate expressions over a flagged frame: total rows
+    * plus one violation counter per rule. Shared by the batch validator and
+    * the streaming validator so COUNTING semantics (not just the predicates)
+    * change in one place for both paths. */
+  def verdictAggExprs(rowRules: Seq[RuleSpec], rowsAlias: String,
+      violPrefix: String): Seq[Column] =
+    count(lit(1)).as(rowsAlias) +: rowRules.map(r =>
+      sum(when(!col(flagCol(r.name)), 1L).otherwise(0L))
+        .as(s"$violPrefix${r.name}"))
+
   /** Violation rows: (partition, rule, key, detail) for every failed flag.
     * One explode over the per-row flag array — emitted from the same pass
     * that computed the flags. */

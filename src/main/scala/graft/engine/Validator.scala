@@ -218,9 +218,7 @@ object Validator {
 
     val statsRules = cfg.rules.filter(_.kind == RuleKind.Stats)
     lazy val rowAggExprs: Seq[org.apache.spark.sql.Column] =
-      (count(lit(1)).as("__rows") +:
-        rowRules.map(r => sum(when(!col(Checks.flagCol(r.name)), 1L).otherwise(0L))
-          .as(s"__viol_${r.name}"))) ++
+      Checks.verdictAggExprs(rowRules, "__rows", "__viol_") ++
         statsRules.map { r =>
           val c = col(r.column.get)
           struct(

@@ -135,7 +135,14 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate candidate pairs with estimated similarity
     * (fraction of equal signature components). The scale path: banding
-    * reduces pair generation to an equi-join on band buckets. */
+    * reduces pair generation to an equi-join on band buckets.
+    *
+    * Shuffle discipline (the part that matters at 10^12 docs): the band
+    * exchange carries ONLY (id, bandKey) — NOT the k-long signature, which
+    * would otherwise ride the shuffle `bands` times per doc (~16x512B/doc of
+    * pure overhead) — and candidate pairs are DEDUPLICATED before the
+    * signatures are attached, so the component-equality estimate is computed
+    * once per unique pair instead of once per band collision. */
   def minhashLshPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 5, k: Int = 64, bands: Int = 16,
       estThreshold: Double = 0.5, seed: Long = 42L,
@@ -145,25 +152,30 @@ object Dedup {
     // HOF pipeline: HOF lambdas are excluded from codegen subexpression
     // elimination, so the shingle+hash work would re-run per reference.
     // persist: the signature (id + k longs) is tiny next to the input text
-    // and is referenced by 16 band slices AND both self-join branches.
+    // and is referenced by the band-key projection AND both pair-side joins.
     val sigs = docs.select(col(idCol).as("id"),
       graft.functions.expr.FingerprintExprs.charMinhashSig(col(textCol), n, k, seed)
         .as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keyed = sigs.select(col("id"), col("sig"),
+    // band keys derive from the signature, but the signature itself is
+    // dropped BEFORE the exchange — only 16B/row rides the shuffle
+    val keyed = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     // cap pathological buckets (all-identical boilerplate): documented guard
     val sized = keyed.withColumn("bn",
       count(lit(1)).over(Window.partitionBy(col("bk"))))
       .filter(col("bn") <= maxBucket)
-    val a = sized.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sized.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
-    val pairs = a.join(b, Seq("bk"))
+    val cand = sized.select(col("bk"), col("id").as("id_a"))
+      .join(sized.select(col("bk"), col("id").as("id_b")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val pairs = cand
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           v => v)).cast("double") / lit(k)).as("est_jaccard"))
-      .distinct()
       .filter(col("est_jaccard") >= estThreshold)
     val out = pairs.localCheckpoint(true)
     sigs.unpersist()

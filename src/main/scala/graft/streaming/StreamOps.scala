@@ -45,22 +45,30 @@ object StreamOps {
       col("value").isNull || col("value") < 0)
 
   /** Incremental validation from the SAME YAML rule suite the batch
-    * validator runs: row-level rules compile once via `Checks.withFlags`
-    * (identical predicates, identical null semantics), then verdict counts
-    * aggregate per (watermarked event-time window, table partition). The
-    * batch/stream split is ONLY the groupBy key — the check logic is shared,
-    * so a rule change applies to both paths atomically. */
+    * validator runs: rule predicates come from `Checks.withFlags` and the
+    * verdict counters from `Checks.verdictAggExprs` — both SHARED with
+    * `Validator.run`, so a change to either the predicates or the counting
+    * semantics reaches batch and stream atomically. Rules evaluate on the
+    * RAW input columns (the event-time cast lives in a separate hidden
+    * column, so a rule on `tsCol` sees exactly what the batch validator
+    * sees).
+    *
+    * Event-time semantics (where stream necessarily differs from batch):
+    * rows whose `tsCol` is null or uncastable group under the epoch
+    * sentinel window — counted, not silently dropped — until the watermark
+    * advances past it; rows later than the watermark are dropped BY DESIGN
+    * (that is what a watermark is). Batch parity therefore holds for
+    * on-time data; a full-fidelity audit is the batch validator's job. */
   def validateStream(table: DataFrame, cfg: graft.config.SuiteConfig,
       tsCol: String, window_ : String = "10 minutes",
       watermark: String = "30 minutes"): DataFrame = {
-    val (flagged, rowRules) = graft.checks.Checks.withFlags(
-      table.withColumn(tsCol, col(tsCol).cast("timestamp")), cfg.rules)
-    val aggs = count(lit(1)).as("rows") +: rowRules.map(r =>
-      sum(when(!col(graft.checks.Checks.flagCol(r.name)), 1L).otherwise(0L))
-        .as(s"viol_${r.name}"))
+    val (flagged, rowRules) = graft.checks.Checks.withFlags(table, cfg.rules)
+    val aggs = graft.checks.Checks.verdictAggExprs(rowRules, "rows", "viol_")
     flagged
-      .withWatermark(tsCol, watermark)
-      .groupBy(window(col(tsCol), window_), col(cfg.partitionColumn))
+      .withColumn("__event_ts", coalesce(col(tsCol).cast("timestamp"),
+        to_timestamp(lit("1970-01-01"))))
+      .withWatermark("__event_ts", watermark)
+      .groupBy(window(col("__event_ts"), window_), col(cfg.partitionColumn))
       .agg(aggs.head, aggs.tail: _*)
   }
 

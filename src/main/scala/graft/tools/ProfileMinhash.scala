@@ -4,14 +4,17 @@ import org.apache.spark.sql.functions._
 
 /** One-off profiling harness for the minhash-LSH pipeline stages (kept in
   * the repo so perf claims are reproducible): times signature computation
-  * alone vs banding+join vs the full pair mining on the sf dir given. */
+  * alone, banding+bucket-join pair generation over precomputed signatures,
+  * and the full pair mining, on the sf dir given. */
 object ProfileMinhash {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val spark = graft.Bench.buildSession(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    docs.count() // warm
+    // real warm-up: count() reads only footers — force the text pages
+    docs.select(col("text")).write.format("noop").mode("overwrite").save()
     def t(name: String)(f: => Unit): Unit = {
       val best = (1 to 3).map(_ => graft.Bench.time(f)).min
       println(f"[profile] $name%-18s $best%.3f s")
@@ -21,6 +24,34 @@ object ProfileMinhash {
         .charMinhashSig(col("text"), 5, 64, 42L).as("sig"))
         .agg(expr("bit_xor(xxhash64(sig))")).head()
     }
+    // banding+join over PRECOMPUTED signatures isolates the pair-generation
+    // cost from the signature cost
+    val sigs = docs.select(col("doc_id").as("id"),
+      graft.functions.expr.FingerprintExprs
+        .charMinhashSig(col("text"), 5, 64, 42L).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count() // materialize (untimed)
+    t("band-join-only") {
+      import org.apache.spark.sql.expressions.Window
+      // mirrors Dedup.minhashLshPairs: id-only band exchange, dedup before
+      // signatures are attached
+      val keyed = sigs.select(col("id"),
+        explode(graft.operators.Dedup.lshBandKeys(col("sig"), 16, 4)).as("bk"))
+      val sized = keyed.withColumn("bn",
+        count(lit(1)).over(Window.partitionBy(col("bk"))))
+        .filter(col("bn") <= 2000)
+      val cand = sized.select(col("bk"), col("id").as("id_a"))
+        .join(sized.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
+      cand
+        .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select((size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          v => v)).cast("double") / 64.0).as("est"))
+        .filter(col("est") >= 0.2).count()
+    }
+    sigs.unpersist()
     t("full-lsh-pairs") {
       graft.operators.Dedup.minhashLshPairs(docs, "text", "doc_id",
         estThreshold = 0.2).count()
