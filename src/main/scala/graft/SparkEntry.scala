@@ -787,7 +787,8 @@ object SparkEntry {
         greatest(col("p"), lit(eps)).as("p"), greatest(col("q"), lit(eps)).as("q"))
       .groupBy("source")
       .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize with lineage intact, then free the input cache
     cached.unpersist()
     out
   }
@@ -804,7 +805,8 @@ object SparkEntry {
       .withColumn("cq", sum("q").over(w))
       .groupBy("source")
       .agg(round(max(abs(col("cp") - col("cq"))), 6).as("ks"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     cached.unpersist()
     out
   }

@@ -91,14 +91,24 @@ object Checks {
     // At 10^12 rows a badly corrupted partition could emit violations at
     // table scale; cap the EXAMPLES per (partition, rule) — verdict counts
     // stay exact in the aggregation pass regardless. Deterministic sample:
-    // smallest keys by hash order within each group.
+    // smallest keys by hash order within each group. TWO window phases so a
+    // table-scale violation group never lands on one reducer: phase 1 ranks
+    // within (group, 64 hash-salt buckets) — spreading the hot group over
+    // 64 reducers and keeping at most n rows per bucket — phase 2 ranks the
+    // ≤64n survivors globally per group. The global smallest-n by hash is a
+    // subset of the union of per-bucket smallest-n, so the result is
+    // IDENTICAL to the single-window formulation.
     maxPerRulePartition match {
       case None => all
       case Some(n) =>
         import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("partition"), col("rule"))
-          .orderBy(xxhash64(col("key")))
-        all.withColumn("__rn", row_number().over(w))
+        val h = xxhash64(col("key"))
+        val w1 = Window.partitionBy(col("partition"), col("rule"),
+          pmod(h, lit(64))).orderBy(h)
+        val w2 = Window.partitionBy(col("partition"), col("rule")).orderBy(h)
+        all.withColumn("__rn", row_number().over(w1))
+          .filter(col("__rn") <= n)
+          .withColumn("__rn", row_number().over(w2))
           .filter(col("__rn") <= n).drop("__rn")
     }
   }
@@ -120,7 +130,12 @@ object Checks {
     val dupCounts = df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
-    df.select(col(keyCol).as("key"), col(partitionCol).as("__p"))
+    // partition normalized to a non-null STRING: a raw null would surface as
+    // RuleResult(null, ...) (NPEs in report sorting, poisons the resume
+    // isin filter), and a non-string partition column (date/int Hive
+    // layouts) would ClassCastException in the driver's getString
+    df.select(col(keyCol).as("key"),
+        coalesce(col(partitionCol).cast("string"), lit("<null>")).as("__p"))
       .join(dupCounts, "key")
       .groupBy(col("key"))
       .agg(first(col("n")).as("n"), min(col("__p")).as("partition"))
@@ -133,7 +148,8 @@ object Checks {
       df: DataFrame, keyCol: String, partitionCol: String, salts: Int = 32): DataFrame =
     df.withColumn("__salt", pmod(spark_partition_id(), lit(salts)))
       .groupBy(col(keyCol).as("key"), col("__salt"))
-      .agg(count(lit(1)).as("pn"), min(col(partitionCol)).as("pp"))
+      .agg(count(lit(1)).as("pn"),
+        min(coalesce(col(partitionCol).cast("string"), lit("<null>"))).as("pp"))
       .groupBy(col("key"))
       .agg(sum("pn").as("n"), min("pp").as("partition"))
       .filter(col("n") > 1)

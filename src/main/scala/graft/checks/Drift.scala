@@ -29,7 +29,8 @@ object Drift {
     val bin = least(greatest(floor((col(valueCol).cast("double") - lit(lo)) / lit(w)), lit(0)),
       lit(k - 1)).cast("int")
     df.filter(col(valueCol).isNotNull)
-      .groupBy(col(partitionCol).as("partition"), bin.as("bin"))
+      // cast: non-string partition columns must not CCE the driver getString
+      .groupBy(col(partitionCol).cast("string").as("partition"), bin.as("bin"))
       .agg(count(lit(1)).as("cnt"))
   }
 

@@ -61,7 +61,7 @@ final case class FeatureDef(
     if (stageNames.distinct.size != stageNames.size)
       throw ConfigError(s"feature '$name': duplicate stage names")
     stages.headOption.foreach { case (st, ex) =>
-      if (FeatureConfig.PrevRef.findFirstIn(ex).nonEmpty)
+      if (FeatureConfig.PrevRef.findFirstIn(FeatureConfig.maskLiterals(ex)).nonEmpty)
         throw ConfigError(s"feature '$name': first stage '$st' has no _prev")
     }
   }
@@ -102,11 +102,34 @@ object FeatureConfig {
   private val yaml = new ObjectMapper(new YAMLFactory())
 
   /** `feature:stage` import reference inside an expression (importer.py:
-    * 40-43 promise syntax). Identifier:identifier with no spaces — does not
-    * collide with SQL `::` casts or quoted literals in practice. */
+    * 40-43 promise syntax). Identifier:identifier with no spaces; quoted
+    * SQL literals are excluded via [[mapOutsideLiterals]]/[[maskLiterals]]
+    * (a format string like date_format(ts, 'HH:mm') is NOT a stage ref),
+    * and `::` casts never match (the colon must be ident-adjacent on both
+    * sides). */
   val StageRef = "([A-Za-z_][A-Za-z0-9_]*):([A-Za-z_][A-Za-z0-9_]*)".r
   /** Previous-stage reference inside a chain stage expression. */
   val PrevRef = "\\b_prev\\b".r
+  /** Single- or double-quoted SQL string literal span. */
+  val SqlLiteral = "'[^']*'|\"[^\"]*\"".r
+
+  /** Apply `f` to every segment of `e` OUTSIDE quoted SQL literals, keeping
+    * the literals verbatim — reference rewriting must never touch them. */
+  def mapOutsideLiterals(e: String)(f: String => String): String = {
+    val sb = new StringBuilder
+    var last = 0
+    SqlLiteral.findAllMatchIn(e).foreach { m =>
+      sb.append(f(e.substring(last, m.start))).append(m.matched)
+      last = m.end
+    }
+    sb.append(f(e.substring(last)))
+    sb.toString
+  }
+
+  /** Expression with quoted literals blanked (same length) — for scanners
+    * that only need to know what ISN'T a literal. */
+  def maskLiterals(e: String): String =
+    SqlLiteral.replaceAllIn(e, m => " " * m.matched.length)
 
   def loadYaml(text: String): FeatureSuite =
     loadYaml(text, name => throw ConfigError(
@@ -181,7 +204,8 @@ object FeatureConfig {
   private def validateStageRefs(suite: FeatureSuite): Unit = {
     val byName = suite.byName
     suite.features.foreach { f =>
-      (f.expr.toSeq ++ f.stages.map(_._2)).foreach { text =>
+      (f.expr.toSeq ++ f.stages.map(_._2)).foreach { rawText =>
+        val text = maskLiterals(rawText) // 'HH:mm' etc. are not stage refs
         StageRef.findAllMatchIn(text).foreach { m =>
           val (base, st) = (m.group(1), m.group(2))
           if (!f.dependencies.contains(base))

@@ -32,10 +32,20 @@ object FeaturePipeline {
     s"__stage_${feature.length}_${feature}__$stage"
 
   /** Rewrite `feature:stage` import references (importer.py:40-43) to their
-    * hidden stage columns. Validity was checked at config load. */
-  private def rewriteRefs(e: String): String =
-    graft.config.FeatureConfig.StageRef.replaceAllIn(e,
-      m => s"`${stageColName(m.group(1), m.group(2))}`")
+    * hidden stage columns, and `_prev` to the previous stage's column —
+    * OUTSIDE quoted SQL literals only (a 'HH:mm' format string must pass
+    * through untouched). Validity was checked at config load. */
+  private def rewriteRefs(e: String, prev: Option[String]): String =
+    graft.config.FeatureConfig.mapOutsideLiterals(e) { seg =>
+      val withPrev = prev match {
+        case Some(p) => graft.config.FeatureConfig.PrevRef.replaceAllIn(seg,
+          java.util.regex.Matcher.quoteReplacement(s"`$p`"))
+        case None => seg
+      }
+      graft.config.FeatureConfig.StageRef.replaceAllIn(withPrev, m =>
+        java.util.regex.Matcher.quoteReplacement(
+          s"`${stageColName(m.group(1), m.group(2))}`"))
+    }
 
   /** Add every derived feature as a column, dependency order; raw features
     * must already exist in `input`. Chained features bind one hidden column
@@ -48,24 +58,27 @@ object FeaturePipeline {
         throw ConfigError(s"raw feature '${f.name}' missing from input")
     }
     val ordered = suite.levels.toSeq.sortBy(_._1).flatMap(_._2)
-    ordered.foldLeft(input) { (df, f) =>
+    val bound = ordered.foldLeft(input) { (df, f) =>
       if (f.stages.nonEmpty) {
         val (staged, last) = f.stages.foldLeft((df, Option.empty[String])) {
           case ((d, prev), (st, ex)) =>
-            val withPrev = prev match {
-              case Some(p) =>
-                graft.config.FeatureConfig.PrevRef.replaceAllIn(ex, s"`$p`")
-              case None => ex
-            }
             val cn = stageColName(f.name, st)
-            (d.withColumn(cn, expr(rewriteRefs(withPrev))), Some(cn))
+            (d.withColumn(cn, expr(rewriteRefs(ex, prev))), Some(cn))
         }
         staged.withColumn(f.name, col(last.get).cast(f.dataType))
       } else f.expr match {
         case None => df.withColumn(f.name, col(f.name).cast(f.dataType))
-        case Some(e) => df.withColumn(f.name, expr(rewriteRefs(e)).cast(f.dataType))
+        case Some(e) =>
+          df.withColumn(f.name, expr(rewriteRefs(e, None)).cast(f.dataType))
       }
     }
+    // hidden stage columns are binding plumbing, not output contract — drop
+    // them so compute()'s schema is input columns + declared features (they
+    // were only ever observable to schema-sensitive sinks; Catalyst prunes
+    // their computation when the final projection doesn't need them)
+    val stageCols = suite.features.flatMap(f =>
+      f.stages.map { case (st, _) => stageColName(f.name, st) })
+    bound.drop(stageCols: _*)
   }
 
   /** Compute and project only the requested feature group (core.py:339-344

@@ -99,18 +99,19 @@ object Validator {
       doneGlobal, subCfg.rules.map(_.name))
     // null partition values validate as the "<null>" partition (run() reports
     // them under that name; a naive String sort would NPE on null)
-    val parts = table.select(col(pCol)).distinct()
+    // cast: date/int Hive partition columns must not CCE the getString
+    val parts = table.select(col(pCol).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0)).getOrElse("<null>"))
       .sorted.filterNot(done)
     def subRun(p: String): RunReport = {
       val subTable =
         if (p == "<null>") table.filter(col(pCol).isNull)
-        else table.filter(col(pCol) === p)
+        else table.filter(col(pCol).cast("string") === p)
       // prune the baseline to this partition too — passing the full baseline
       // would re-histogram the ENTIRE baseline table once per partition
       val subBaseline = baseline.map { b =>
         if (p == "<null>") b.filter(col(pCol).isNull)
-        else b.filter(col(pCol) === p)
+        else b.filter(col(pCol).cast("string") === p)
       }
       val rep = run(spark, subTable, subCfg, keyCol, runId,
         manifestPath = Some(manifestPath), baseline = subBaseline,
@@ -183,9 +184,13 @@ object Validator {
     val df0 =
       if (doneParts.isEmpty) table
       else {
+        // compare as STRING: manifest partitions are strings, and an isin of
+        // string literals against a date/int partition column would coerce
+        // (or throw under ANSI) instead of matching
         val nonNullDone = (doneParts - "<null>").toSeq
         val keepNonNull =
-          if (nonNullDone.isEmpty) lit(true) else !col(pCol).isin(nonNullDone: _*)
+          if (nonNullDone.isEmpty) lit(true)
+          else !col(pCol).cast("string").isin(nonNullDone: _*)
         val keep =
           if (doneParts.contains("<null>")) col(pCol).isNotNull && keepNonNull
           else col(pCol).isNull || keepNonNull
@@ -203,7 +208,15 @@ object Validator {
 
     // ---- row-level rules + per-partition stats: ONE projection, ONE
     // aggregation, ONE table scan (stats UDAFs ride the same groupBy) ----
-    val (flagged0, rowRules) = Checks.withFlags(df0, cfg.rules)
+    val statsCols = cfg.rules.filter(_.kind == RuleKind.Stats).flatMap(_.column)
+    val (flaggedFull, rowRules) = Checks.withFlags(df0, cfg.rules)
+    // persist ONLY the columns the two consumers need (partition, key,
+    // stats inputs, boolean flags) — caching the full-width row would make
+    // the cache as large as the table itself (the text/tokens payload
+    // dominates) and turn a re-scan saver into a cluster-wide spill
+    val neededCols = (Seq(pCol, keyCol) ++ statsCols ++
+      rowRules.map(r => Checks.flagCol(r.name))).distinct
+    val flagged0 = flaggedFull.select(neededCols.map(col): _*)
     val flagged =
       if (collectViolations && rowRules.nonEmpty)
         flagged0.persist(StorageLevel.MEMORY_AND_DISK)
@@ -233,13 +246,20 @@ object Validator {
     val rowAggFuture: Future[Array[org.apache.spark.sql.Row]] =
       if (rowRules.isEmpty && statsRules.isEmpty) Future.successful(Array.empty)
       else Future {
-        flagged.groupBy(col(pCol).as("partition"))
+        // cast: a date/int-typed Hive partition column must not CCE the
+        // driver-side getString below
+        flagged.groupBy(col(pCol).cast("string").as("partition"))
           .agg(rowAggExprs.head, rowAggExprs.tail: _*).collect()
       }
     val uniqueFutures = cfg.rules.filter(_.kind == RuleKind.Unique).map { r =>
       r -> Future {
         val t1 = System.nanoTime()
-        val dups = Checks.uniquenessViolations(df0, r.column.get, pCol)
+        // uniqueness is GLOBAL: it must see the UNPRUNED table even on a
+        // manifest resume — a duplicate key with one copy in an already-
+        // completed partition and one in a remaining partition is invisible
+        // to a count over the pruned df0 (runPerPartition hoists uniqueness
+        // to an unpruned global pass for exactly this reason)
+        val dups = Checks.uniquenessViolations(table, r.column.get, pCol)
           .persist(StorageLevel.MEMORY_AND_DISK)
         val perPart = dups.groupBy("partition")
           .agg(count(lit(1)).as("keys"), sum(col("n") - 1).as("extra"),
@@ -256,7 +276,7 @@ object Validator {
     // codegen'd flag scan (north_star: approx-quantiles via approx_percentile)
     val quantileFutures = statsRules.map { r =>
       r.name -> Future {
-        df0.groupBy(col(pCol).as("partition"))
+        df0.groupBy(col(pCol).cast("string").as("partition"))
           .agg(percentile_approx(col(r.column.get).cast("double"),
             typedLit(Seq(0.5, 0.95, 0.99)), lit(10000)).as("q"))
           .collect()
@@ -356,7 +376,10 @@ object Validator {
     if (strict) {
       val failed = all.filter(_.verdict == "fail")
       if (failed.nonEmpty) {
-        if (collectViolations && rowRules.nonEmpty) flagged.unpersist()
+        if (collectViolations && rowRules.nonEmpty) {
+          flagged.unpersist()
+          violDF.unpersist() // persisted above; the throw path must not leak it
+        }
         throw ValidationFailed(failed)
       }
     }

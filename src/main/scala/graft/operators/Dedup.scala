@@ -103,9 +103,13 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-    // materialize the (small) result, then release the postings cache —
-    // otherwise every call leaks cached blocks for the session lifetime
-    val out = pairs.localCheckpoint(true)
+    // materialize the result via persist+count (NOT localCheckpoint, whose
+    // lineage truncation makes the blocks unrecoverable on executor loss —
+    // with intact lineage Spark recomputes from source), then release the
+    // postings cache; the result cache is reclaimed by the ContextCleaner
+    // when the caller drops the frame
+    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     inv.unpersist()
     out
   }
@@ -177,7 +181,9 @@ object Dedup {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           v => v)).cast("double") / lit(k)).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
-    val out = pairs.localCheckpoint(true)
+    // persist+count, not localCheckpoint — see jaccardPairs note
+    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
     sigs.unpersist()
     out
   }
@@ -227,19 +233,39 @@ object Dedup {
 
   /** Embedding near-duplicate pairs above a cosine threshold, bucketed by a
     * random-hyperplane LSH code so only same-bucket pairs are compared
-    * (brute-force within bucket; deterministic seeded planes). */
+    * (brute-force within bucket; deterministic seeded planes).
+    *
+    * Same shuffle discipline as minhashLshPairs: only (id, bucket) rides
+    * the pair-generation exchange — vectors attach per candidate pair via
+    * id joins — and pathological buckets (boilerplate/zero embeddings all
+    * hashing to one code) are capped at `maxBucket` members, a DOCUMENTED
+    * truncation rather than an O(b²) single-reducer explosion. */
   def embeddingNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
       dim: Int, planes: Int = 12, threshold: Double = 0.95,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = 10000): DataFrame = {
     val code = Similarity.hyperplaneCode(col(vecCol), dim, planes, seed)
+    // persist: the coded projection feeds pair generation AND both vector-
+    // attach joins; without the barrier the plane-code HOF re-evaluates 3x
     val coded = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       code.as("bucket"))
-    val a = coded.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = coded.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = coded.select(col("id"), col("bucket"))
+    val sized = keyed.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bn") <= maxBucket)
+    val cand = sized.select(col("bucket"), col("id").as("id_a"))
+      .join(sized.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b") // one bucket per vector ⇒ pairs already unique
+    val out = cand
+      .join(coded.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(coded.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize (lineage INTACT — recomputable on executor loss)
+    coded.unpersist()
+    out
   }
 }

@@ -219,6 +219,29 @@ class FeaturePipelineSpec extends SparkTestBase {
     }
   }
 
+  test("quoted literals pass through untouched (no false stage refs, no mangling)") {
+    // 'HH:mm' must neither fail load as a stage import nor be rewritten
+    val suite = FeatureConfig.loadYaml(
+      """features:
+        |  ts: {type: timestamp, description: raw event timestamp}
+        |  hhmm:
+        |    type: string
+        |    description: formatted hour and minute
+        |    dependencies: [ts]
+        |    expr: "date_format(ts, 'HH:mm')"
+        |""".stripMargin)
+    val out = FeaturePipeline.compute(
+      Seq(java.sql.Timestamp.valueOf("2024-05-06 07:08:09")).toDF("ts"), suite)
+    assert(out.select("hhmm").head().getString(0) == "07:08")
+  }
+
+  test("compute() output schema is input columns + declared features only") {
+    val suite = FeatureConfig.loadYaml(chainBase)
+    val out = FeaturePipeline.compute(Seq(10).toDF("feature_a"), suite)
+    assert(out.columns.toSet == Set("feature_a", "feature_d"),
+      s"hidden stage columns leaked: ${out.columns.mkString(",")}")
+  }
+
   test("100-element vectorized identity: c = 0.5*(a+2b) (test_core.py:55-94)") {
     val suite = FeatureConfig.loadYaml(basicYaml)
     val input = spark.range(100).select(

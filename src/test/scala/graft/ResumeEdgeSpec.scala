@@ -132,6 +132,107 @@ class ResumeEdgeSpec extends SparkTestBase {
     assert(Manifest.completed(spark, mp, "r1").size == 20)
   }
 
+  test("uniqueness reports <null> (not raw null) for null-partition duplicates") {
+    val df = Seq(("k1", null: String), ("k1", null: String), ("k2", "p"))
+      .toDF("doc_id", "source")
+    val v = graft.checks.Checks.uniquenessViolations(df, "doc_id", "source")
+      .collect()
+    assert(v.length == 1 && v.head.getAs[String]("partition") == "<null>")
+  }
+
+  test("resumed run() still catches duplicates spanning a completed partition") {
+    val mp = s"${tmp("graft-xdup")}/manifest"
+    // key K duplicated across partitions A (completed) and C (remaining)
+    val t = Seq(("K", "A", 5), ("K", "C", 5), ("x", "A", 5), ("y", "C", 5))
+      .toDF("doc_id", "source", "n_tok")
+    val cfg = graft.config.RuleConfig.loadYaml(
+      """table:
+        |  name: t
+        |  partition_column: source
+        |  columns:
+        |    doc_id: {type: string, nullable: false}
+        |    source: {type: string, nullable: false}
+        |    n_tok:  {type: int, nullable: false}
+        |rules:
+        |  - name: doc_id_unique
+        |    description: doc_id globally unique
+        |    kind: unique
+        |    column: doc_id
+        |  - name: n_tok_range
+        |    description: n_tok within bounds
+        |    kind: range
+        |    column: n_tok
+        |    min: 0
+        |    max: 10
+        |""".stripMargin)
+    // complete partition A (row rules only) under the same runId
+    Validator.run(spark, t.filter(col("source") === "A"),
+      cfg.copy(rules = cfg.rules.filterNot(_.kind == graft.config.RuleKind.Unique)),
+      "doc_id", "xd1", manifestPath = Some(mp))
+    // resume over the full table: uniqueness must see the UNPRUNED table
+    val rep = Validator.run(spark, t, cfg, "doc_id", "xd1",
+      manifestPath = Some(mp))
+    val uniq = rep.results.filter(_.rule == "doc_id_unique")
+    assert(uniq.exists(_.verdict == "fail"),
+      s"cross-partition duplicate missed on resume: $uniq")
+  }
+
+  test("date-typed partition column validates without ClassCastException") {
+    val t = Seq(
+      ("a", java.sql.Date.valueOf("2024-01-01"), 5),
+      ("b", java.sql.Date.valueOf("2024-01-02"), 5),
+      ("b", java.sql.Date.valueOf("2024-01-02"), 20))
+      .toDF("doc_id", "day", "n_tok")
+    val cfg = graft.config.RuleConfig.loadYaml(
+      """table:
+        |  name: t
+        |  partition_column: day
+        |  columns:
+        |    doc_id: {type: string, nullable: false}
+        |    day:    {type: date, nullable: false}
+        |    n_tok:  {type: int, nullable: false}
+        |rules:
+        |  - name: n_tok_range
+        |    description: n_tok within bounds
+        |    kind: range
+        |    column: n_tok
+        |    min: 0
+        |    max: 10
+        |  - name: doc_id_unique
+        |    description: doc_id globally unique
+        |    kind: unique
+        |    column: doc_id
+        |""".stripMargin)
+    val rep = Validator.run(spark, t, cfg, "doc_id", "date1")
+    val range = rep.results.filter(_.rule == "n_tok_range")
+    assert(range.map(_.partition).toSet == Set("2024-01-01", "2024-01-02"))
+    assert(range.find(_.partition == "2024-01-02").get.violationCount == 1)
+    assert(rep.results.exists(r => r.rule == "doc_id_unique" && r.verdict == "fail"))
+    // per-partition mode too (distinct + sub-filters on a date column)
+    val mp = s"${tmp("graft-date")}/manifest"
+    val reports = Validator.runPerPartition(spark, t, cfg, "doc_id", "date2", mp)
+    assert(reports.nonEmpty)
+  }
+
+  test("violation example cap is exact under the two-phase salted window") {
+    val t = SeqTableGen.generate(spark, 5000, plant = true)
+    val cfg = DefaultSuite.config
+    val (flagged, rowRules) = graft.checks.Checks.withFlags(t, cfg.rules)
+    val capped = graft.checks.Checks.violations(flagged, rowRules, "doc_id",
+      "source", maxPerRulePartition = Some(3))
+    val uncapped = graft.checks.Checks.violations(flagged, rowRules, "doc_id",
+      "source", maxPerRulePartition = None)
+    // per group: capped = the 3 smallest keys by hash order of the full set
+    val got = capped.collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.map(_.getString(2)).toSet).toMap
+    val expect = uncapped
+      .withColumn("h", xxhash64(col("key"))).collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .view.mapValues(_.sortBy(_.getLong(3)).take(3).map(_.getString(2)).toSet).toMap
+    assert(got == expect)
+  }
+
   test("compact crash window recovers from the aside copy, never empty") {
     val mp = s"${tmp("graft-compact-crash")}/manifest"
     (1 to 5).foreach(i => Manifest.append(spark, mp, Seq(Manifest.Entry(
