@@ -387,16 +387,16 @@ object OracleSql {
          |   least(CAST(n_stop AS DOUBLE) / greatest(CAST(n_words AS DOUBLE), 1.0) / 0.2, 1.0) * 0.3,
          | 6) AS quality
          |FROM (SELECT doc_id,
-         |  CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_words,
+         |  CAST(len(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS INT) AS n_words,
          |  ${punctSumSql} AS n_punct,
          |  ${markerSumSql(Seq(" the ", " and ", " of ", " to ", " a ", " in "))} AS n_stop
          | FROM documents)""".stripMargin,
 
     "t_tokcount" ->
       """SELECT doc_id,
-        | CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INT) AS n_ws_tokens,
+        | CAST(len(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS INT) AS n_ws_tokens,
         | CAST(coalesce(list_sum(list_transform(
-        |   list_filter(string_split(text, ' '), w -> w <> ''),
+        |   list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), w -> w <> ''),
         |   w -> 1 + CAST(floor((length(w) - 1) / 6) AS INT))), 0) AS INT) AS n_subwords
         |FROM documents""".stripMargin,
 
@@ -577,10 +577,13 @@ object OracleSql {
   /** Non-overlapping literal occurrence count via the length-difference
     * trick, over ' ' || lower(text) || ' ' — mirrors TextOps.countOccurrences
     * + langScore exactly. */
+  // normalized exactly like TextOps (Dedup.normText): lower + \s+ -> ' '
+  private def normTextSql: String = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
   private def markerSumSql(markers: Seq[String]): String =
     markers.map { m =>
       val esc = m.replace("'", "''")
-      s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$esc', ''))) / ${m.length} AS INT)"
+      s"CAST((length(' ' || $normTextSql || ' ') - length(replace(' ' || $normTextSql || ' ', '$esc', ''))) / ${m.length} AS INT)"
     }.mkString("(", " + ", ")")
 
   private def punctSumSql: String =

@@ -14,9 +14,24 @@ import graft.config.RuleConfig
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val opts = args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+    // strict pairwise parse with fail-fast diagnostics: the old sliding(2,2)
+    // silently dropped/misbound flags when a valueless flag shifted the
+    // alignment — e.g. `--per-partition --manifest /m` ran WITHOUT
+    // checkpointing and without the manifest, losing resume state silently
+    val opts = {
+      def parse(rest: List[String], acc: Map[String, String]): Map[String, String] =
+        rest match {
+          case Nil => acc
+          case flag :: value :: tail if flag.startsWith("--") && !value.startsWith("--") =>
+            parse(tail, acc + (flag.drop(2) -> value))
+          case flag :: tail if flag.startsWith("--") =>
+            sys.error(s"flag $flag requires a value" +
+              tail.headOption.fold("")(n => s" (got '$n')"))
+          case stray :: _ =>
+            sys.error(s"unexpected positional argument '$stray'")
+        }
+      parse(args.toList, Map.empty)
+    }
     val tablePath = opts("table")
     val rulesPath = opts("rules")
     val builder = SparkSession.builder()
@@ -59,9 +74,15 @@ object Main {
           r.getAs[Long]("contentHash"), r.getAs[Long]("wallMs"),
           r.getAs[String]("detail")))
       // global rules (schema, no-baseline drift) re-evaluate per sub-run and
-      // append one "*" row each time — report each (partition, rule) once
-      Validator.RunReport(runId,
-        manifestRows.toSeq.distinctBy(r => (r.partition, r.rule)),
+      // append one "*" row each time — report each (partition, rule) once,
+      // preferring a FAIL row when attempts disagree (parquet read order is
+      // nondeterministic; an arbitrary distinctBy could keep a stale pass
+      // and exit 0 over a recorded failure)
+      val collapsed = manifestRows.toSeq
+        .groupBy(r => (r.partition, r.rule))
+        .values.map(rs => rs.find(_.verdict == "fail").getOrElse(rs.head))
+        .toSeq
+      Validator.RunReport(runId, collapsed,
         spark.emptyDataFrame, reports.map(_.validatedRows).sum)
     } else {
       Validator.run(spark, table, cfg, keyCol, runId,

@@ -30,7 +30,12 @@ object HivePartitionedParquet extends TableIO {
     * data-skipping half of Iceberg's sorted tables). */
   def writeSorted(df: DataFrame, path: String, partitionColumn: String,
       sortKey: String): Unit =
-    df.sortWithinPartitions(org.apache.spark.sql.functions.col(sortKey))
+    // partition column FIRST: FileFormatWriter requires output ordered by
+    // the partition columns and would insert its own (unstable) sort if the
+    // plan weren't — silently destroying the sortKey order inside files
+    df.sortWithinPartitions(
+        org.apache.spark.sql.functions.col(partitionColumn),
+        org.apache.spark.sql.functions.col(sortKey))
       .write.mode("overwrite").partitionBy(partitionColumn).parquet(path)
 }
 

@@ -34,14 +34,17 @@ object AggOps {
   /** Deterministic mode per group (aggregate.py:34-42 'mode' uses np.unique
     * + argmax ⇒ the SMALLEST most-frequent value wins on ties). Spark's
     * built-in `mode` does not guarantee tie order, so we build it from
-    * count + struct-max: max(struct(cnt, -value)) picks highest count, then
-    * smallest value — two map-side-combinable aggregations, no window. */
+    * count + min_by over a rank struct: smallest (-count, value) pairs the
+    * highest count with the smallest value — works for ANY orderable value
+    * type (the numeric `* -1` negation trick would break string/categorical
+    * columns, mode's primary use case). Two map-side-combinable
+    * aggregations, no window. */
   def deterministicMode(df: DataFrame, keyName: String, valName: String,
       outCol: String): DataFrame =
     df.groupBy(col(keyName), col(valName)).agg(count(lit(1)).as("__c"))
       .groupBy(col(keyName))
-      .agg(max(struct(col("__c").as("c"), (col(valName) * lit(-1)).as("nv"))).as("m"))
-      .select(col(keyName), (col("m.nv") * lit(-1)).as(outCol))
+      .agg(min_by(col(valName),
+        struct((-col("__c")).as("nc"), col(valName).as("v"))).as(outCol))
 
   /** Scattered variant: mode value joined back onto every member row. */
   def groupModeScattered(df: DataFrame, keyName: String, valName: String,

@@ -37,9 +37,12 @@ object DateTimeOps {
       case "M" => add_months(c, n)
       case "W" => date_add(c, 7 * n)
       case "D" => date_add(c, n)
-      case "h" => (unix_timestamp(c) + n * 3600L).cast("timestamp")
-      case "m" => (unix_timestamp(c) + n * 60L).cast("timestamp")
-      case "s" => (unix_timestamp(c) + n.toLong).cast("timestamp")
+      // interval arithmetic, NOT a unix_timestamp round-trip: the latter
+      // truncates sub-second precision, silently corrupting ms/us event
+      // timestamps (add 1s then sub 1s would not round-trip)
+      case "h" => c + expr(s"INTERVAL '$n' HOUR")
+      case "m" => c + expr(s"INTERVAL '$n' MINUTE")
+      case "s" => c + expr(s"INTERVAL '$n' SECOND")
     }
   }
 

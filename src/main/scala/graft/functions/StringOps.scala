@@ -73,7 +73,21 @@ object StringOps {
         s"labelEncodeInferred: '$colName' exceeds $maxVocab distinct values; " +
         "label-encoding a near-unique column is almost certainly a mistake " +
         "(use a hash or fingerprint instead)")
-    df.withColumn(outCol, labelEncode(col(colName), cats.sorted.toSeq))
+    val sorted = cats.sorted.toSeq
+    if (sorted.size <= 256)
+      // small vocab: the codegen'd when-chain stays in the scan, no join
+      df.withColumn(outCol, labelEncode(col(colName), sorted))
+    else {
+      // large vocab: a when-chain this deep would blow Catalyst's recursion
+      // (StackOverflow around ~10^4 nested CaseWhens) — broadcast-join the
+      // (category, index) lookup instead; unknown/null values stay null via
+      // the left join, matching labelEncode's unknown->null semantics
+      import df.sparkSession.implicits._
+      val lookup = sorted.zipWithIndex.toDF("__cat", outCol)
+        .withColumn(outCol, col(outCol).cast("int"))
+      df.join(broadcast(lookup), df(colName) === lookup("__cat"), "left")
+        .drop("__cat")
+    }
   }
 
   /** Binary encode (string.py:143-191): category → dense sorted rank →

@@ -220,7 +220,10 @@ object Dedup {
 
   // ---------- embedding near-dup ----------
 
-  /** Cosine similarity between two float-array columns (codegen'd HOFs). */
+  /** Cosine similarity between two float-array columns (codegen'd HOFs).
+    * Zero-norm vectors (0/0 = NaN, which Spark orders ABOVE all doubles in
+    * desc sorts) pin to -1: undefined similarity must never win a top-k or
+    * pass a near-dup threshold. */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -228,7 +231,7 @@ object Dedup {
       lit(0.0), (acc, v) => acc + v))
     val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
-    dot / (na * nb)
+    nanvl(dot / (na * nb), lit(-1.0))
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, bucketed by a

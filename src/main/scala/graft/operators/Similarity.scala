@@ -46,7 +46,10 @@ object Similarity {
   def cosineTo(vec: Column, query: Seq[Double]): Column = {
     val q = typedlit(query)
     val qn = math.sqrt(query.map(x => x * x).sum)
-    dot(vec, q) / (norm(vec) * lit(qn))
+    // zero-norm vectors give 0/0 = NaN, and Spark orders NaN ABOVE every
+    // double — a single all-zero embedding would outrank every true
+    // neighbor in a cos-desc top-k; pin undefined similarity to -1
+    nanvl(dot(vec, q) / (norm(vec) * lit(qn)), lit(-1.0))
   }
 
   /** Brute-force top-k by cosine to a single query vector. Compiles to
@@ -60,23 +63,44 @@ object Similarity {
 
   /** Batch k-NN: top-k neighbors for EVERY query row against the corpus,
     * LSH-bucketed (IVF-style): join corpus and queries on bucket code, rank
-    * within query by cosine. Approximate — recall depends on `planes`. */
+    * within query by cosine. Approximate — recall depends on `planes`.
+    *
+    * Scale discipline (same as Dedup near-dup miners): the bucket join
+    * carries only ids — vectors attach per candidate pair by id afterwards,
+    * so the low-cardinality bucket key (2^planes values) never ships full
+    * float arrays through a 256-way exchange — and corpus cells are capped
+    * at `maxBucket` members (documented truncation instead of an O(|Q_b|x
+    * |C_b|) single-reducer explosion on a degenerate cell). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, dim: Int, k: Int, planes: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxBucket: Int = 100000): DataFrame = {
     val code = hyperplaneCode(col(vecCol), dim, planes, seed)
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
       code.as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       code.as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cIds = c.select(col("bucket"), col("corpus_id"))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    val cand = q.select(col("bucket"), col("query_id"))
+      .join(cIds, Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("corpus_id").asc)
-    q.join(c, Seq("bucket"))
-      .filter(col("query_id") =!= col("corpus_id"))
+    val out = cand
+      .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
+      .join(c.select(col("corpus_id"), col("cv")), Seq("corpus_id"))
       .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cos", "rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize with lineage intact, then free the inputs
+    c.unpersist(); q.unpersist()
+    out
   }
 
   /** IVF index build: assign every vector to its hyperplane cell and write

@@ -24,9 +24,11 @@ object TextOps {
     "fr" -> Seq(" le ", " la ", " et ", " est ", " les "),
     "es" -> Seq(" el ", " de la ", " que ", " es ", " los "))
 
-  /** Per-language marker hit count over lowercased text. */
+  /** Per-language marker hit count over NORMALIZED text (lowercased,
+    * whitespace runs — newlines, tabs — collapsed to single spaces via
+    * Dedup.normText): a stopword abutting a newline must still count. */
   def langScore(c: Column, lang: String): Column = {
-    val t = concat(lit(" "), lower(c), lit(" "))
+    val t = concat(lit(" "), Dedup.normText(c), lit(" "))
     LangMarkers.toMap.apply(lang)
       .map(m => countOccurrences(t, m))
       .reduce(_ + _)
@@ -46,16 +48,17 @@ object TextOps {
     when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
   }
 
-  /** Whitespace token count (empty tokens dropped). */
+  /** Whitespace token count over normalized text (newlines/tabs are word
+    * boundaries too; empty tokens dropped). */
   def tokenCount(c: Column): Column =
-    size(filter(split(c, " "), t => t =!= ""))
+    size(filter(split(Dedup.normText(c), " "), t => t =!= ""))
 
   /** BPE-ish subword count estimate: words + extra splits for long words
     * (every started chunk of 6 chars beyond the first counts). A cheap,
     * deterministic proxy for tokenizer load with no vocab file. */
   def subwordCountEstimate(c: Column): Column =
     aggregate(
-      filter(split(c, " "), t => t =!= ""),
+      filter(split(Dedup.normText(c), " "), t => t =!= ""),
       lit(0),
       (acc, wrd) => acc + lit(1) + floor((length(wrd) - 1) / 6).cast("int"))
 
@@ -67,7 +70,7 @@ object TextOps {
 
   def stopwordCount(c: Column): Column =
     Seq(" the ", " and ", " of ", " to ", " a ", " in ")
-      .map(m => countOccurrences(concat(lit(" "), lower(c), lit(" ")), m))
+      .map(m => countOccurrences(concat(lit(" "), Dedup.normText(c), lit(" ")), m))
       .reduce(_ + _)
 
   /** Composite quality score in [0,1]: penalizes too-short docs, rewards

@@ -57,6 +57,11 @@ class StatsAggregator(lo: Double, hi: Double, k: Int)
   override def reduce(b: StatsBuf, x: java.lang.Double): StatsBuf = {
     if (x == null) { b.nulls += 1; return b }
     val v = x.doubleValue()
+    // NaN guard: one NaN would otherwise poison mean/m2 for the whole
+    // column, silently skip min/max (NaN fails both comparisons), and be
+    // fabricated into histogram bin 0 (floor(NaN).toInt == 0). Count it
+    // with the nulls — "value absent/invalid" — like SQL aggregates do.
+    if (v.isNaN) { b.nulls += 1; return b }
     b.n += 1
     if (v < b.min) b.min = v
     if (v > b.max) b.max = v
