@@ -103,7 +103,13 @@ object Bench {
     val qs = (results :+ ("validate_full_suite" -> vSec))
       .map { case (k, v) => jkey(k) + f":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum + vSec
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","validate_rows":$vRows,"validate_sec":$vSec%.3f,"validated_seq_per_sec":${seqPerSec.toLong},"cpus":$cpus}"""
+    // a crashed query must not read as a SPEEDUP (its -1 is excluded from
+    // total) — surface failures explicitly in the JSON and on stderr
+    val failedQs = results.filter(_._2 < 0).map(_._1)
+    if (failedQs.nonEmpty)
+      System.err.println(s"[bench] FAILED queries: ${failedQs.mkString(",")}")
+    val failedJson = failedQs.map(jkey).mkString("[", ",", "]")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed_queries":$failedJson,"sf":"$sfDir","validate_rows":$vRows,"validate_sec":$vSec%.3f,"validated_seq_per_sec":${seqPerSec.toLong},"cpus":$cpus}"""
     println(line)
     // ALSO write to a file: sbt prefixes stdout lines with "[info] ", which
     // broke the driver's machine-parse of the bench line in round 1

@@ -28,7 +28,10 @@ object Drift {
     val w = (hi - lo) / k
     val bin = least(greatest(floor((col(valueCol).cast("double") - lit(lo)) / lit(w)), lit(0)),
       lit(k - 1)).cast("int")
-    df.filter(col(valueCol).isNotNull)
+    // NaN would pass the null filter and land in bin 0 (floor(NaN)=0),
+    // silently inflating the lowest bin of one snapshot — exclude it like
+    // the stats aggregator does
+    df.filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
       // cast: non-string partition columns must not CCE the driver getString
       .groupBy(col(partitionCol).cast("string").as("partition"), bin.as("bin"))
       .agg(count(lit(1)).as("cnt"))
@@ -87,7 +90,7 @@ object Drift {
 
     val base = collectHists(baseline)
     val cur = collectHists(current)
-    cur.toSeq.sortBy(_._1).map { case (p, h) =>
+    val curVerdicts = cur.toSeq.sortBy(_._1).map { case (p, h) =>
       base.get(p) match {
         case Some(b) =>
           val p1 = psi(b, h); val k1 = ks(b, h)
@@ -95,5 +98,11 @@ object Drift {
         case None => DriftVerdict(p, Double.NaN, Double.NaN, pass = false)
       }
     }
+    // a partition present in the BASELINE but absent from the current
+    // snapshot is the most extreme drift there is — it must fail loudly,
+    // not silently produce no verdict
+    val vanished = (base.keySet -- cur.keySet).toSeq.sorted.map(p =>
+      DriftVerdict(p, Double.NaN, Double.NaN, pass = false))
+    (curVerdicts ++ vanished).sortBy(_.partition)
   }
 }

@@ -93,8 +93,23 @@ object RuleConfig {
 
   private def optStr(n: JsonNode, f: String): Option[String] =
     Option(n.get(f)).filterNot(_.isNull).map(_.asText)
+  // strict numeric parse: Jackson's asDouble/asInt silently coerce
+  // unparseable text to 0.0/default, shipping a misconfigured rule (e.g.
+  // `min: ten` becoming min=0.0) instead of failing at load
   private def optDouble(n: JsonNode, f: String): Option[Double] =
-    Option(n.get(f)).filterNot(_.isNull).map(_.asDouble)
+    Option(n.get(f)).filterNot(_.isNull).map { v =>
+      if (v.isNumber) v.asDouble
+      else try v.asText.toDouble
+      catch { case _: NumberFormatException =>
+        throw ConfigError(s"field '$f': expected a number, got '${v.asText}'") }
+    }
+  private def optInt(n: JsonNode, f: String): Option[Int] =
+    Option(n.get(f)).filterNot(_.isNull).map { v =>
+      if (v.isIntegralNumber) v.asInt
+      else try v.asText.toInt
+      catch { case _: NumberFormatException =>
+        throw ConfigError(s"field '$f': expected an integer, got '${v.asText}'") }
+    }
 
   private def fromNode(root: JsonNode): SuiteConfig = {
     val table = Option(root.get("table")).getOrElse(throw ConfigError("missing 'table'"))
@@ -118,7 +133,7 @@ object RuleConfig {
         max = optDouble(r, "max"),
         expr = optStr(r, "expr"),
         values = Option(r.get("values")).map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
-        bins = Option(r.get("bins")).map(_.asInt(32)).getOrElse(32),
+        bins = optInt(r, "bins").getOrElse(32),
         psiMax = optDouble(r, "psi_max"),
         ksMax = optDouble(r, "ks_max"),
         dependencies = Option(r.get("dependencies"))

@@ -54,6 +54,7 @@ object MathOps {
     * scalar projection. Returns the input df plus `outCol`. */
   def zscoreGlobal(df: DataFrame, col: Column, outCol: String): DataFrame = {
     val row = df.agg(avg(col).as("m"), stddev_pop(col).as("s")).head()
+    require(!row.isNullAt(0), "z_score: column has no non-null values")
     val (m, s) = (row.getDouble(0), row.getDouble(1))
     df.withColumn(outCol, (col - lit(m)) / lit(s))
   }
@@ -61,22 +62,24 @@ object MathOps {
   /** Data-derived min-max (math.py:199-206). */
   def minMaxGlobal(df: DataFrame, col: Column, outCol: String): DataFrame = {
     val row = df.agg(min(col).cast("double").as("mn"), max(col).cast("double").as("mx")).head()
+    require(!row.isNullAt(0), "min_max: column has no non-null values")
     val (mn, mx) = (row.getDouble(0), row.getDouble(1))
     require(mn != mx, "min_max: constant column")
     df.withColumn(outCol, (col.cast("double") - lit(mn)) / lit(mx - mn))
   }
 
-  /** Uniform-width k-bins discretize, ordinal encoding (math.py:209-227 with
-    * strategy='uniform'): bin i covers [min + i*w, min + (i+1)*w), last bin
-    * closed. One stats pass + scalar arithmetic. */
   /** Null-in → null-out guard shared by the binning ops: without it a NULL
     * value falls through `when` chains / null-skipping `least` to bin k-1,
     * silently corrupting the last bin (sklearn rejects NaN outright). */
   private def nullSafeBin(c: Column, bin: Column): Column =
     when(c.isNull, lit(null).cast("int")).otherwise(bin.cast("int"))
 
+  /** Uniform-width k-bins discretize, ordinal encoding (math.py:209-227 with
+    * strategy='uniform'): bin i covers [min + i*w, min + (i+1)*w), last bin
+    * closed. One stats pass + scalar arithmetic. */
   def kbinsUniform(df: DataFrame, col: Column, k: Int, outCol: String): DataFrame = {
     val row = df.agg(min(col).cast("double"), max(col).cast("double")).head()
+    require(!row.isNullAt(0), "kbins_uniform: column has no non-null values")
     val (mn, mx) = (row.getDouble(0), row.getDouble(1))
     require(mn != mx, "kbins_uniform: constant column has no bin width")
     val w = (mx - mn) / k
@@ -89,9 +92,9 @@ object MathOps {
     * `percentile` is a single-pass sort-based agg; edges are O(k) on driver. */
   def kbinsQuantile(df: DataFrame, col: Column, k: Int, outCol: String): DataFrame = {
     val probs = (0 to k).map(i => i.toDouble / k)
-    val edges = df
-      .agg(percentile(col, typedLit(probs)).as("p"))
-      .head().getSeq[Double](0)
+    val edgesRow = df.agg(percentile(col, typedLit(probs)).as("p")).head()
+    require(!edgesRow.isNullAt(0), "kbins_quantile: column has no non-null values")
+    val edges = edgesRow.getSeq[Double](0)
     // interior edges only; value < edge(i) => bin i-1, last bin inclusive
     val interior = edges.slice(1, k)
     val binExpr = interior.zipWithIndex.foldRight(lit(k - 1)) {
@@ -108,9 +111,11 @@ object MathOps {
   def kbinsQuantileApprox(df: DataFrame, col: Column, k: Int, outCol: String,
       accuracy: Int = 10000): DataFrame = {
     val probs = (1 until k).map(i => i.toDouble / k)
-    val edges = df
+    val edgesRow = df
       .agg(percentile_approx(col.cast("double"), typedLit(probs), lit(accuracy)).as("p"))
-      .head().getSeq[Double](0)
+      .head()
+    require(!edgesRow.isNullAt(0), "kbins_quantile_approx: column has no non-null values")
+    val edges = edgesRow.getSeq[Double](0)
     val binExpr = edges.zipWithIndex.foldRight(lit(k - 1)) {
       case ((edge, i), elseCol) => when(col < lit(edge), lit(i)).otherwise(elseCol)
     }
@@ -128,6 +133,7 @@ object MathOps {
       maxIter: Int = 25, tol: Double = 1e-7): DataFrame = {
     require(k >= 2, "kbins_kmeans: k must be >= 2 (sklearn KBinsDiscretizer semantics)")
     val row = df.agg(min(col).cast("double"), max(col).cast("double")).head()
+    require(!row.isNullAt(0), "kbins_kmeans: column has no non-null values")
     val (mn, mx) = (row.getDouble(0), row.getDouble(1))
     require(mn != mx, "kbins_kmeans: constant column")
     val w = (mx - mn) / k
@@ -171,9 +177,12 @@ object MathOps {
       .orderBy("d").collect()
     val means = typedLit(stats.map(_.getDouble(1)).toSeq)
     val stds = typedLit(stats.map(_.getDouble(2)).toSeq)
+    // transform-with-index, NOT zip_with(arr, sequence(...)): zip_with pads
+    // the shorter side with nulls, so ragged rows would silently grow to
+    // the global max dimension count; transform preserves each row's length
     df.withColumn(outCol,
-      zip_with(arr, sequence(lit(1), lit(stats.length)),
-        (x, i) => (x.cast("double") - element_at(means, i)) / element_at(stds, i)))
+      transform(arr, (x, i) =>
+        (x.cast("double") - element_at(means, i + 1)) / element_at(stds, i + 1)))
   }
 
   // ---- Reductions (BaseReduce, math.py:13-59) ----
@@ -198,20 +207,15 @@ object MathOps {
 
   /** Per-row z-score of an array column — the reference's 2-D z_score with
     * axis=1 (math.py:158-167): each row's vector standardized by its own
-    * mean/std. Pure HOFs, no shuffle. */
-  def zscoreArray(arr: Column): Column = {
-    val n = size(arr).cast("double")
-    val mean = sumArray(arr) / n
-    val varPop = aggregate(arr, lit(0.0),
-      (acc, x) => acc + (x.cast("double") - mean) * (x.cast("double") - mean)) / n
-    val std = sqrt(varPop)
-    transform(arr, x => (x.cast("double") - mean) / std)
-  }
+    * mean/std. Fused custom expression, one JVM pass per row: the HOF
+    * formulation embedded the mean/std aggregates INSIDE the transform
+    * lambda, and lambda bodies get no subexpression elimination — the
+    * aggregates re-ran per element (quadratic/cubic per row). */
+  def zscoreArray(arr: Column): Column =
+    graft.functions.expr.ArrayStatsExprs.arrayZScore(arr)
 
-  /** Per-row min-max of an array column (math.py:199-206 axis mode). */
-  def minMaxArray(arr: Column): Column = {
-    val mn = array_min(arr).cast("double")
-    val mx = array_max(arr).cast("double")
-    transform(arr, x => (x.cast("double") - mn) / (mx - mn))
-  }
+  /** Per-row min-max of an array column (math.py:199-206 axis mode); fused
+    * single pass — see zscoreArray note. */
+  def minMaxArray(arr: Column): Column =
+    graft.functions.expr.ArrayStatsExprs.arrayMinMax(arr)
 }

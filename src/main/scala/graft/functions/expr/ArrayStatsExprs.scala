@@ -1,0 +1,118 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Fused per-row array normalization.
+  *
+  * The HOF formulation — `transform(arr, x => (x - mean) / std)` with
+  * `mean`/`std` themselves HOF aggregates over `arr` — re-evaluates the
+  * aggregate subtrees PER ELEMENT: lambda-bound higher-order functions are
+  * excluded from Spark's subexpression elimination (the pitfall
+  * FingerprintExprs documents for minhash), so a 512-dim vector costs
+  * ~512² interpreted aggregate evaluations per row, and the nested variance
+  * case is cubic. These expressions do the same math in ONE JVM pass per
+  * row (two reads of the array), preserving the HOF semantics exactly:
+  * float elements widen to double; any null element yields an all-null
+  * array of the same length (mean is null ⇒ every output element is null);
+  * empty arrays stay empty; a zero std/range follows IEEE double division
+  * (±Infinity / NaN), matching Spark's non-ANSI double `/`.
+  */
+abstract class ArrayNormalizeExpr extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+
+  @transient protected lazy val elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(_: NumericType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<numeric>, got ${other.simpleString}")
+    }
+
+  /** Extract values widened to double; None if any element is null. */
+  protected def values(arr: ArrayData): Option[Array[Double]] = {
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return None
+      out(i) = elemType match {
+        case FloatType   => arr.getFloat(i).toDouble
+        case DoubleType  => arr.getDouble(i)
+        case IntegerType => arr.getInt(i).toDouble
+        case LongType    => arr.getLong(i).toDouble
+        case ShortType   => arr.getShort(i).toDouble
+        case ByteType    => arr.getByte(i).toDouble
+        case _: DecimalType => arr.getDecimal(i, 38, 18).toDouble
+        case other => throw new IllegalStateException(s"unexpected $other")
+      }
+      i += 1
+    }
+    Some(out)
+  }
+
+  protected def allNull(n: Int): GenericArrayData =
+    new GenericArrayData(Array.fill[Any](n)(null))
+}
+
+/** Per-row z-score: (x - mean) / stddev_pop, one pass. */
+case class ArrayZScore(child: Expression) extends ArrayNormalizeExpr {
+  override def prettyName: String = "array_zscore"
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    values(arr) match {
+      case None => allNull(n)
+      case Some(xs) =>
+        var s = 0.0; var i = 0
+        while (i < n) { s += xs(i); i += 1 }
+        val mean = s / n
+        var s2 = 0.0; i = 0
+        while (i < n) { val d = xs(i) - mean; s2 += d * d; i += 1 }
+        val std = math.sqrt(s2 / n)
+        val out = new Array[Any](n); i = 0
+        while (i < n) { out(i) = (xs(i) - mean) / std; i += 1 }
+        new GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Per-row min-max scale: (x - min) / (max - min), one pass. */
+case class ArrayMinMaxScale(child: Expression) extends ArrayNormalizeExpr {
+  override def prettyName: String = "array_minmax"
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    values(arr) match {
+      case None => allNull(n)
+      case Some(xs) =>
+        var mn = Double.PositiveInfinity; var mx = Double.NegativeInfinity
+        var i = 0
+        while (i < n) {
+          if (xs(i) < mn) mn = xs(i); if (xs(i) > mx) mx = xs(i); i += 1
+        }
+        val out = new Array[Any](n); i = 0
+        while (i < n) { out(i) = (xs(i) - mn) / (mx - mn); i += 1 }
+        new GenericArrayData(out)
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object ArrayStatsExprs {
+  def arrayZScore(c: Column): Column =
+    ColumnBridge.column(ArrayZScore(ColumnBridge.expression(c)))
+  def arrayMinMax(c: Column): Column =
+    ColumnBridge.column(ArrayMinMaxScale(ColumnBridge.expression(c)))
+}

@@ -45,11 +45,18 @@ object Manifest {
   /** If a crash during compact() left the live path missing with the aside
     * copy present, promote the aside copy back — BEFORE any read or append,
     * or the old state would be silently shadowed by fresh writes. */
+  /** Hadoop rename returns FALSE on failure instead of throwing — every
+    * rename in the crash-consistency protocol must be checked or the
+    * protocol can silently no-op and shadow/lose manifest state. */
+  private def mustRename(fs: org.apache.hadoop.fs.FileSystem,
+      from: org.apache.hadoop.fs.Path, to: org.apache.hadoop.fs.Path): Unit =
+    require(fs.rename(from, to), s"manifest rename failed: $from -> $to")
+
   private def recoverIfNeeded(spark: SparkSession, path: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val aside = new org.apache.hadoop.fs.Path(path + ".compact-old")
-    if (!fs.exists(live) && fs.exists(aside)) { fs.rename(aside, live); () }
+    if (!fs.exists(live) && fs.exists(aside)) mustRename(fs, aside, live)
   }
 
   def append(spark: SparkSession, path: String, entries: Seq[Entry]): Unit =
@@ -69,8 +76,10 @@ object Manifest {
   def read(spark: SparkSession, path: String): DataFrame = {
     // compact() renames the live manifest aside before swapping in the
     // compacted copy; if a crash hit that window, promote the aside copy
-    // back instead of silently restarting resume from scratch
-    recoverIfNeeded(spark, path)
+    // back instead of silently restarting resume from scratch. Runs under
+    // the append lock so a concurrent in-process compact()'s rename window
+    // cannot race the recovery rename.
+    appendLock.synchronized { recoverIfNeeded(spark, path) }
     val hp = new org.apache.hadoop.fs.Path(path)
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(hp)) spark.read.schema(schemaDDL).parquet(path)
@@ -125,20 +134,27 @@ object Manifest {
       val live = new org.apache.hadoop.fs.Path(path)
       val old = new org.apache.hadoop.fs.Path(path + ".compact-old")
       fs.delete(old, true) // clear any previous recovery copy
-      fs.rename(live, old)
-      fs.rename(new org.apache.hadoop.fs.Path(tmp), live)
+      mustRename(fs, live, old)
+      mustRename(fs, new org.apache.hadoop.fs.Path(tmp), live)
       fs.delete(old, true)
       ()
     }
   }
 
-  /** Order-insensitive content hash of a violation DataFrame: XOR of
-    * xxhash64 over all columns, per row. XOR commutes (stable across
-    * partitionings and row orders, SURVEY.md §7.4) and cannot overflow
-    * under ANSI arithmetic (Spark 4 default). */
+  /** Order-insensitive, MULTISET-sensitive content hash of a violation
+    * DataFrame: SUM of per-row xxhash64 over all columns, carried in
+    * decimal(38,0) (ANSI-safe — a bigint sum would overflow-throw) and
+    * folded back to a long. Summation commutes (stable across partitionings
+    * and row orders, SURVEY.md §7.4); unlike XOR it does NOT cancel
+    * duplicate rows, so {A,A,B} and {C,C,B} hash differently. */
   def contentHash(df: DataFrame): Long = {
     if (df.isEmpty) 0L
-    else df.select(expr(s"bit_xor(xxhash64(${df.columns.map(c => s"`$c`").mkString(",")}))").as("h"))
-      .head().getLong(0)
+    else {
+      val cols = df.columns.map(c => s"`$c`").mkString(",")
+      df.select(
+        expr(s"pmod(sum(cast(xxhash64($cols) as decimal(38,0))), " +
+          "cast(9223372036854775807 as decimal(38,0)))").cast("long").as("h"))
+        .head().getLong(0)
+    }
   }
 }

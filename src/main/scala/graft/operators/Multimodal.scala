@@ -53,15 +53,22 @@ object Multimodal {
       idCol: String, batchSize: Int = 64): DataFrame = {
     val spark = df.sparkSession
     val outSchema = StructType(Seq(
-      StructField("id", LongType, nullable = false),
+      StructField("id", LongType, nullable = true),
       StructField("meta", MediaMetaSchema, nullable = false)))
     val rdd = df.select(col(idCol).cast("long"), col(payloadCol), col(typeCol))
       .rdd.mapPartitions { it =>
         it.grouped(batchSize).flatMap { batch =>
-          // real impl: one vectorized codec/inference call per batch here
+          // real impl: one vectorized codec/inference call per batch here.
+          // Null tolerance: ONE corrupt record (null payload/type/id) in a
+          // 10^12-row table must not NPE a task 4x and kill the whole job —
+          // decode degrades to an empty payload / "unknown" type instead,
+          // preserving row multiplicity so callers can count the bad rows.
           batch.map { r =>
-            val m = fakeDecode(r.getAs[Array[Byte]](1), r.getString(2))
-            Row(r.getLong(0),
+            val payload =
+              if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+            val mtype = if (r.isNullAt(2)) "unknown" else r.getString(2)
+            val m = fakeDecode(payload, mtype)
+            Row(if (r.isNullAt(0)) null else r.getLong(0),
               Row(m.media_type, m.width, m.height, m.n_frames, m.sample_rate,
                 m.byte_len))
           }

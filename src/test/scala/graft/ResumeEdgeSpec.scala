@@ -102,6 +102,43 @@ class ResumeEdgeSpec extends SparkTestBase {
     assert(Manifest.read(spark, s"${tmp("graft-missing")}/nope").isEmpty)
   }
 
+  test("drift fails loudly for a partition that vanished from the snapshot") {
+    val base = Seq(("a", 10.0), ("b", 12.0), ("a", 11.0)).toDF("part", "x")
+    val cur = Seq(("a", 10.5)).toDF("part", "x") // partition b disappeared
+    val verdicts = graft.checks.Drift.compare(base, cur, "x", "part",
+      0.0, 20.0, 4, psiMax = 10.0, ksMax = 1.0)
+    val b = verdicts.find(_.partition == "b")
+    assert(b.nonEmpty && !b.get.pass, "vanished partition must fail drift")
+  }
+
+  test("content hash distinguishes multisets (no XOR duplicate cancellation)") {
+    val s1 = Seq(("A", 1), ("A", 1), ("B", 2)).toDF("k", "v")
+    val s2 = Seq(("C", 3), ("C", 3), ("B", 2)).toDF("k", "v")
+    assert(Manifest.contentHash(s1) != Manifest.contentHash(s2))
+    // still order/partitioning-insensitive
+    val s1r = Seq(("B", 2), ("A", 1), ("A", 1)).toDF("k", "v").repartition(3)
+    assert(Manifest.contentHash(s1) == Manifest.contentHash(s1r))
+  }
+
+  test("unparseable numeric rule fields fail at config load") {
+    intercept[graft.config.ConfigError] {
+      graft.config.RuleConfig.loadYaml(
+        """table:
+          |  name: t
+          |  partition_column: source
+          |  columns:
+          |    n_tok: {type: int, nullable: false}
+          |    source: {type: string, nullable: false}
+          |rules:
+          |  - name: r1
+          |    description: bad min literal
+          |    kind: range
+          |    column: n_tok
+          |    min: ten
+          |""".stripMargin)
+    }
+  }
+
   test("drift compare handles null partition values as <null>") {
     val base = Seq(("a", 10.0), (null: String, 12.0), ("a", 11.0), (null, 13.0))
       .toDF("part", "x")
