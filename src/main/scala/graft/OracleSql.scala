@@ -48,8 +48,9 @@ object OracleSql {
 
     "m_kbins_uniform" ->
       s"""SELECT $liKey,
-         | CAST(least(floor((l_extendedprice - (SELECT min(l_extendedprice) FROM lineitem))
-         |   / (((SELECT max(l_extendedprice) FROM lineitem) - (SELECT min(l_extendedprice) FROM lineitem)) / 5)), 4) AS INT) AS bin
+         | CAST(CASE WHEN l_extendedprice IS NULL THEN NULL
+         |   ELSE least(floor((l_extendedprice - (SELECT min(l_extendedprice) FROM lineitem))
+         |   / (((SELECT max(l_extendedprice) FROM lineitem) - (SELECT min(l_extendedprice) FROM lineitem)) / 5)), 4) END AS INT) AS bin
          |FROM lineitem""".stripMargin,
 
     "m_kbins_quantile" ->
@@ -57,7 +58,8 @@ object OracleSql {
          |  quantile_cont(l_quantity, 0.5) AS e2,
          |  quantile_cont(l_quantity, 0.75) AS e3 FROM lineitem)
          |SELECT $liKey,
-         | CAST(CASE WHEN l_quantity < e1 THEN 0 WHEN l_quantity < e2 THEN 1
+         | CAST(CASE WHEN l_quantity IS NULL THEN NULL
+         |   WHEN l_quantity < e1 THEN 0 WHEN l_quantity < e2 THEN 1
          |   WHEN l_quantity < e3 THEN 2 ELSE 3 END AS INT) AS qbin
          |FROM lineitem, e""".stripMargin,
 
@@ -102,8 +104,14 @@ object OracleSql {
 
     "r_ragged" ->
       """SELECT vec_id,
-        | round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS vsum,
-        | round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding), 6) AS vmean,
+        | round(CASE WHEN embedding IS NULL THEN NULL
+        |   WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN NULL
+        |   WHEN len(embedding) = 0 THEN 0.0
+        |   ELSE list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) END, 4) AS vsum,
+        | round(CASE WHEN embedding IS NULL THEN NULL
+        |   WHEN len(list_filter(embedding, x -> x IS NULL)) > 0 THEN NULL
+        |   WHEN len(embedding) = 0 THEN NULL
+        |   ELSE list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding) END, 6) AS vmean,
         | round(CAST(list_aggregate(embedding, 'min') AS DOUBLE), 6) AS vmin,
         | round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vmax
         |FROM embeddings""".stripMargin,
@@ -154,7 +162,10 @@ object OracleSql {
         | FROM events)""".stripMargin,
 
     "s_label_infer" ->
-      "SELECT doc_id, CAST(dense_rank() OVER (ORDER BY lang) - 1 AS INT) AS lang_idx FROM documents",
+      """SELECT doc_id,
+        | CASE WHEN lang IS NULL THEN NULL
+        |   ELSE CAST(dense_rank() OVER (ORDER BY lang) - 1 AS INT) END AS lang_idx
+        |FROM documents""".stripMargin,
 
     "d_diff" ->
       """SELECT o_orderkey,
@@ -252,7 +263,8 @@ object OracleSql {
 
     "v_psi" ->
       """WITH b AS (
-        |  SELECT source, CAST(least(greatest(floor(n_chars / 60.0), 0), 9) AS INT) AS bin
+        |  SELECT coalesce(source, '<null>') AS source,
+        |    CAST(least(greatest(floor(n_chars / 60.0), 0), 9) AS INT) AS bin
         |  FROM documents),
         |ps AS (SELECT source, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
         |st AS (SELECT source, count(*) AS tot FROM b GROUP BY 1),
@@ -324,7 +336,7 @@ object OracleSql {
     "dd_exact_summary" ->
       """SELECT
         | (SELECT count(*) FROM documents) AS n_rows,
-        | (SELECT count(DISTINCT md5(text)) FROM documents) AS n_kept,
+        | (SELECT count(*) FROM (SELECT md5(text) FROM documents GROUP BY 1)) AS n_kept,
         | (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) FROM
         |    (SELECT count(*) AS n FROM documents GROUP BY md5(text) HAVING count(*) > 1)) AS n_in_dup_groups""".stripMargin,
 
@@ -368,7 +380,8 @@ object OracleSql {
 
     "t_langid" ->
       s"""SELECT doc_id, s_en, s_de, s_fr, s_es,
-         | CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+         | CASE WHEN s_en IS NULL THEN 'und'
+   WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
          |   WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
          |   WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
          |   WHEN s_fr >= s_es THEN 'fr' ELSE 'es' END AS lang_pred
@@ -395,9 +408,10 @@ object OracleSql {
     "t_tokcount" ->
       """SELECT doc_id,
         | CAST(len(list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '')) AS INT) AS n_ws_tokens,
-        | CAST(coalesce(list_sum(list_transform(
+        | CAST(CASE WHEN text IS NULL THEN NULL
+        |   ELSE coalesce(list_sum(list_transform(
         |   list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), w -> w <> ''),
-        |   w -> 1 + CAST(floor((length(w) - 1) / 6) AS INT))), 0) AS INT) AS n_subwords
+        |   w -> 1 + CAST(floor((length(w) - 1) / 6) AS INT))), 0) END AS INT) AS n_subwords
         |FROM documents""".stripMargin,
 
     "t_fingerprint" ->
@@ -421,7 +435,8 @@ object OracleSql {
 
     "v_ks" ->
       """WITH b AS (
-        |  SELECT source, CAST(least(greatest(floor(n_chars / 60.0), 0), 9) AS INT) AS bin
+        |  SELECT coalesce(source, '<null>') AS source,
+        |    CAST(least(greatest(floor(n_chars / 60.0), 0), 9) AS INT) AS bin
         |  FROM documents),
         |ps AS (SELECT source, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
         |st AS (SELECT source, count(*) AS tot FROM b GROUP BY 1),

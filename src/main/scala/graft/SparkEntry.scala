@@ -168,7 +168,9 @@ object SparkEntry {
 
     "s_split" -> ((s, d) => t(s, d, "customer").select(
       col("c_custkey"),
-      element_at(StringOps.splitT(col("c_name"), "#"), 2).as("cust_num"),
+      // try_element_at: a name without '#' must yield NULL (matching SQL
+      // engines' out-of-bounds [i]), not an ANSI INVALID_ARRAY_INDEX error
+      try_element_at(StringOps.splitT(col("c_name"), "#"), lit(2)).as("cust_num"),
       size(StringOps.splitT(col("c_name"), "#")).as("n_parts"))),
 
     "s_onehot" -> ((s, d) => {
@@ -444,8 +446,14 @@ object SparkEntry {
     "dd_minhash_parity" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val lsh = Dedup.minhashLshPairs(docs, "text", "doc_id", estThreshold = 0.2)
+      // threshold 0.0 keeps every co-shingled pair (completeness of the
+      // exact side), but the DEFAULT hot-shingle cap stays on: uncapped,
+      // one boilerplate 5-gram shared by n docs alone yields n² join rows.
+      // At the correctness-gate scale (sf0.01, 500 docs) the cap never
+      // binds, so the parity comparison is exact there; this query is a
+      // gate-scale check, not a production dedup pass.
       val exact = Dedup.jaccardPairs(docs, "text", "doc_id", n = 5,
-        threshold = 0.0, maxDocsPerShingle = 1000000, words = false)
+        threshold = 0.0, words = false)
       lsh.join(exact, Seq("id_a", "id_b"), "left")
         .select(col("est_jaccard"), coalesce(col("jaccard"), lit(0.0)).as("jaccard"))
         .agg((count(lit(1)) > 0).as("has_pairs"),
@@ -624,7 +632,11 @@ object SparkEntry {
       val sup = t(s, d, "supplier")
       val nat = t(s, d, "nation")
       val reg = t(s, d, "region")
-      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+      // broadcast hints ONLY on the constant-size dims (nation=25, region=5
+      // rows at any scale factor); supplier grows linearly with SF — forcing
+      // its broadcast would OOM at large scale, so AQE decides from its
+      // runtime size (it still broadcasts when genuinely small)
+      li.join(sup, li("l_suppkey") === sup("s_suppkey"))
         .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
@@ -650,7 +662,8 @@ object SparkEntry {
         .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
       rankedTopK(
         li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-          .join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+          // customer grows with SF — no forced broadcast (AQE decides)
+          .join(cust, orders("o_custkey") === cust("c_custkey"))
           .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("odate"))
           .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue")),
@@ -668,7 +681,8 @@ object SparkEntry {
         .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
       li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-        .join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        // supplier grows with SF — no forced broadcast (AQE decides)
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
         .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg.filter(col("r_name") === "ASIA")),
           nat("n_regionkey") === reg("r_regionkey"))
