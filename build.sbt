@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify mains print ONE machine-parsed JSON line on stdout; sbt's
+// default LoggedOutput strategy prefixes every forked line with "[info] ",
+// which broke the driver's parse of the bench line (BENCH_r02.json
+// "parsed": null). StdoutOutput passes the child's stdout/stderr through
+// UNTOUCHED, so `sbt "runMain graft.Bench"` emits the bare JSON line.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -103,8 +103,12 @@ object SparkEntry {
       val both = MathOps.kbinsQuantile(
         MathOps.kbinsQuantileApprox(li, col("l_quantity"), 4, "abin"),
         col("l_quantity"), 4, "qbin")
+      // null-SAFE equality: a null l_quantity bins to null in BOTH engines —
+      // that is agreement, not disagreement (plain === is null for null
+      // inputs and would fall to the 0 branch, eroding the gate with null
+      // density even when exact and approx binning agree)
       both.agg(count(lit(1)).as("n_rows"),
-        (sum(when(col("abin") === col("qbin"), 1L).otherwise(0L)) >=
+        (sum(when(col("abin") <=> col("qbin"), 1L).otherwise(0L)) >=
           count(lit(1)) * 0.99).as("agree_ok"))
     }),
 
@@ -802,7 +806,9 @@ object SparkEntry {
       .groupBy("source")
       .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize with lineage intact, then free the input cache
+    // materialize with lineage intact, then free the input cache; the tiny
+    // O(sources)-row result stays cached until the caller unpersists it
+    out.count()
     cached.unpersist()
     out
   }

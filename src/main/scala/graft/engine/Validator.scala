@@ -181,21 +181,22 @@ object Validator {
     // from the scan whenever any partition is already done. Nulls validate
     // under the "<null>" pseudo-partition, so they are pruned only when that
     // pseudo-partition itself is complete.
+    // shared by the current-table prune AND the drift-baseline prune below
+    // (an unqualified col(pCol) resolves against whichever frame filters it)
+    def keepPredicate(t: DataFrame): org.apache.spark.sql.Column = {
+      // compare as STRING: manifest partitions are strings, and an isin of
+      // string literals against a date/int partition column would coerce
+      // (or throw under ANSI) instead of matching
+      val nonNullDone = (doneParts - "<null>").toSeq
+      val keepNonNull =
+        if (nonNullDone.isEmpty) lit(true)
+        else !t(pCol).cast("string").isin(nonNullDone: _*)
+      if (doneParts.contains("<null>")) t(pCol).isNotNull && keepNonNull
+      else t(pCol).isNull || keepNonNull
+    }
     val df0 =
       if (doneParts.isEmpty) table
-      else {
-        // compare as STRING: manifest partitions are strings, and an isin of
-        // string literals against a date/int partition column would coerce
-        // (or throw under ANSI) instead of matching
-        val nonNullDone = (doneParts - "<null>").toSeq
-        val keepNonNull =
-          if (nonNullDone.isEmpty) lit(true)
-          else !col(pCol).cast("string").isin(nonNullDone: _*)
-        val keep =
-          if (doneParts.contains("<null>")) col(pCol).isNotNull && keepNonNull
-          else col(pCol).isNull || keepNonNull
-        table.filter(keep)
-      }
+      else table.filter(keepPredicate(table))
 
     // ---- schema rule (plan-time, zero scan) ----
     val schemaProblems = Checks.schemaCheck(table.schema, cfg)
@@ -270,25 +271,30 @@ object Validator {
       }
     }
 
-    // approx quantiles per stats column — percentile_approx is a
-    // TypedImperativeAggregate (ObjectHashAggregate), so it runs as its OWN
-    // concurrent job over a single pruned column rather than polluting the
-    // codegen'd flag scan (north_star: approx-quantiles via approx_percentile)
-    val quantileFutures = statsRules.map { r =>
-      r.name -> Future {
-        df0.groupBy(col(pCol).cast("string").as("partition"))
-          .agg(percentile_approx(col(r.column.get).cast("double"),
-            typedLit(Seq(0.5, 0.95, 0.99)), lit(10000)).as("q"))
-          .collect()
-          .flatMap { row =>
+    // approx quantiles for ALL stats columns in ONE job — percentile_approx
+    // is a TypedImperativeAggregate (ObjectHashAggregate), so it runs as its
+    // own concurrent job rather than polluting the codegen'd flag scan
+    // (north_star: approx-quantiles via approx_percentile); but all rules'
+    // percentile sketches ride the SAME ObjectHashAggregate, so N stats
+    // rules cost one pruned-column scan instead of N
+    val quantileFuture: Future[Map[String, Map[String, Seq[Double]]]] =
+      if (statsRules.isEmpty) Future.successful(Map.empty)
+      else Future {
+        val qAggs = statsRules.map(r =>
+          percentile_approx(col(r.column.get).cast("double"),
+            typedLit(Seq(0.5, 0.95, 0.99)), lit(10000)).as(s"__q_${r.name}"))
+        val rows = df0.groupBy(col(pCol).cast("string").as("partition"))
+          .agg(qAggs.head, qAggs.tail: _*).collect()
+        statsRules.zipWithIndex.map { case (r, i) =>
+          r.name -> rows.flatMap { row =>
             // an all-null partition yields a null quantile array — report
             // the partition without quantiles instead of crashing the run
-            if (row.isNullAt(1)) None
+            if (row.isNullAt(1 + i)) None
             else Some(Option(row.getString(0)).getOrElse("<null>") ->
-              row.getSeq[Double](1))
+              row.getSeq[Double](1 + i))
           }.toMap
+        }.toMap
       }
-    }.toMap
 
     val (rowResults: Seq[RuleResult], statsResults: Seq[RuleResult]) =
       if (rowRules.isEmpty && statsRules.isEmpty) (Nil, Nil) else {
@@ -312,7 +318,7 @@ object Validator {
         val part = Option(row.getString(0)).getOrElse("<null>")
         statsRules.zipWithIndex.map { case (r, i) =>
           val s = row.getStruct(2 + rowRules.size + i)
-          val qs = Await.result(quantileFutures(r.name), Duration.Inf)
+          val qs = Await.result(quantileFuture, Duration.Inf)(r.name)
             .get(part).map(q => f";p50=${q(0)}%.1f;p95=${q(1)}%.1f;p99=${q(2)}%.1f")
             .getOrElse("")
           // min/max/mean are null when the partition's column is all-null
@@ -354,8 +360,15 @@ object Validator {
     }
 
     // ---- drift vs baseline snapshot ----
+    // On a resumed run drift evaluates over df0, which the resume prune has
+    // already stripped of completed partitions — so the BASELINE must be
+    // pruned by the same predicate, or Drift.compare's vanished-partition
+    // logic would FAIL every already-completed partition (present in the
+    // baseline, absent from the pruned current snapshot) on resume.
+    val prunedBaseline = baseline.map(b =>
+      if (doneParts.isEmpty) b else b.filter(keepPredicate(b)))
     val driftResults = cfg.rules.filter(_.kind == RuleKind.Drift).flatMap { r =>
-      baseline match {
+      prunedBaseline match {
         case None => Seq(RuleResult("*", r.name, "pass", 0L, 0L, 0L, 0L, "no baseline"))
         case Some(base) =>
           val t1 = System.nanoTime()

@@ -132,35 +132,47 @@ object MathOps {
   def kbinsKmeans(df: DataFrame, col: Column, k: Int, outCol: String,
       maxIter: Int = 25, tol: Double = 1e-7): DataFrame = {
     require(k >= 2, "kbins_kmeans: k must be >= 2 (sklearn KBinsDiscretizer semantics)")
-    val row = df.agg(min(col).cast("double"), max(col).cast("double")).head()
-    require(!row.isNullAt(0), "kbins_kmeans: column has no non-null values")
-    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
-    require(mn != mx, "kbins_kmeans: constant column")
-    val w = (mx - mn) / k
-    var centers = Array.tabulate(k)(i => mn + w * (i + 0.5))
-    def assignExpr(cs: Array[Double]): Column = {
-      val mids = cs.sliding(2).map(p => (p(0) + p(1)) / 2).toSeq
-      mids.zipWithIndex.foldRight(lit(k - 1)) {
-        case ((m, i), elseCol) => when(col.cast("double") < lit(m), lit(i)).otherwise(elseCol)
+    // Persist ONLY the pruned non-null double column across the Lloyd
+    // iterations: without the barrier every iteration (up to maxIter) would
+    // re-scan the source table — ~25 redundant full scans of one column at
+    // 10^12 rows. The cached projection is 8 bytes/row; the init min/max agg
+    // rides the same cache (its materialization IS the one real scan).
+    val vals = df.select(col.cast("double").as("__v"))
+      .filter(org.apache.spark.sql.functions.col("__v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val v = org.apache.spark.sql.functions.col("__v")
+      val row = vals.agg(min(v), max(v)).head()
+      require(!row.isNullAt(0), "kbins_kmeans: column has no non-null values")
+      val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+      require(mn != mx, "kbins_kmeans: constant column")
+      val w = (mx - mn) / k
+      var centers = Array.tabulate(k)(i => mn + w * (i + 0.5))
+      def assignExpr(target: Column, cs: Array[Double]): Column = {
+        val mids = cs.sliding(2).map(p => (p(0) + p(1)) / 2).toSeq
+        mids.zipWithIndex.foldRight(lit(k - 1)) {
+          case ((m, i), elseCol) => when(target.cast("double") < lit(m), lit(i)).otherwise(elseCol)
+        }
       }
-    }
-    var iter = 0
-    var moved = Double.MaxValue
-    while (iter < maxIter && moved > tol * (mx - mn)) {
-      // null values are excluded from center updates (avg skips them) AND
-      // from assignment below — they must not be binned at all
-      val upd = df.filter(col.isNotNull)
-        .groupBy(assignExpr(centers).as("b"))
-        .agg(avg(col.cast("double")).as("m"))
-        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val next = centers.indices.map(i => upd.getOrElse(i, centers(i))).toArray
-      moved = centers.zip(next).map { case (a, b) => math.abs(a - b) }.max
-      centers = next
-      iter += 1
-    }
-    df.withColumn(outCol, nullSafeBin(col, assignExpr(centers)))
-      .withColumn(s"__${outCol}_center",
-        element_at(typedLit(centers.toSeq), org.apache.spark.sql.functions.col(outCol) + 1))
+      var iter = 0
+      var moved = Double.MaxValue
+      while (iter < maxIter && moved > tol * (mx - mn)) {
+        // null values were excluded from the cached projection (avg would
+        // skip them anyway) and from the final assignment below — they must
+        // not be binned at all
+        val upd = vals
+          .groupBy(assignExpr(v, centers).as("b"))
+          .agg(avg(v).as("m"))
+          .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+        val next = centers.indices.map(i => upd.getOrElse(i, centers(i))).toArray
+        moved = centers.zip(next).map { case (a, b) => math.abs(a - b) }.max
+        centers = next
+        iter += 1
+      }
+      df.withColumn(outCol, nullSafeBin(col, assignExpr(col, centers)))
+        .withColumn(s"__${outCol}_center",
+          element_at(typedLit(centers.toSeq), org.apache.spark.sql.functions.col(outCol) + 1))
+    } finally vals.unpersist()
   }
 
   /** 2-D z-score along axis=0 (math.py:158-167 with an axis param over
@@ -175,8 +187,17 @@ object MathOps {
       .agg(avg(col("x").cast("double")).as("m"),
         stddev_pop(col("x").cast("double")).as("s"))
       .orderBy("d").collect()
-    val means = typedLit(stats.map(_.getDouble(1)).toSeq)
-    val stds = typedLit(stats.map(_.getDouble(2)).toSeq)
+    // null-in → null-out per DIMENSION (matching the per-row ops): a
+    // dimension whose values are null in every row has null avg/stddev
+    // (getDouble would NPE), and a constant dimension has stddev 0 (x/0 =
+    // ±Infinity) — both emit null for that dimension instead
+    def guarded(idx: Int): Seq[Column] = stats.toSeq.map { r =>
+      if (r.isNullAt(idx) || (idx == 2 && r.getDouble(2) == 0.0))
+        lit(null).cast("double")
+      else lit(r.getDouble(idx))
+    }
+    val means = array(guarded(1): _*)
+    val stds = array(guarded(2): _*)
     // transform-with-index, NOT zip_with(arr, sequence(...)): zip_with pads
     // the shorter side with nulls, so ragged rows would silently grow to
     // the global max dimension count; transform preserves each row's length

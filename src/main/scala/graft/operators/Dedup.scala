@@ -106,8 +106,11 @@ object Dedup {
     // materialize the result via persist+count (NOT localCheckpoint, whose
     // lineage truncation makes the blocks unrecoverable on executor loss —
     // with intact lineage Spark recomputes from source), then release the
-    // postings cache; the result cache is reclaimed by the ContextCleaner
-    // when the caller drops the frame
+    // postings cache. CALLER CONTRACT: the returned frame is persisted and
+    // the CacheManager retains it until an explicit unpersist() — a
+    // long-lived session calling this repeatedly over distinct inputs must
+    // unpersist each result after consuming it (the ContextCleaner does NOT
+    // reclaim InMemoryRelations on garbage collection).
     val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     inv.unpersist()
@@ -181,7 +184,8 @@ object Dedup {
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           v => v)).cast("double") / lit(k)).as("est_jaccard"))
       .filter(col("est_jaccard") >= estThreshold)
-    // persist+count, not localCheckpoint — see jaccardPairs note
+    // persist+count, not localCheckpoint — see jaccardPairs note (incl. the
+    // caller-must-unpersist contract for the returned frame)
     val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count()
     sigs.unpersist()
@@ -267,7 +271,10 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize (lineage INTACT — recomputable on executor loss)
+    // materialize (lineage INTACT — recomputable on executor loss); the
+    // returned frame stays cached until the CALLER unpersists it — see the
+    // jaccardPairs contract note
+    out.count()
     coded.unpersist()
     out
   }

@@ -98,7 +98,10 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "corpus_id", "cos", "rank")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // materialize with lineage intact, then free the inputs
+    // materialize with lineage intact, then free the inputs; the returned
+    // frame stays cached until the CALLER unpersists it (the CacheManager
+    // does not reclaim InMemoryRelations on GC — Dedup.jaccardPairs note)
+    out.count()
     c.unpersist(); q.unpersist()
     out
   }

@@ -54,11 +54,14 @@ object StreamOps {
     * sees).
     *
     * Event-time semantics (where stream necessarily differs from batch):
-    * rows whose `tsCol` is null or uncastable group under the epoch
-    * sentinel window — counted, not silently dropped — until the watermark
-    * advances past it; rows later than the watermark are dropped BY DESIGN
-    * (that is what a watermark is). Batch parity therefore holds for
-    * on-time data; a full-fidelity audit is the batch validator's job. */
+    * rows whose `tsCol` is null or uncastable take the PROCESSING time of
+    * their micro-batch as event time, so they land in a current window and
+    * are genuinely counted — a fixed epoch sentinel would be "late" the
+    * moment any real event advanced the watermark, silently dropping every
+    * subsequent null-ts row. Rows with a real timestamp later than the
+    * watermark are dropped BY DESIGN (that is what a watermark is). Batch
+    * parity therefore holds for on-time data; a full-fidelity audit is the
+    * batch validator's job. */
   def validateStream(table: DataFrame, cfg: graft.config.SuiteConfig,
       tsCol: String, window_ : String = "10 minutes",
       watermark: String = "30 minutes"): DataFrame = {
@@ -66,7 +69,7 @@ object StreamOps {
     val aggs = graft.checks.Checks.verdictAggExprs(rowRules, "rows", "viol_")
     flagged
       .withColumn("__event_ts", coalesce(col(tsCol).cast("timestamp"),
-        to_timestamp(lit("1970-01-01"))))
+        current_timestamp()))
       .withWatermark("__event_ts", watermark)
       .groupBy(window(col("__event_ts"), window_), col(cfg.partitionColumn))
       .agg(aggs.head, aggs.tail: _*)

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.datagen.SeqTableGen
+import graft.engine.{DefaultSuite, Validator}
+import graft.functions.MathOps
+import graft.lineage.Manifest
+
+/** Round-3 regression tests: the ADVICE findings (drift-on-resume false
+  * fails, axis-0 z-score null guards, null-safe approx-bin agreement) and
+  * the efficiency fixes the verdict asked for (one fused quantile job,
+  * kmeans iteration scans served from cache). */
+class Round3Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("resumed standalone run does not drift-fail already-completed partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-r3drift").toString
+    val mp = s"$dir/manifest"
+    val table = SeqTableGen.generate(spark, 6000, plant = false)
+    val baseline = SeqTableGen.generate(spark, 6000, plant = false)
+    // simulate a prior attempt that completed partition "web" for EVERY rule
+    Manifest.append(spark, mp, DefaultSuite.config.rules.map(r =>
+      Manifest.Entry("dr1", "web", r.name, "pass", 1L, 0L, 0L, 1L, "")))
+    val rep = Validator.run(spark, table, DefaultSuite.config, "doc_id", "dr1",
+      manifestPath = Some(mp), baseline = Some(baseline),
+      collectViolations = false)
+    val drift = rep.results.filter(_.rule == "n_tok_drift")
+    // identical generator + seed => zero true drift; before the fix the
+    // pruned current snapshot made "web" a vanished-partition FAIL
+    assert(!drift.exists(_.partition == "web"),
+      s"completed partition must be pruned from drift verdicts: $drift")
+    assert(drift.forall(_.verdict == "pass"), s"false drift fails: $drift")
+    // remaining partitions still get verdicts
+    assert(drift.map(_.partition).toSet == Set("books", "code", "wiki"))
+  }
+
+  test("quantile job count is independent of the number of stats rules (fused agg)") {
+    val table = SeqTableGen.generate(spark, 4000, plant = false)
+      .withColumn("n_tok2", col("n_tok") * 2)
+      .withColumn("n_tok3", col("n_tok") + 1)
+    def statsRule(name: String, c: String) = graft.config.RuleSpec(
+      name, s"profile of $c", graft.config.RuleKind.Stats, column = Some(c))
+    val base = DefaultSuite.config.copy(
+      columns = DefaultSuite.config.columns ++ Seq(
+        graft.config.ColumnSpec("n_tok2", "int", nullable = true),
+        graft.config.ColumnSpec("n_tok3", "int", nullable = true)),
+      rules = DefaultSuite.config.rules.filterNot(_.kind == graft.config.RuleKind.Stats))
+    def jobsWith(nStats: Int, tag: String): Int = {
+      val cols = Seq("n_tok", "n_tok2", "n_tok3").take(nStats)
+      val cfg = base.copy(rules = base.rules ++
+        cols.zipWithIndex.map { case (c, i) => statsRule(s"prof_$i", c) })
+      val sc = spark.sparkContext
+      sc.setJobGroup(tag, tag, interruptOnCancel = false)
+      try Validator.run(spark, table, cfg, "doc_id", s"qf-$tag",
+        collectViolations = false)
+      finally sc.clearJobGroup()
+      sc.statusTracker.getJobIdsForGroup(tag).length
+    }
+    val j1 = jobsWith(1, "qf1")
+    val j3 = jobsWith(3, "qf3")
+    // before the fix every stats rule launched its own percentile_approx job
+    assert(j3 == j1, s"expected fused quantile job: $j1 jobs with 1 rule, $j3 with 3")
+  }
+
+  test("kbins kmeans scans its input at most twice (iterations ride the cache)") {
+    val acc = spark.sparkContext.longAccumulator("km-scan-rows")
+    val n = 20000L
+    // quadratic spacing so Lloyd's moves centers for several iterations
+    val base = spark.range(n).map { i => acc.add(1); (i * i).toDouble }.toDF("x")
+    val out = MathOps.kbinsKmeans(base, col("x"), 5, "b")
+    out.count()
+    // one scan materializes the pruned cache (min/max + all iterations ride
+    // it); one more scans the raw input for the final bin assignment. The
+    // pre-fix behavior re-scanned once per Lloyd iteration (3+ extra scans).
+    assert(acc.value <= 3 * n, s"too many input scans: ${acc.value / n.toDouble}")
+    // sanity: the binning itself is still correct (5 bins, all rows binned)
+    assert(out.select(countDistinct(col("b"))).head().getLong(0) == 5L)
+    assert(out.filter(col("b").isNull).count() == 0L)
+  }
+
+  test("axis-0 z-score: all-null and constant dimensions emit null, not NPE/Infinity") {
+    val df = spark.range(10).select(
+      array(col("id").cast("double"),          // dim 0: varying
+        lit(null).cast("double"),              // dim 1: all null
+        lit(5.0)).as("arr"))                   // dim 2: constant (stddev 0)
+    val z = MathOps.zscoreArrayAxis0(df, col("arr"), "z")
+    val rows = z.select(col("z")).collect()
+    assert(rows.forall(r => r.getSeq[java.lang.Double](0)(1) == null),
+      "all-null dimension must z-score to null")
+    assert(rows.forall(r => r.getSeq[java.lang.Double](0)(2) == null),
+      "zero-stddev dimension must z-score to null (not Infinity)")
+    assert(rows.exists(r => r.getSeq[java.lang.Double](0)(0) != null),
+      "varying dimension still standardizes")
+  }
+
+  test("approx-vs-exact bin agreement treats both-null as agreement") {
+    val df = spark.range(1000)
+      .select(when(col("id") % 10 === 0, lit(null).cast("double"))
+        .otherwise(col("id").cast("double")).as("x"))
+    val both = MathOps.kbinsQuantile(
+      MathOps.kbinsQuantileApprox(df, col("x"), 4, "abin"),
+      col("x"), 4, "qbin")
+    // the null-safe agreement count must include the 100 null rows (both
+    // bins null = both engines agree the value is unbinnable); a handful of
+    // non-null rows can genuinely flip bins at the approx-vs-exact edges
+    // (interpolated vs sampled quantile), so assert the null contribution
+    // specifically: > 900 is impossible unless null rows count as agreement
+    val row = both.agg(
+      sum(when(col("abin") <=> col("qbin"), 1L).otherwise(0L)).as("agree"),
+      sum(when(col("x").isNull && (col("abin") <=> col("qbin")), 1L)
+        .otherwise(0L)).as("null_agree")).head()
+    assert(row.getLong(1) == 100L, s"all 100 null rows must agree: ${row.getLong(1)}")
+    assert(row.getLong(0) > 900L, s"null rows excluded from agreement: ${row.getLong(0)}")
+  }
+}

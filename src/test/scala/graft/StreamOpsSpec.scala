@@ -141,6 +141,55 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("null-ts rows arriving after real events are still counted (not dropped as late)") {
+    // batch 1 establishes a real watermark; batch 2 is all-null timestamps.
+    // With the old 1970-epoch sentinel the watermark (max event time − 2h)
+    // already sat past 1970, so every null-ts row was silently dropped as
+    // late data; the processing-time sentinel lands them in a current window.
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream5").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val cfg = graft.config.RuleConfig.loadYaml(
+      """table:
+        |  name: events
+        |  partition_column: event_type
+        |  columns:
+        |    event_id: {type: bigint, nullable: false}
+        |    ts: {type: timestamp, nullable: true}
+        |    user_id: {type: bigint, nullable: false}
+        |    event_type: {type: string, nullable: false}
+        |    value: {type: double, nullable: true}
+        |    props: {type: string, nullable: true}
+        |rules:
+        |  - name: value_range
+        |    description: value within [0, 1000]
+        |    kind: range
+        |    column: value
+        |    min: 0
+        |    max: 1000
+        |""".stripMargin)
+    val stream = StreamOps.readEvents(spark, dir, schema)
+    val verdicts = StreamOps.validateStream(stream, cfg, "ts",
+      window_ = "1 hour", watermark = "2 hours")
+    val q = verdicts.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("nullts_verdicts").start()
+    try {
+      q.processAllAvailable()
+      val batch1 = spark.read.parquet(s"$dir/events.parquet")
+      // batch 2: 50 rows with NULL ts (schema-compatible with events)
+      batch1.limit(50)
+        .withColumn("ts", lit(null).cast(batch1.schema("ts").dataType))
+        .withColumn("event_id", col("event_id") + 1000000L)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val streamed = spark.table("nullts_verdicts")
+        .agg(sum("rows")).head().getLong(0)
+      assert(streamed == batch1.count() + 50,
+        s"null-ts rows must be counted: got $streamed")
+    } finally q.stop()
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream3").toString
     java.nio.file.Files.copy(
