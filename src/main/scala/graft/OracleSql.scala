@@ -53,6 +53,18 @@ object OracleSql {
          |   / (((SELECT max(l_extendedprice) FROM lineitem) - (SELECT min(l_extendedprice) FROM lineitem)) / 5)), 4) END AS INT) AS bin
          |FROM lineitem""".stripMargin,
 
+    "m_kbins_onehot" ->
+      s"""WITH b AS (SELECT l_orderkey, l_linenumber,
+         | CAST(CASE WHEN l_extendedprice IS NULL THEN NULL
+         |   ELSE least(floor((l_extendedprice - (SELECT min(l_extendedprice) FROM lineitem))
+         |   / (((SELECT max(l_extendedprice) FROM lineitem) - (SELECT min(l_extendedprice) FROM lineitem)) / 5)), 4) END AS INT) AS kb_bin
+         |FROM lineitem)
+         |SELECT $liKey, kb_bin,
+         | CAST(kb_bin = 0 AS INT) AS kb_0, CAST(kb_bin = 1 AS INT) AS kb_1,
+         | CAST(kb_bin = 2 AS INT) AS kb_2, CAST(kb_bin = 3 AS INT) AS kb_3,
+         | CAST(kb_bin = 4 AS INT) AS kb_4
+         |FROM b""".stripMargin,
+
     "m_kbins_quantile" ->
       s"""WITH e AS (SELECT quantile_cont(l_quantity, 0.25) AS e1,
          |  quantile_cont(l_quantity, 0.5) AS e2,
@@ -166,6 +178,44 @@ object OracleSql {
         | CASE WHEN lang IS NULL THEN NULL
         |   ELSE CAST(dense_rank() OVER (ORDER BY lang) - 1 AS INT) END AS lang_idx
         |FROM documents""".stripMargin,
+
+    // inferred one-hot: vocab = sorted batch uniques, one '0'/'1' char per
+    // category (string_agg ORDER BY pins the sorted-category order)
+    "s_onehot_infer" ->
+      """SELECT x.doc_id,
+        | CASE WHEN x.lang IS NULL THEN NULL
+        |   ELSE (SELECT string_agg(CAST(CAST(x.lang = d.lang AS INT) AS VARCHAR), ''
+        |                           ORDER BY d.lang)
+        |         FROM (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL) d)
+        |   END AS oh,
+        | (SELECT CAST(count(DISTINCT lang) AS INT) FROM documents
+        |   WHERE lang IS NOT NULL) AS n_cats
+        |FROM documents x""".stripMargin,
+
+    "s_ordinal_infer" ->
+      """SELECT event_id,
+        | CASE WHEN event_type IS NULL THEN NULL
+        |   ELSE CAST(dense_rank() OVER (ORDER BY event_type) - 1 AS INT) END AS type_idx
+        |FROM events""".stripMargin,
+
+    // inferred binary encode: rank = sorted-unique position; nbits =
+    // floor(log2(n-1))+1 (the reference's len(bin(n-1))-2, string.py:166),
+    // MSB first; null category -> null bits
+    "s_binary_infer" ->
+      """WITH v AS (SELECT DISTINCT event_type AS cat FROM events
+        |           WHERE event_type IS NOT NULL),
+        |r AS (SELECT cat, CAST(row_number() OVER (ORDER BY cat) - 1 AS BIGINT) AS rk
+        |      FROM v),
+        |nb AS (SELECT CASE WHEN count(*) <= 1 THEN 1
+        |              ELSE CAST(floor(log2(count(*) - 1)) AS INT) + 1 END AS nbits
+        |       FROM v),
+        |g AS (SELECT unnest(range(0, 32)) AS b),
+        |bits AS (SELECT r.cat,
+        |    string_agg(CAST((r.rk >> (nb.nbits - 1 - g.b)) & 1 AS VARCHAR), ''
+        |               ORDER BY g.b) AS bs
+        |  FROM r, nb, g WHERE g.b < nb.nbits GROUP BY r.cat)
+        |SELECT e.event_id, b.bs AS bits, (SELECT nbits FROM nb) AS n_bits
+        |FROM events e LEFT JOIN bits b ON e.event_type = b.cat""".stripMargin,
 
     "d_diff" ->
       """SELECT o_orderkey,

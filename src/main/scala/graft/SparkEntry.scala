@@ -205,6 +205,40 @@ object SparkEntry {
       StringOps.labelEncodeInferred(t(s, d, "documents"), "lang", "lang_idx")
         .select("doc_id", "lang_idx")),
 
+    // inferred-vocab (fit-on-batch) encoders (string.py:91,138,183-189):
+    // vocab = sorted batch uniques. The one-hot/binary outputs concatenate
+    // their bit columns into one string so the oracle-checked schema stays
+    // static while the column COUNT is data-dependent; n_cats/n_bits pin the
+    // inferred vocabulary size itself.
+    "s_onehot_infer" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val oh = StringOps.oneHotColumnsInferred(docs, "lang")
+      docs.select(col("doc_id"),
+        concat(oh.map(_._2.cast("string")): _*).as("oh"),
+        lit(oh.size).as("n_cats"))
+    }),
+
+    "s_ordinal_infer" -> ((s, d) =>
+      StringOps.ordinalEncodeInferred(t(s, d, "events"), "event_type", "type_idx")
+        .select("event_id", "type_idx")),
+
+    "s_binary_infer" -> ((s, d) => {
+      val ev = t(s, d, "events")
+      val bits = StringOps.binaryEncodeInferred(ev, "event_type")
+      ev.select(col("event_id"),
+        concat(bits.map(_._2.cast("string")): _*).as("bits"),
+        lit(bits.size).as("n_bits"))
+    }),
+
+    // kbins encode='onehot' — the reference's default output mode
+    // (math.py:211); static k ⇒ static one-hot column set
+    "m_kbins_onehot" -> ((s, d) => {
+      val oh = MathOps.kbinsOneHot(t(s, d, "lineitem"),
+        col("l_extendedprice"), 5, "kb")
+      oh.select(liKey ++ Seq(col("kb_bin"), col("kb_0"), col("kb_1"),
+        col("kb_2"), col("kb_3"), col("kb_4")): _*)
+    }),
+
     // ======== §2.4 datetime ========
     "d_diff" -> ((s, d) => t(s, d, "orders").select(
       col("o_orderkey"),

@@ -122,6 +122,29 @@ object MathOps {
     df.withColumn(outCol, nullSafeBin(col, binExpr))
   }
 
+  /** K-bins with encode='onehot' — the reference's DEFAULT output mode
+    * (math.py:211: KBinsDiscretizer(encode='onehot')): the ordinal bin index
+    * composed with a dense one-hot over bins 0..k-1 (sklearn emits sparse;
+    * dense int columns are the Spark-native shape). Null values one-hot to
+    * null bits (null-in → null-out, same as the ordinal path). Adds
+    * `<outPrefix>_bin` plus `<outPrefix>_0 .. <outPrefix>_{k-1}`. */
+  def kbinsOneHot(df: DataFrame, c: Column, k: Int, outPrefix: String,
+      strategy: String = "uniform"): DataFrame = {
+    val binCol = s"${outPrefix}_bin"
+    val binned = strategy match {
+      case "uniform"  => kbinsUniform(df, c, k, binCol)
+      case "quantile" => kbinsQuantile(df, c, k, binCol)
+      case "kmeans"   => kbinsKmeans(df, c, k, binCol)
+      case other => throw new IllegalArgumentException(
+        s"kbins_onehot: unknown strategy '$other'")
+    }
+    val bin = col(binCol)
+    val oneHots = (0 until k).map(i =>
+      when(bin.isNull, lit(null).cast("int"))
+        .otherwise((bin === i).cast("int")).as(s"${outPrefix}_$i"))
+    binned.select(binned.columns.map(col).toSeq ++ oneHots: _*)
+  }
+
   /** K-bins with strategy='kmeans' (math.py:209-227; sklearn semantics:
     * 1-D KMeans, centers initialized at uniform-bin midpoints, n_init=1,
     * then bin edges = midpoints between the sorted converged centers).

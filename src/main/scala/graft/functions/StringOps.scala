@@ -56,24 +56,55 @@ object StringOps {
     }
   }
 
-  /** Inferred-vocab label encode (string.py:91,114: fit on the batch).
-    * One distinct aggregation (shuffle on the category — small), sorted on
-    * the driver, broadcast back as a lookup. Correct and skew-free at scale
-    * because the distinct partial-aggregates map-side. */
-  def labelEncodeInferred(df: DataFrame, colName: String, outCol: String,
-      maxVocab: Int = 100000): DataFrame = {
-    // size guard: batch-fit semantics collect the vocabulary to the driver
-    // (matches the reference's in-memory fit) — refuse a runaway cardinality
-    // column instead of OOMing the driver. limit(max+1) bounds the collect
-    // itself, not just the check.
+  /** Fit-on-the-batch vocabulary shared by ALL inferred encoders
+    * (string.py:91 one_hot fit_transform, :114 label, :138 ordinal,
+    * :183-189 binary — each fits sorted unique values of the batch, the
+    * sklearn fit_transform / np.unique order). One distinct aggregation
+    * (map-side partial agg ⇒ skew-free; shuffle carries only distinct
+    * categories), sorted on the driver.
+    *
+    * Size guard: batch-fit semantics collect the vocabulary to the driver
+    * (matches the reference's in-memory fit) — refuse a runaway-cardinality
+    * column instead of OOMing the driver. limit(max+1) bounds the collect
+    * itself, not just the check. */
+  def inferVocab(df: DataFrame, colName: String,
+      maxVocab: Int = 100000): Seq[String] = {
     val distinct = df.select(col(colName)).na.drop().distinct()
     val cats = distinct.limit(maxVocab + 1).collect().map(_.getString(0))
     if (cats.length > maxVocab)
       throw new IllegalArgumentException(
-        s"labelEncodeInferred: '$colName' exceeds $maxVocab distinct values; " +
-        "label-encoding a near-unique column is almost certainly a mistake " +
+        s"inferVocab: '$colName' exceeds $maxVocab distinct values; " +
+        "encoding a near-unique column is almost certainly a mistake " +
         "(use a hash or fingerprint instead)")
-    val sorted = cats.sorted.toSeq
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(cats.sorted)
+  }
+
+  /** Inferred-vocab one-hot (string.py:91): categories = sorted batch
+    * uniques; null → all zeros (no category matches). Encoding itself stays
+    * a pure codegen'd projection. */
+  def oneHotColumnsInferred(df: DataFrame, colName: String,
+      maxVocab: Int = 100000): Seq[(String, Column)] =
+    oneHotColumns(col(colName), inferVocab(df, colName, maxVocab))
+
+  /** Inferred-vocab ordinal encode (string.py:138, OrdinalEncoder
+    * fit_transform): identical index semantics to label encode — sorted
+    * batch uniques, index position, null → null. */
+  def ordinalEncodeInferred(df: DataFrame, colName: String, outCol: String,
+      maxVocab: Int = 100000): DataFrame =
+    labelEncodeInferred(df, colName, outCol, maxVocab)
+
+  /** Inferred-vocab binary encode (string.py:183-189, np.unique + MSB-first
+    * bit matrix): sorted batch uniques → rank → ceil(log2 n) bit columns;
+    * null → null bits. */
+  def binaryEncodeInferred(df: DataFrame, colName: String,
+      maxVocab: Int = 100000): Seq[(String, Column)] =
+    binaryEncode(col(colName), inferVocab(df, colName, maxVocab))
+
+  /** Inferred-vocab label encode (string.py:91,114: fit on the batch).
+    * Vocabulary via [[inferVocab]], broadcast back as a lookup. */
+  def labelEncodeInferred(df: DataFrame, colName: String, outCol: String,
+      maxVocab: Int = 100000): DataFrame = {
+    val sorted = inferVocab(df, colName, maxVocab)
     if (sorted.size <= 256)
       // small vocab: the codegen'd when-chain stays in the scan, no join
       df.withColumn(outCol, labelEncode(col(colName), sorted))

@@ -93,6 +93,52 @@ class Round3Spec extends SparkTestBase {
       "varying dimension still standardizes")
   }
 
+  test("inferred one-hot fits sorted batch uniques (test_string_transform.py:96-100)") {
+    // reference: OneHotEncode() on ["orange","apple"] => [[0,1],[1,0]]
+    // (categories sorted: apple=col0, orange=col1)
+    val df = Seq("orange", "apple").toDF("fruit")
+    val oh = graft.functions.StringOps.oneHotColumnsInferred(df, "fruit")
+    assert(oh.map(_._1) == Seq("apple", "orange"))
+    val out = df.select(oh.map { case (n, c) => c.as(n) }: _*).collect()
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(out.toSeq == Seq((0, 1), (1, 0)))
+  }
+
+  test("inferred ordinal/binary encode match the reference's np.unique order") {
+    val df = Seq("pear", "apple", "kiwi", "pear", "fig", "apple").toDF("fruit")
+    // sorted uniques: apple=0, fig=1, kiwi=2, pear=3
+    val ord = graft.functions.StringOps
+      .ordinalEncodeInferred(df, "fruit", "idx")
+      .select("fruit", "idx").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(ord == Map("apple" -> 0, "fig" -> 1, "kiwi" -> 2, "pear" -> 3))
+    // binary: n=4 -> len(bin(3))-2 = 2 bits, MSB first: pear(3) = [1,1]
+    val bits = graft.functions.StringOps.binaryEncodeInferred(df, "fruit")
+    assert(bits.size == 2)
+    val b = df.select(col("fruit") +: bits.map { case (n, c) => c.as(n) }: _*)
+      .distinct().collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(b == Map("apple" -> ((0, 0)), "fig" -> ((0, 1)),
+      "kiwi" -> ((1, 0)), "pear" -> ((1, 1))))
+  }
+
+  test("kbins onehot composes the ordinal bin with null-safe one-hot columns") {
+    val df = spark.range(100)
+      .select(when(col("id") === 7, lit(null).cast("double"))
+        .otherwise(col("id").cast("double")).as("x"))
+    val oh = MathOps.kbinsOneHot(df, col("x"), 4, "kb")
+    // every non-null row has exactly one hot bit, matching its bin
+    val bad = oh.filter(col("x").isNotNull &&
+      (col("kb_0") + col("kb_1") + col("kb_2") + col("kb_3") =!= 1 ||
+        element_at(array(col("kb_0"), col("kb_1"), col("kb_2"), col("kb_3")),
+          col("kb_bin") + 1) =!= 1)).count()
+    assert(bad == 0L)
+    // null rows: null bin AND null bits (null-in -> null-out)
+    val nulls = oh.filter(col("x").isNull)
+      .select(col("kb_bin"), col("kb_0")).collect()
+    assert(nulls.length == 1 && nulls.head.isNullAt(0) && nulls.head.isNullAt(1))
+  }
+
   test("approx-vs-exact bin agreement treats both-null as agreement") {
     val df = spark.range(1000)
       .select(when(col("id") % 10 === 0, lit(null).cast("double"))
