@@ -173,6 +173,29 @@ object OracleSql {
         |     END AS rank
         | FROM events)""".stripMargin,
 
+    // self-verifying (hash functions are engine-side): the engine recovers
+    // every planted bit-flipped fingerprint pair with its exact Hamming
+    // distance; the oracle pins the planted count and the verdicts
+    "dd_simhash_hamming" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        | true AS all_recovered, true AS hamming_ok
+        |FROM documents WHERE doc_id < 20""".stripMargin,
+
+    // self-verifying (hyperplane codes are engine-side): probe top-k cosines
+    // re-derived from the source table must match the written-layout probe,
+    // the probed scan must read fewer files than the full index
+    "ann_ivf_probe" ->
+      "SELECT true AS k_ok, true AS cos_match, true AS files_pruned",
+
+    "a_group_custom" ->
+      """WITH g AS (SELECT l_orderkey,
+        |    sqrt(avg(l_quantity * l_quantity)) AS rms,
+        |    exp(avg(ln(l_quantity))) AS geo
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l.l_orderkey, l.l_linenumber,
+        | round(g.rms, 6) AS qty_rms, round(g.geo, 6) AS qty_geo
+        |FROM lineitem l JOIN g USING (l_orderkey)""".stripMargin,
+
     "s_label_infer" ->
       """SELECT doc_id,
         | CASE WHEN lang IS NULL THEN NULL

@@ -53,6 +53,12 @@ object SparkEntry {
   private val manifestResumeFrontier =
     new java.util.concurrent.atomic.AtomicReference[Seq[String]](null)
 
+  /** Once-per-JVM cache of the written IVF index layout (plan-only callers
+    * invoke every query closure; re-writing the index per invocation would
+    * leak a temp dir each time — the layout is deterministic). */
+  private val ivfIndexPath =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ======== §2.1 element-wise math ========
@@ -287,6 +293,32 @@ object SparkEntry {
       med.join(mod, "l_returnflag")
     }),
 
+    // group_reduce with an ARBITRARY aggregate expression through the YAML
+    // pipeline (aggregate.py:75-86: any data-mode Transformation as the
+    // reduction) — per-order RMS and geometric mean, neither a named reduce
+    "a_group_custom" -> ((s, d) => {
+      val suite = graft.config.FeatureConfig.loadYaml(
+        """features:
+          |  l_quantity: {type: double, description: raw quantity column}
+          |  qty_rms:
+          |    type: double
+          |    description: per-order RMS of quantity (custom aggregate reduce)
+          |    dependencies: [l_quantity]
+          |    group_by: l_orderkey
+          |    expr: "sqrt(avg(l_quantity * l_quantity))"
+          |  qty_geo:
+          |    type: double
+          |    description: per-order geometric mean (custom aggregate reduce)
+          |    dependencies: [l_quantity]
+          |    group_by: l_orderkey
+          |    expr: "exp(avg(ln(l_quantity)))"
+          |""".stripMargin)
+      graft.engine.FeaturePipeline.computeSelect(t(s, d, "lineitem"), suite,
+        Seq("l_orderkey", "l_linenumber", "qty_rms", "qty_geo"))
+        .withColumn("qty_rms", round(col("qty_rms"), 6))
+        .withColumn("qty_geo", round(col("qty_geo"), 6))
+    }),
+
     // ======== §2.6 casting ========
     "a_cast" -> ((s, d) => t(s, d, "lineitem").select(
       liKey ++ Seq(
@@ -499,6 +531,39 @@ object SparkEntry {
             .as("est_within_bounds"))
     }),
 
+    // Hamming-distance simhash near-dup mining (bandsOf banding join),
+    // self-verifying: fingerprints with 1-3 bits flipped at deterministic
+    // positions are PLANTED (doc_id+100000); the pigeonhole guarantee
+    // (4 bands ≥ maxHamming+1) must recover every planted pair with its
+    // exact Hamming distance. Oracle pins the planted count + verdicts.
+    "dd_simhash_hamming" -> ((s, d) => {
+      val fps = t(s, d, "documents").select(col("doc_id"),
+        graft.functions.expr.FingerprintExprs.wordSimhash(col("text"), 3).as("fp"))
+      // flip 1 + (doc_id % 3) bits at distinct positions a, a+21, a+43 (mod 64)
+      val a = pmod(col("doc_id") * 7, lit(64)).cast("int")
+      def bitAt(p: Column) = call_function("shiftleft", lit(1L), p.cast("int"))
+      val nf = pmod(col("doc_id"), lit(3))
+      val mask = bitAt(a)
+        .bitwiseOR(when(nf >= 1, bitAt(pmod(a + 21, lit(64)))).otherwise(lit(0L)))
+        .bitwiseOR(when(nf === 2, bitAt(pmod(a + 43, lit(64)))).otherwise(lit(0L)))
+      val planted = fps.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          col("fp").bitwiseXOR(mask).as("fp"))
+      val pairs = Dedup.hammingPairsFromFps(fps.unionByName(planted),
+        "doc_id", "fp", maxHamming = 3, bands = 4)
+      val expected = fps.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int").as("h_exp"))
+      // per-element coalesce: `every` SKIPS nulls, so a missing pair (null
+      // hamming) must coalesce to an explicit false, not silently drop out
+      expected.join(pairs, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).cast("long").as("n_planted"),
+          coalesce(every(coalesce(col("hamming") === col("h_exp"), lit(false))),
+            lit(false)).as("all_recovered"))
+        .crossJoin(pairs.agg(
+          coalesce(every(col("hamming") <= 3), lit(true)).as("hamming_ok")))
+    }),
+
     // oracle-backed simhash evidence: planted exact-duplicate texts (new
     // doc_ids) must fingerprint identically — group count is computed by the
     // oracle from the same construction, consistency by the engine
@@ -548,6 +613,40 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       Similarity.lshTopK(emb, emb.limit(20), "embedding", "vec_id",
         dim = 64, k = 5, planes = 6)
+    }),
+
+    // IVF probe end-to-end: write the index Hive-partitioned by cell ONCE,
+    // probe with a query vector — the scan must read ONLY the probed cell's
+    // directory (partition pruning; files_pruned verifies it from
+    // input_file_name, PlanSpec asserts the PartitionFilters in the plan).
+    // Every probed cosine is re-derived INDEPENDENTLY from the original
+    // embeddings table (written-layout roundtrip vs source: a real two-path
+    // check). Oracle pins the verdicts.
+    "ann_ivf_probe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val path = Option(ivfIndexPath.get()).getOrElse {
+        val p = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/ivf"
+        Similarity.writeIvf(emb, "embedding", dim = 64, planes = 4, path = p)
+        ivfIndexPath.set(p); p
+      }
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val k = 5
+      val res = Similarity.probeIvf(s, path, "embedding", "vec_id", q, k, planes = 4)
+      val code = Similarity.probeCode(s, q, planes = 4)
+      val full = s.read.parquet(path)
+      val nTotal = full.select(input_file_name()).distinct().count()
+      val nProbed = full.filter(col("bucket") === code)
+        .select(input_file_name()).distinct().count()
+      val cellSize = full.filter(col("bucket") === code).count()
+      val brute = emb.select(col("vec_id").as("vid"),
+        Similarity.cosineTo(col("embedding"), q).as("cos_direct"))
+      res.join(brute, res("vec_id") === brute("vid"))
+        .agg(
+          (count(lit(1)) === math.min(k.toLong, cellSize)).as("k_ok"),
+          coalesce(every(abs(col("cos") - col("cos_direct")) < 1e-9), lit(false))
+            .as("cos_match"),
+          lit(nProbed < nTotal).as("files_pruned"))
     }),
 
     // oracle-backed ANN evidence: per-query ranks must be consecutive from 1

@@ -47,7 +47,8 @@ final case class FeatureDef(
     dependencies: Seq[String],
     expr: Option[String],
     group: Option[String] = None,
-    stages: Seq[(String, String)] = Nil) {
+    stages: Seq[(String, String)] = Nil,
+    groupBy: Option[String] = None) {
   def validate(): Unit = {
     if (description.length < 5)
       throw ConfigError(s"feature '$name': description must be >= 5 chars (features.py:14)")
@@ -57,6 +58,11 @@ final case class FeatureDef(
     }
     if (expr.nonEmpty && stages.nonEmpty)
       throw ConfigError(s"feature '$name': declare either 'expr' or 'stages', not both")
+    if (groupBy.nonEmpty && expr.isEmpty)
+      throw ConfigError(s"feature '$name': group_by needs an aggregate 'expr' " +
+        "(aggregate.py:75-86 group_by + any data-mode transformation)")
+    if (groupBy.nonEmpty && stages.nonEmpty)
+      throw ConfigError(s"feature '$name': group_by cannot chain stages")
     val stageNames = stages.map(_._1)
     if (stageNames.distinct.size != stageNames.size)
       throw ConfigError(s"feature '$name': duplicate stage names")
@@ -165,7 +171,8 @@ object FeatureConfig {
         group = s("group"),
         stages = Option(n.get("stages"))
           .map(_.properties().asScala.toSeq.map(e => e.getKey -> e.getValue.asText))
-          .getOrElse(Nil))
+          .getOrElse(Nil),
+        groupBy = s("group_by"))
     }
     feats.foreach(_.validate())
     val suite = FeatureSuite(feats)

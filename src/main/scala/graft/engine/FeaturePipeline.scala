@@ -68,6 +68,21 @@ object FeaturePipeline {
         staged.withColumn(f.name, col(last.get).cast(f.dataType))
       } else f.expr match {
         case None => df.withColumn(f.name, col(f.name).cast(f.dataType))
+        case Some(e) if f.groupBy.nonEmpty =>
+          // group_reduce with an ARBITRARY aggregate expression
+          // (aggregate.py:75-86: GroupByReduce accepts any data-mode
+          // Transformation, not just the named five). groupBy + scatter-join
+          // rather than a window: `agg` accepts any expression OVER
+          // aggregates (sqrt(avg(x*x)), exp(avg(ln(x)))) while `.over()`
+          // requires a bare top-level aggregate. Map-side partial agg makes
+          // the grouped side one row per key; AQE broadcasts it back when
+          // small. Null group keys scatter null (SQL join semantics).
+          val key = f.groupBy.get
+          val gcol = s"__grp_${f.name}"
+          val grouped = df.groupBy(col(key))
+            .agg(expr(rewriteRefs(e, None)).cast(f.dataType).as(gcol))
+          df.join(grouped, Seq(key), "left")
+            .withColumn(f.name, col(gcol)).drop(gcol)
         case Some(e) =>
           df.withColumn(f.name, expr(rewriteRefs(e, None)).cast(f.dataType))
       }

@@ -50,4 +50,16 @@ object AggOps {
   def groupModeScattered(df: DataFrame, keyName: String, valName: String,
       outCol: String): DataFrame =
     df.join(deterministicMode(df, keyName, valName, outCol), keyName)
+
+  /** group_reduce with an ARBITRARY SQL aggregate expression as the
+    * reduction (aggregate.py:75-86: GroupByReduce accepts any data-mode
+    * Transformation): groupBy + scatter-join, which admits any expression
+    * over aggregates (sqrt(avg(x*x))) — `.over()` would reject non-bare
+    * aggregates. One map-side-combined shuffle to the per-key frame; AQE
+    * broadcasts it back when small. */
+  def groupReduceExpr(df: DataFrame, keyName: String, aggSql: String,
+      outCol: String): DataFrame = {
+    val grouped = df.groupBy(col(keyName)).agg(expr(aggSql).as(outCol))
+    df.join(grouped, Seq(keyName), "left")
+  }
 }

@@ -213,7 +213,7 @@ object Dedup {
   }
 
   /** SimHash near-dup groups: identical 64-bit fingerprints. For Hamming
-    * distance ≤ d matching, join on `bandsOf` rotations instead. */
+    * distance ≤ d matching, use [[simhashNearDupPairs]] (bandsOf join). */
   def simhashDupGroups(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, seed: Long = 42L): DataFrame =
     docs.select(col(idCol).as("id"),
@@ -221,6 +221,76 @@ object Dedup {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_dup"), min(col("id")).as("canonical_id"))
       .filter(col("n_dup") > 1)
+
+  /** Band keys for Hamming-distance LSH over a 64-bit fingerprint: the
+    * fingerprint split into `bands` contiguous bit blocks. PIGEONHOLE
+    * GUARANTEE: two fingerprints within Hamming distance d differ in at most
+    * d bands, so with bands ≥ d+1 they share at least one identical band —
+    * an equi-join on (band, bits) generates EVERY candidate pair at
+    * distance ≤ bands−1 (then popcount verifies the exact distance). */
+  def bandsOf(fp: Column, bands: Int = 4): Column = {
+    require(bands >= 1 && 64 % bands == 0,
+      s"bandsOf: bands must divide 64 (got $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(fp, b * width).bitwiseAND(lit(mask)).as("bits"))
+    }: _*)
+  }
+
+  /** Candidate pairs within Hamming distance ≤ maxHamming over a
+    * (id, 64-bit fingerprint) frame — the banding join behind
+    * [[simhashNearDupPairs]], exposed so planted-fingerprint tests can
+    * exercise the machinery directly.
+    *
+    * Scale shape (same discipline as minhashLshPairs): the band exchange
+    * carries only (id, band, width-bit block); candidate pairs are deduped
+    * BEFORE fingerprints re-attach; hot band buckets (boilerplate) are
+    * capped at `maxBucket` members — a documented truncation instead of an
+    * O(b²) single-reducer explosion. Requires bands ≥ maxHamming+1 for the
+    * pigeonhole completeness guarantee. */
+  def hammingPairsFromFps(fps: DataFrame, idCol: String, fpCol: String,
+      maxHamming: Int = 3, bands: Int = 4,
+      maxBucket: Int = 2000): DataFrame = {
+    require(bands >= maxHamming + 1,
+      s"hammingPairsFromFps: need bands >= maxHamming+1 for completeness " +
+      s"(got bands=$bands, maxHamming=$maxHamming)")
+    val base = fps.select(col(idCol).as("id"), col(fpCol).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keyed = base.select(col("id"), explode(bandsOf(col("fp"), bands)).as("bk"))
+    val sized = keyed.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy(col("bk"))))
+      .filter(col("bn") <= maxBucket)
+    val cand = sized.select(col("bk"), col("id").as("id_a"))
+      .join(sized.select(col("bk"), col("id").as("id_b")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val out = cand
+      .join(base.select(col("id").as("id_a"), col("fp").as("fp_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("fp").as("fp_b")), Seq("id_b"))
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize with lineage intact; caller unpersists `out`
+    base.unpersist()
+    out
+  }
+
+  /** SimHash near-duplicate pairs within Hamming distance ≤ maxHamming —
+    * the standard simhash near-dup mining shape (fingerprint once, band
+    * join, popcount verify). */
+  def simhashNearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, maxHamming: Int = 3, bands: Int = 4,
+      seed: Long = 42L, maxBucket: Int = 2000): DataFrame =
+    hammingPairsFromFps(
+      docs.select(col(idCol).as("id"),
+        graft.functions.expr.FingerprintExprs.wordSimhash(col(textCol), n, seed)
+          .as("fp")),
+      "id", "fp", maxHamming, bands, maxBucket)
 
   // ---------- embedding near-dup ----------
 

@@ -111,4 +111,37 @@ object Similarity {
   def buildIvf(emb: DataFrame, vecCol: String, dim: Int, planes: Int,
       seed: Long = 42L): DataFrame =
     emb.withColumn("bucket", hyperplaneCode(col(vecCol), dim, planes, seed))
+
+  /** Write the IVF layout: one Hive partition directory per hyperplane
+    * cell. Train once — every later probe is a partition-pruned scan of
+    * ~1/2^planes of the data (the probed cell's directory only). */
+  def writeIvf(emb: DataFrame, vecCol: String, dim: Int, planes: Int,
+      path: String, seed: Long = 42L): Unit =
+    buildIvf(emb, vecCol, dim, planes, seed)
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** The query vector's cell code, computed by the SAME seeded expression
+    * the index was built with (one 1-row driver-local job — no state to
+    * ship, no train/probe skew). */
+  def probeCode(spark: org.apache.spark.sql.SparkSession, query: Seq[Double],
+      planes: Int, seed: Long = 42L): Long =
+    spark.range(1)
+      .select(hyperplaneCode(typedlit(query), query.size, planes, seed).as("c"))
+      .head().getLong(0)
+
+  /** Probe the written IVF index: top-k by cosine WITHIN the query's cell.
+    * The `bucket === code` filter is a partition filter on the Hive layout,
+    * so the scan reads only the probed cell's directory — at 10^12 vectors
+    * and 2^12 cells that is a 4000x read reduction vs the brute-force scan
+    * (recall bounded by the cell assignment, the standard IVF trade). */
+  def probeIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+      vecCol: String, idCol: String, query: Seq[Double], k: Int,
+      planes: Int, seed: Long = 42L): DataFrame = {
+    val code = probeCode(spark, query, planes, seed)
+    spark.read.parquet(path)
+      .filter(col("bucket") === code)
+      .select(col(idCol), cosineTo(col(vecCol), query).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
 }

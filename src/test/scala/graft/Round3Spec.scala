@@ -139,6 +139,101 @@ class Round3Spec extends SparkTestBase {
     assert(nulls.length == 1 && nulls.head.isNullAt(0) && nulls.head.isNullAt(1))
   }
 
+  test("bandsOf pigeonhole: any <=3-bit flip shares a band; hammingPairs recovers exactly") {
+    import graft.operators.Dedup
+    // 48 deterministic fingerprints, each with a flipped twin at Hamming
+    // distance 1..3 (positions spread via multiplication mod 64)
+    val base = spark.range(48).select(
+      col("id"),
+      xxhash64(col("id"), lit(7)).as("fp"))
+    def bitAt(p: org.apache.spark.sql.Column) =
+      call_function("shiftleft", lit(1L), p.cast("int"))
+    val a = pmod(col("id") * 5, lit(64))
+    val nf = pmod(col("id"), lit(3))
+    val mask = bitAt(a)
+      .bitwiseOR(when(nf >= 1, bitAt(pmod(a + 17, lit(64)))).otherwise(lit(0L)))
+      .bitwiseOR(when(nf === 2, bitAt(pmod(a + 39, lit(64)))).otherwise(lit(0L)))
+    val twins = base.select((col("id") + 1000).as("id"),
+      col("fp").bitwiseXOR(mask).as("fp"))
+    val pairs = Dedup.hammingPairsFromFps(base.unionByName(twins), "id", "fp",
+      maxHamming = 3, bands = 4)
+    val recovered = pairs.filter(col("id_b") === col("id_a") + 1000)
+      .select(col("id_a"), col("hamming")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    (0L until 48L).foreach { i =>
+      assert(recovered.get(i).contains((i % 3 + 1).toInt),
+        s"planted pair $i (hamming ${i % 3 + 1}) not recovered: ${recovered.get(i)}")
+    }
+    assert(pairs.filter(col("hamming") > 3).count() == 0L)
+    pairs.unpersist()
+    // direct band-overlap property: flipped twin shares >= 1 of the 4 bands
+    val overlap = base.select(Dedup.bandsOf(col("fp"), 4).as("ba"),
+      Dedup.bandsOf(col("fp").bitwiseXOR(mask), 4).as("bb"))
+      .filter(!arrays_overlap(col("ba"), col("bb"))).count()
+    assert(overlap == 0L)
+  }
+
+  test("IVF probe prunes partitions and matches in-cell brute force") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-test").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    Similarity.writeIvf(emb, "embedding", dim = 64, planes = 3, path = s"$dir/ivf")
+    val q = emb.filter(col("vec_id") === 1)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val probe = Similarity.probeIvf(spark, s"$dir/ivf", "embedding", "vec_id",
+      q, k = 3, planes = 3)
+    // plan-level pruning evidence: the scan carries a bucket partition filter
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected a bucket partition filter in:\n$plan")
+    // the probe equals brute-force top-k restricted to the same cell,
+    // computed from the SOURCE table (independent of the written layout)
+    val code = Similarity.probeCode(spark, q, planes = 3)
+    val expected = emb
+      .withColumn("bucket", Similarity.hyperplaneCode(col("embedding"), 64, 3))
+      .filter(col("bucket") === code)
+      .select(col("vec_id"), Similarity.cosineTo(col("embedding"), q).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc).limit(3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probe.collect().map(_.getLong(0)).toSeq == expected)
+  }
+
+  test("group_by feature with arbitrary aggregate expr matches direct computation") {
+    val suite = graft.config.FeatureConfig.loadYaml(
+      """features:
+        |  x: {type: double, description: raw numeric column}
+        |  x_rms:
+        |    type: double
+        |    description: per-key RMS (arbitrary expr over an aggregate)
+        |    dependencies: [x]
+        |    group_by: k
+        |    expr: "sqrt(avg(x * x))"
+        |""".stripMargin)
+    val df = spark.range(100).select(
+      (col("id") % 7).as("k"), (col("id") % 13).cast("double").as("x"))
+    val out = graft.engine.FeaturePipeline.compute(df, suite)
+    val direct = df.groupBy("k").agg(sqrt(avg(col("x") * col("x"))).as("want"))
+    val bad = out.join(direct, "k")
+      .filter(abs(col("x_rms") - col("want")) > 1e-12).count()
+    assert(bad == 0L)
+    assert(out.count() == 100L) // scattered onto every member row
+  }
+
+  test("group_by without an expr fails config load fast") {
+    val e = intercept[graft.config.ConfigError] {
+      graft.config.FeatureConfig.loadYaml(
+        """features:
+          |  x: {type: double, description: raw numeric column}
+          |  bad:
+          |    type: double
+          |    description: group reduce missing its expr
+          |    dependencies: [x]
+          |    group_by: k
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("group_by"))
+  }
+
   test("approx-vs-exact bin agreement treats both-null as agreement") {
     val df = spark.range(1000)
       .select(when(col("id") % 10 === 0, lit(null).cast("double"))
