@@ -128,6 +128,38 @@ object OracleSql {
         | round(CAST(list_aggregate(embedding, 'max') AS DOUBLE), 6) AS vmax
         |FROM embeddings""".stripMargin,
 
+    // reference golden fixtures: DuckDB recomputes the hand-specified
+    // expected values (test_core.py) from the same range()-built inputs
+    "g_golden_arrays" ->
+      """SELECT CAST(t.i AS INT) AS feature_a,
+        | (t.i + (t.i + 100) * 2) / 2.0 AS feature_c,
+        | (t.i * 6) / 2.0 AS feature_d
+        |FROM range(0, 100) t(i)""".stripMargin,
+
+    "g_golden_algebra" ->
+      """SELECT CAST(t.i AS INT) AS feature_a,
+        | CAST(1.0 AS DOUBLE) AS one_ab,
+        | CAST(t.i * ((t.i + 100) * 2.0) AS DOUBLE) AS a_mul_b,
+        | CAST(2.0 AS DOUBLE) AS two_ab,
+        | CAST(t.i + (t.i + 100) * 2.0 AS DOUBLE) AS sum_sq_div
+        |FROM range(0, 100) t(i)""".stripMargin,
+
+    "g_golden_strings" ->
+      """SELECT CAST(t.i AS INT) AS id,
+        | CAST(t.i = 1 AS INT) AS oh_apple,
+        | CAST(t.i = 0 AS INT) AS oh_orange,
+        | CASE WHEN t.i = 0 THEN 'orange' ELSE 'apple' END AS e_norm,
+        | CASE WHEN t.i = 0 THEN 'ORANGEorange' ELSE 'APPLEapple' END AS e_upper_lower,
+        | 'orange' AS f_stripped
+        |FROM range(0, 2) t(i)""".stripMargin,
+
+    "g_golden_group" ->
+      """WITH t(rid, feature_a, feature_b) AS (VALUES
+        |  (0, 1, 2), (1, 1, 5), (2, 2, 2), (3, 2, 6), (4, 3, 2), (5, 3, 9))
+        |SELECT CAST(rid AS INT) AS rid, CAST(feature_a AS INT) AS feature_a,
+        | avg(feature_b * 1.0) OVER (PARTITION BY feature_a) AS b_mean
+        |FROM t""".stripMargin,
+
     "s_case" ->
       "SELECT doc_id, upper(lang) AS lang_up, lower(upper(text)) AS text_lo FROM documents",
 

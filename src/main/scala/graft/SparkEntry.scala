@@ -386,6 +386,118 @@ object SparkEntry {
         .withColumn("feature_z", round(col("feature_z"), 4))
     }),
 
+    // ======== reference golden fixtures as ORACLE queries ========
+    // The reference's own e2e expectations (tests/test_core.py) re-checked
+    // at the driver gate, not only in ScalaTest: deterministic range()-built
+    // fixtures, the YAML pipeline end-to-end, DuckDB recomputing the
+    // hand-specified expected values independently.
+
+    // test_core.py:55-94 (arrays of 100): c = 0.5*(a + 2b), d = a*6/2 via a
+    // named chain — basic_features.yaml ported (b's scale stage included)
+    "g_golden_arrays" -> ((s, d) => {
+      val input = s.range(100).select(
+        col("id").cast("int").as("feature_a"),
+        (col("id") + 100).cast("int").as("feature_b_raw"))
+      val suite = graft.config.FeatureConfig.loadYaml(
+        """features:
+          |  feature_a: {type: int, description: raw feature A (test_core.py:57)}
+          |  feature_b_raw: {type: int, description: raw feature B before its scale stage}
+          |  feature_b:
+          |    type: double
+          |    description: feature B scaled by 2 (basic_features.yaml scale_feature)
+          |    dependencies: [feature_b_raw]
+          |    expr: "feature_b_raw * 2"
+          |  feature_c:
+          |    type: double
+          |    description: (a + b) / 2 over the SCALED b (basic_features.yaml solve)
+          |    dependencies: [feature_a, feature_b]
+          |    expr: "(feature_a + feature_b) / 2"
+          |  feature_d:
+          |    type: double
+          |    description: a times 6 then halved, named chain stages (multiply/divide)
+          |    dependencies: [feature_a]
+          |    stages:
+          |      multiply: "feature_a * 6"
+          |      divide: "_prev / 2"
+          |""".stripMargin)
+      graft.engine.FeaturePipeline.computeSelect(input, suite,
+        Seq("feature_a", "feature_c", "feature_d"))
+    }),
+
+    // test_core.py:96-116 (nested_features.yaml algebra identities over the
+    // same 100-element fixture, b scaled): (a+b)/(a+b)=1, a*b,
+    // ((a+b)*2)/(a+b)=2, ((a+b)*(a+b))/(a+b)=a+b
+    "g_golden_algebra" -> ((s, d) => {
+      val input = s.range(100).select(
+        col("id").cast("int").as("feature_a"),
+        ((col("id") + 100) * 2).cast("double").as("feature_b"))
+      val suite = graft.config.FeatureConfig.loadYaml(
+        """features:
+          |  feature_a: {type: int, description: raw feature A (test_core.py:98)}
+          |  feature_b: {type: double, description: feature B already scaled by 2}
+          |  one_ab:
+          |    type: double
+          |    description: (a + b) / (a + b), identity one
+          |    dependencies: [feature_a, feature_b]
+          |    expr: "(feature_a + feature_b) / (feature_a + feature_b)"
+          |  a_mul_b:
+          |    type: double
+          |    description: a times b (nested_features.yaml a_multiple_b2)
+          |    dependencies: [feature_a, feature_b]
+          |    expr: "feature_a * feature_b"
+          |  two_ab:
+          |    type: double
+          |    description: ((a + b) * 2) / (a + b), identity two
+          |    dependencies: [feature_a, feature_b]
+          |    expr: "((feature_a + feature_b) * 2) / (feature_a + feature_b)"
+          |  sum_sq_div:
+          |    type: double
+          |    description: ((a + b) squared) / (a + b) equals a + b
+          |    dependencies: [feature_a, feature_b]
+          |    expr: "((feature_a + feature_b) * (feature_a + feature_b)) / (feature_a + feature_b)"
+          |""".stripMargin)
+      graft.engine.FeaturePipeline.computeSelect(input, suite,
+        Seq("feature_a", "one_ab", "a_mul_b", "two_ab", "sum_sq_div"))
+    }),
+
+    // test_core.py:17-39,84-91 string goldens: upper→lower chain, one_hot
+    //(['apple','orange']) of "Orange"/"Apple", "ORANGEorange" concat, strip
+    "g_golden_strings" -> ((s, d) => {
+      val input = s.range(2).select(col("id").cast("int").as("id"),
+        when(col("id") === 0, "Orange").otherwise("Apple").as("feature_e"),
+        lit("orange ").as("feature_f"))
+      val eNorm = StringOps.toLower(StringOps.toUpper(col("feature_e")))
+      val oh = StringOps.oneHotColumns(eNorm, Seq("apple", "orange"))
+      input.select(col("id") +:
+        (oh.map { case (c, e) => e.as(s"oh_$c") } ++ Seq(
+          eNorm.as("e_norm"),
+          concat(StringOps.toUpper(col("feature_e")),
+            StringOps.toLower(col("feature_e"))).as("e_upper_lower"),
+          StringOps.strip(col("feature_f")).as("f_stripped"))): _*)
+    }),
+
+    // test_core.py:118-128 (aggregated_features.yaml): group mean of
+    // b=[2,5,2,6,2,9] by a=[1,1,2,2,3,3] scattered => [3.5,3.5,4,4,5.5,5.5],
+    // driven through the YAML group_by path
+    "g_golden_group" -> ((s, d) => {
+      import s.implicits._
+      val input = Seq((0, 1, 2), (1, 1, 5), (2, 2, 2), (3, 2, 6), (4, 3, 2),
+        (5, 3, 9)).toDF("rid", "feature_a", "feature_b")
+      val suite = graft.config.FeatureConfig.loadYaml(
+        """features:
+          |  feature_a: {type: int, description: group key (test_core.py:119)}
+          |  feature_b: {type: int, description: values to reduce per group}
+          |  b_mean:
+          |    type: double
+          |    description: group mean scattered onto member rows
+          |    dependencies: [feature_a, feature_b]
+          |    group_by: feature_a
+          |    expr: "avg(feature_b)"
+          |""".stripMargin)
+      graft.engine.FeaturePipeline.computeSelect(input, suite,
+        Seq("rid", "feature_a", "b_mean"))
+    }),
+
     // ======== §2.10 validation engine ops (on driver testdata) ========
     "v_stats_profile" -> ((s, d) => {
       val sa = StatsAggregator.statsAgg(0.0, 600.0, 10)

@@ -1,0 +1,34 @@
+package graft.datagen
+
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point for synthesizing the tokenized-sequence table
+  * on disk (Hive-partitioned by source) — the input of the CLI
+  * checkpoint/resume evidence runs:
+  *
+  *   spark-submit --class graft.datagen.GenTable <jar> \
+  *     --out /tmp/seq-table --rows 1000000 [--n-sources 128] \
+  *     [--plant true] [--partitions 64] [--seed 42]
+  */
+object GenTable {
+  def main(args: Array[String]): Unit = {
+    val opts = args.grouped(2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val out = opts.getOrElse("out", sys.error("--out required"))
+    val rows = opts.getOrElse("rows", "1000000").toLong
+    val builder = SparkSession.builder().appName("graft-gentable")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = (if (sys.props.contains("spark.master")) builder
+                 else builder.master("local[*]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SeqTableGen.generate(spark, rows,
+      seed = opts.getOrElse("seed", "42").toLong,
+      plant = opts.get("plant").exists(_.equalsIgnoreCase("true")),
+      nSources = opts.getOrElse("n-sources", "0").toInt)
+      .repartition(opts.getOrElse("partitions", "64").toInt)
+    SeqTableGen.writePartitioned(df, out)
+    println(s"wrote $rows rows to $out")
+    spark.stop()
+  }
+}

@@ -32,6 +32,10 @@ object SeqTableGen {
     * @param skew       if true, "web" owns ~55% of rows (skewed source)
     * @param driftScale multiply n_tok by this in the "books" partition only
     *                   (drift fixture; 1.0 = no drift)
+    * @param nSources   when > 0, replace the 4-name dictionary with
+    *                   `src-000..src-{n-1}` synthetic sources (the
+    *                   many-Iceberg-partition shape for per-partition
+    *                   checkpoint/resume evidence); skew gives src-000 ~40%
     */
   def generate(
       spark: SparkSession,
@@ -41,7 +45,8 @@ object SeqTableGen {
       seed: Long = 42L,
       plant: Boolean = false,
       skew: Boolean = true,
-      driftScale: Double = 1.0): DataFrame = {
+      driftScale: Double = 1.0,
+      nSources: Int = 0): DataFrame = {
 
     val id = col("id")
     val res = pmod(id, lit(PlantMod))
@@ -49,7 +54,11 @@ object SeqTableGen {
     // source: skewed categorical from the dictionary
     val su = u01(id, seed, 1)
     val srcBase =
-      if (skew)
+      if (nSources > 0) {
+        val hashed = format_string("src-%03d",
+          pmod(xxhash64(id, lit(seed), lit(7)), lit(nSources.toLong)))
+        if (skew) when(su < 0.40, lit("src-000")).otherwise(hashed) else hashed
+      } else if (skew)
         when(su < 0.55, Sources(0))
           .when(su < 0.75, Sources(1))
           .when(su < 0.90, Sources(2))

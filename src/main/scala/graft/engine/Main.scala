@@ -89,6 +89,12 @@ object Main {
         manifestPath = opts.get("manifest"), baseline = baseline,
         violationsOut = opts.get("violations-out"))
     }
+    // --compact true: fold the manifest's append-files into one parquet
+    // after the run — at 10^4 partitions × per-partition appends the
+    // manifest becomes a small-file swarm that slows every later resume
+    // read (rename-aside compaction is crash-consistent; Manifest.compact)
+    if (opts.get("compact").exists(_.equalsIgnoreCase("true")))
+      opts.get("manifest").foreach(mp => graft.lineage.Manifest.compact(spark, mp))
     report.results.sortBy(r => (r.rule, r.partition)).foreach { r =>
       println(f"${r.rule}%-24s ${r.partition}%-10s ${r.verdict}%-5s " +
         f"rows=${r.rowCount}%-10d viol=${r.violationCount}%-8d ${r.detail}")
