@@ -53,11 +53,13 @@ object SparkEntry {
   private val manifestResumeFrontier =
     new java.util.concurrent.atomic.AtomicReference[Seq[String]](null)
 
-  /** Once-per-JVM cache of the written IVF index layout (plan-only callers
-    * invoke every query closure; re-writing the index per invocation would
-    * leak a temp dir each time — the layout is deterministic). */
+  /** Once-per-JVM cache of the written IVF index layout, KEYED by source
+    * dir (a same-JVM caller at a different scale factor must not probe a
+    * stale index). Plan-only callers invoke every query closure;
+    * re-writing the index per invocation would leak a temp dir each time —
+    * the layout is deterministic per source dir. */
   private val ivfIndexPath =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -736,11 +738,12 @@ object SparkEntry {
     // check). Oracle pins the verdicts.
     "ann_ivf_probe" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
-      val path = Option(ivfIndexPath.get()).getOrElse {
-        val p = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/ivf"
-        Similarity.writeIvf(emb, "embedding", dim = 64, planes = 4, path = p)
-        ivfIndexPath.set(p); p
-      }
+      val path = Option(ivfIndexPath.get()).filter(_._1 == d).map(_._2)
+        .getOrElse {
+          val p = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/ivf"
+          Similarity.writeIvf(emb, "embedding", dim = 64, planes = 4, path = p)
+          ivfIndexPath.set((d, p)); p
+        }
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       val k = 5

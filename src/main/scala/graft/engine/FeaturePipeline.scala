@@ -71,18 +71,29 @@ object FeaturePipeline {
         case Some(e) if f.groupBy.nonEmpty =>
           // group_reduce with an ARBITRARY aggregate expression
           // (aggregate.py:75-86: GroupByReduce accepts any data-mode
-          // Transformation, not just the named five). groupBy + scatter-join
-          // rather than a window: `agg` accepts any expression OVER
-          // aggregates (sqrt(avg(x*x)), exp(avg(ln(x)))) while `.over()`
-          // requires a bare top-level aggregate. Map-side partial agg makes
-          // the grouped side one row per key; AQE broadcasts it back when
-          // small. Null group keys scatter null (SQL join semantics).
+          // Transformation, not just the named five). Two plan shapes:
+          //  - a BARE aggregate (avg(x), sum(x*x), any registered agg fn)
+          //    scatters via a window over partitionBy(key) — ONE full-table
+          //    shuffle, the plan the named reductions in AggOps use;
+          //  - a COMPOSITE expression over aggregates (sqrt(avg(x*x))),
+          //    which `.over()` rejects at analysis, falls back to groupBy +
+          //    scatter-join — map-side partial agg makes the grouped side
+          //    one row per key and AQE broadcasts it back when small.
+          // Null group keys: the window treats null as a group (scatters the
+          // null-group aggregate); the join fallback scatters null instead —
+          // both SQL-sanctioned, documented here because they differ.
           val key = f.groupBy.get
-          val gcol = s"__grp_${f.name}"
-          val grouped = df.groupBy(col(key))
-            .agg(expr(rewriteRefs(e, None)).cast(f.dataType).as(gcol))
-          df.join(grouped, Seq(key), "left")
-            .withColumn(f.name, col(gcol)).drop(gcol)
+          val scattered = expr(rewriteRefs(e, None))
+          try df.withColumn(f.name, scattered
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(col(key)))
+            .cast(f.dataType))
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            val gcol = s"__grp_${f.name}"
+            val grouped = df.groupBy(col(key))
+              .agg(scattered.cast(f.dataType).as(gcol))
+            df.join(grouped, Seq(key), "left")
+              .withColumn(f.name, col(gcol)).drop(gcol)
+          }
         case Some(e) =>
           df.withColumn(f.name, expr(rewriteRefs(e, None)).cast(f.dataType))
       }
