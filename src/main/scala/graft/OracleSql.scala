@@ -519,6 +519,25 @@ object OracleSql {
         |   w -> 1 + CAST(floor((length(w) - 1) / 6) AS INT))), 0) END AS INT) AS n_subwords
         |FROM documents""".stripMargin,
 
+    "t_repetition" ->
+      """WITH n AS (SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    text FROM documents),
+        |p AS (SELECT doc_id, text,
+        |    list_filter(string_split(norm, '. '), s -> s <> '') AS segs,
+        |    list_filter(string_split(norm, ' '), s -> s <> '') AS words
+        |  FROM n)
+        |SELECT doc_id,
+        | CASE WHEN text IS NULL THEN NULL
+        |   WHEN len(segs) > 0 THEN round(CAST(1.0 - len(list_distinct(segs)) * 1.0
+        |     / len(segs) AS DOUBLE), 6)
+        |   ELSE CAST(0.0 AS DOUBLE) END AS dup_sent_ratio,
+        | CASE WHEN text IS NULL THEN NULL
+        |   WHEN len(words) > 0 THEN round(CAST(1.0 - len(list_distinct(words)) * 1.0
+        |     / len(words) AS DOUBLE), 6)
+        |   ELSE CAST(0.0 AS DOUBLE) END AS dup_word_ratio
+        |FROM p""".stripMargin,
+
     "t_fingerprint" ->
       """SELECT doc_id,
         | md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5,

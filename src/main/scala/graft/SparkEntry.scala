@@ -802,6 +802,13 @@ object SparkEntry {
       TextOps.tokenCount(col("text")).as("n_ws_tokens"),
       TextOps.subwordCountEstimate(col("text")).as("n_subwords"))),
 
+    // repetition signals (duplicate-line/word fraction family of web-scale
+    // quality filters): pure codegen'd expressions, zero shuffle
+    "t_repetition" -> ((s, d) => t(s, d, "documents").select(
+      col("doc_id"),
+      TextOps.dupSentenceRatio(col("text")).as("dup_sent_ratio"),
+      TextOps.dupWordRatio(col("text")).as("dup_word_ratio"))),
+
     "t_fingerprint" -> ((s, d) => t(s, d, "documents").select(
       col("doc_id"),
       TextOps.fingerprint(col("text")).as("fp_md5"),

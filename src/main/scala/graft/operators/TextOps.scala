@@ -85,6 +85,30 @@ object TextOps {
     round((lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3), 6)
   }
 
+  /** Sentence segments of normalized text, split on '. ' boundaries — a
+    * deterministic, engine-agnostic segmentation (good enough for the
+    * repetition signals; real sentence splitting is tokenizer territory). */
+  def sentences(c: Column): Column =
+    filter(split(Dedup.normText(c), java.util.regex.Pattern.quote(". ")),
+      s => s =!= "")
+
+  private def dupRatio(segs: Column): Column =
+    when(size(segs) > 0,
+      round(lit(1.0) - size(array_distinct(segs)).cast("double") /
+        size(segs).cast("double"), 6))
+      .otherwise(lit(0.0))
+
+  /** Fraction of duplicate sentences — the classic repeated-boilerplate
+    * signal of web-scale quality filters (duplicate-line fraction family):
+    * 1 − distinct/total over the sentence multiset; null text → null. */
+  def dupSentenceRatio(c: Column): Column =
+    when(c.isNull, lit(null).cast("double")).otherwise(dupRatio(sentences(c)))
+
+  /** Fraction of duplicate words (same family, word granularity). */
+  def dupWordRatio(c: Column): Column =
+    when(c.isNull, lit(null).cast("double"))
+      .otherwise(dupRatio(filter(split(Dedup.normText(c), " "), t => t =!= "")))
+
   /** Stable document fingerprint: md5 of normalized text (lower, collapsed
     * whitespace) — the exact-dup key. */
   def fingerprint(c: Column): Column = md5(Dedup.normText(c))

@@ -234,6 +234,26 @@ class Round3Spec extends SparkTestBase {
     assert(e.getMessage.contains("group_by"))
   }
 
+  test("repetition ratios: hand-computed duplicate-line/word fractions") {
+    import graft.operators.TextOps
+    val df = Seq(
+      (1L, "Buy now. Buy now. Limited offer. Buy now."),
+      (2L, "all words distinct here"),
+      (3L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = df.select(col("doc_id"),
+      TextOps.dupSentenceRatio(col("text")).as("ds"),
+      TextOps.dupWordRatio(col("text")).as("dw"))
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    // doc 1 sentences: ["buy now","buy now","limited offer","buy now."]
+    // (the last keeps its final period — no trailing '. ' boundary):
+    // 4 total, 3 distinct => 0.25; words keep attached punctuation:
+    // [buy,now.,buy,now.,limited,offer.,buy,now.] 8 total 4 distinct => 0.5
+    assert(out(1L) == (Some(0.25), Some(0.5)))
+    assert(out(2L) == (Some(0.0), Some(0.0)))
+    assert(out(3L) == (None, None)) // null text -> null ratios
+  }
+
   test("approx-vs-exact bin agreement treats both-null as agreement") {
     val df = spark.range(1000)
       .select(when(col("id") % 10 === 0, lit(null).cast("double"))
