@@ -219,6 +219,11 @@ object OracleSql {
     "ann_ivf_probe" ->
       "SELECT true AS k_ok, true AS cos_match, true AS files_pruned",
 
+    // self-verifying: multi-probe candidates are a superset of the single
+    // probe's, so its brute-force recall can never be lower; pruning holds
+    "ann_ivf_multiprobe" ->
+      "SELECT true AS k_ok, true AS recall_monotone, true AS files_pruned",
+
     "a_group_custom" ->
       """WITH g AS (SELECT l_orderkey,
         |    sqrt(avg(l_quantity * l_quantity)) AS rms,

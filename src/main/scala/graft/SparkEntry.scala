@@ -764,6 +764,44 @@ object SparkEntry {
           lit(nProbed < nTotal).as("files_pruned"))
     }),
 
+    // multi-probe IVF: the query's cell plus the nprobe-1 least-confident
+    // neighbor cells (standard multi-probe LSH). Self-verifying: recall vs
+    // the corpus-wide brute-force top-k can never fall below single-probe
+    // recall (candidate superset), the isin on the partition column still
+    // prunes (probed files strictly between single-probe and total), and
+    // row count matches least(k, candidates).
+    "ann_ivf_multiprobe" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val path = Option(ivfIndexPath.get()).filter(_._1 == d).map(_._2)
+        .getOrElse {
+          val p = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/ivf"
+          Similarity.writeIvf(emb, "embedding", dim = 64, planes = 4, path = p)
+          ivfIndexPath.set((d, p)); p
+        }
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val k = 5
+      val trueTop = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, k)
+        .collect().map(_.getLong(0)).toSet
+      def recallOf(df: DataFrame): Int =
+        df.collect().map(_.getLong(0)).count(trueTop)
+      val r1 = recallOf(Similarity.probeIvf(s, path, "embedding", "vec_id",
+        q, k, planes = 4))
+      val multi = Similarity.probeIvfMulti(s, path, "embedding", "vec_id",
+        q, k, planes = 4, nprobe = 3)
+      val rMulti = recallOf(multi)
+      val codes = Similarity.multiProbeCodes(s, q, planes = 4, nprobe = 3)
+      val full = s.read.parquet(path)
+      val nTotal = full.select(input_file_name()).distinct().count()
+      val nProbed = full.filter(col("bucket").isin(codes: _*))
+        .select(input_file_name()).distinct().count()
+      val candidates = full.filter(col("bucket").isin(codes: _*)).count()
+      multi.agg(
+        (count(lit(1)) === math.min(k.toLong, candidates)).as("k_ok"),
+        lit(rMulti >= r1).as("recall_monotone"),
+        lit(nProbed < nTotal).as("files_pruned"))
+    }),
+
     // oracle-backed ANN evidence: per-query ranks must be consecutive from 1
     // and cosine non-increasing with rank — structural invariants of a
     // correct top-k, checked in-engine, verdict pinned by the oracle

@@ -23,17 +23,22 @@ object Similarity {
   private def planeComponent(p: Int, i: Column, seed: Long): Column =
     (pmod(xxhash64(lit(p), i, lit(seed)), lit(2000001L)).cast("double") / 1e6) - 1.0
 
+  /** Projection of `vec` onto hyperplane `p` (the signed distance whose
+    * sign is the plane's code bit; its magnitude is the multi-probe
+    * confidence — a small |dot| means the true neighbors may sit just
+    * across that plane). */
+  private def planeDot(vec: Column, dim: Int, p: Int, seed: Long): Column =
+    aggregate(
+      zip_with(vec, sequence(lit(0), lit(dim - 1)),
+        (x, i) => x.cast("double") * planeComponent(p, i, seed)),
+      lit(0.0), (acc, v) => acc + v)
+
   /** LSH code: one sign bit per hyperplane, packed into a long. */
-  def hyperplaneCode(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column = {
-    val bits = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), lit(dim - 1)),
-          (x, i) => x.cast("double") * planeComponent(p, i, seed)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def hyperplaneCode(vec: Column, dim: Int, planes: Int, seed: Long = 42L): Column =
+    (0 until planes).map { p =>
+      when(planeDot(vec, dim, p, seed) >= 0, shiftleft(lit(1L), p))
+        .otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
 
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -128,6 +133,45 @@ object Similarity {
     spark.range(1)
       .select(hyperplaneCode(typedlit(query), query.size, planes, seed).as("c"))
       .head().getLong(0)
+
+  /** Multi-probe cell codes for a query: its own cell first, then the
+    * cells across the LEAST-CONFIDENT planes (smallest |dot| — standard
+    * multi-probe LSH ordering): flipping the bit of the plane the query
+    * sits closest to reaches the cell most likely to hold missed true
+    * neighbors. Per-plane dots come from one 1-row driver-local job using
+    * the SAME seeded expression as the index build. */
+  def multiProbeCodes(spark: org.apache.spark.sql.SparkSession,
+      query: Seq[Double], planes: Int, nprobe: Int,
+      seed: Long = 42L): Seq[Long] = {
+    require(nprobe >= 1 && nprobe <= planes + 1,
+      s"multiProbeCodes: nprobe must be in [1, planes+1] (got $nprobe)")
+    val q = typedlit(query)
+    val dots = spark.range(1)
+      .select(array((0 until planes).map(p =>
+        planeDot(q, query.size, p, seed)): _*).as("d"))
+      .head().getSeq[Double](0)
+    val base = dots.zipWithIndex.map { case (d, p) =>
+      if (d >= 0) 1L << p else 0L
+    }.foldLeft(0L)(_ | _)
+    val flipOrder = dots.zipWithIndex.sortBy { case (d, _) => math.abs(d) }
+    base +: flipOrder.take(nprobe - 1).map { case (_, p) => base ^ (1L << p) }
+  }
+
+  /** Multi-probe variant of [[probeIvf]]: top-k by cosine over the query's
+    * cell PLUS the nprobe−1 most-promising neighbor cells. The `isin` on
+    * the Hive partition column still prunes — the scan reads nprobe
+    * directories instead of one, trading a linear read increase for the
+    * recall the single cell misses near plane boundaries. */
+  def probeIvfMulti(spark: org.apache.spark.sql.SparkSession, path: String,
+      vecCol: String, idCol: String, query: Seq[Double], k: Int,
+      planes: Int, nprobe: Int, seed: Long = 42L): DataFrame = {
+    val codes = multiProbeCodes(spark, query, planes, nprobe, seed)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(codes: _*))
+      .select(col(idCol), cosineTo(col(vecCol), query).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
 
   /** Probe the written IVF index: top-k by cosine WITHIN the query's cell.
     * The `bucket === code` filter is a partition filter on the Hive layout,

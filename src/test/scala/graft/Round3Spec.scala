@@ -198,6 +198,32 @@ class Round3Spec extends SparkTestBase {
     assert(probe.collect().map(_.getLong(0)).toSeq == expected)
   }
 
+  test("multi-probe IVF: recall never below single-probe, isin still prunes partitions") {
+    import graft.operators.Similarity
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-mp").toString
+    val emb = spark.read.parquet(s"${sf()}/embeddings.parquet")
+    Similarity.writeIvf(emb, "embedding", dim = 64, planes = 3, path = s"$dir/ivf")
+    val q = emb.filter(col("vec_id") === 2)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+    val codes = Similarity.multiProbeCodes(spark, q, planes = 3, nprobe = 3)
+    assert(codes.size == 3 && codes.distinct.size == 3)
+    assert(codes.head == Similarity.probeCode(spark, q, planes = 3))
+    // each extra code flips exactly one bit of the base
+    codes.tail.foreach(c =>
+      assert(java.lang.Long.bitCount(c ^ codes.head) == 1))
+    val trueTop = Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 5)
+      .collect().map(_.getLong(0)).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Int =
+      df.collect().map(_.getLong(0)).count(trueTop)
+    val r1 = recall(Similarity.probeIvf(spark, s"$dir/ivf", "embedding",
+      "vec_id", q, k = 5, planes = 3))
+    val multi = Similarity.probeIvfMulti(spark, s"$dir/ivf", "embedding",
+      "vec_id", q, k = 5, planes = 3, nprobe = 3)
+    assert(recall(multi) >= r1)
+    val plan = multi.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"))
+  }
+
   test("group_by feature with arbitrary aggregate expr matches direct computation") {
     val suite = graft.config.FeatureConfig.loadYaml(
       """features:
