@@ -524,6 +524,34 @@ object OracleSql {
         |   w -> 1 + CAST(floor((length(w) - 1) / 6) AS INT))), 0) END AS INT) AS n_subwords
         |FROM documents""".stripMargin,
 
+    // deterministic md5 split: DuckDB recomputes the identical hash bucket
+    // (CAST('0x'||hex AS BIGINT) == Spark conv(...,16,10) — both positive,
+    // so % == pmod)
+    "samp_split" ->
+      """SELECT doc_id,
+        | CASE WHEN b < 8000 THEN 'train' WHEN b < 9000 THEN 'val'
+        |   ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 10000 AS b
+        | FROM documents)""".stripMargin,
+
+    "samp_stratified" ->
+      """SELECT doc_id, lang
+        |FROM (SELECT doc_id, lang,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |     % 10000 AS b
+        | FROM documents)
+        |WHERE b < (CASE WHEN lang = 'en' THEN 2500
+        |                WHEN lang = 'de' THEN 5000 ELSE 10000 END)""".stripMargin,
+
+    "seq_packing" ->
+      """SELECT doc_id, source,
+        | CAST(sum(n_chars) OVER w - n_chars AS BIGINT) AS tok_start,
+        | CAST(floor((sum(n_chars) OVER w - n_chars) / 4096) AS BIGINT) AS pack_id
+        |FROM documents
+        |WINDOW w AS (PARTITION BY source ORDER BY doc_id)""".stripMargin,
+
     "t_repetition" ->
       """WITH n AS (SELECT doc_id,
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,

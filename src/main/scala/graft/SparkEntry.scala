@@ -923,6 +923,25 @@ object SparkEntry {
              col("meta.height").between(64, 1080))), lit(false)).as("ranges_ok"))
     }),
 
+    // ======== sampling / splitting / packing (training-data pipeline) ====
+    // Deterministic md5-hash membership: same row -> same split at every
+    // cluster size and after every resume; the oracle recomputes the hash
+    // arithmetic bit-for-bit (hash-exact, not statistical).
+    "samp_split" -> ((s, d) => t(s, d, "documents").select(col("doc_id"),
+      graft.operators.Sampling.splitColumn(col("doc_id"), 0.8, 0.1).as("split"))),
+
+    "samp_stratified" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSample(t(s, d, "documents"),
+        "lang", "doc_id", Map("en" -> 0.25, "de" -> 0.5))
+        .select(col("doc_id"), col("lang"))),
+
+    // concat-and-chunk sequence packing (GPT-style pretraining batches):
+    // running start offset per stream, pack = floor(start / budget)
+    "seq_packing" -> ((s, d) =>
+      graft.operators.Packing.packSequences(t(s, d, "documents"),
+        "source", "doc_id", "n_chars", 4096L)
+        .select(col("doc_id"), col("source"), col("tok_start"), col("pack_id"))),
+
     // ======== relational coverage: joins / windows / json / set ops ========
     "j_star_join" -> ((s, d) => {
       val li = t(s, d, "lineitem")

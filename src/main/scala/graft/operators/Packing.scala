@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pretraining batches: concat-and-chunk.
+  *
+  * The standard pretraining packer concatenates documents in a fixed order
+  * and cuts every `budget` tokens (documents may straddle a cut). That is
+  * exactly expressible relationally: each doc's chunk is the chunk its
+  * FIRST token lands in — `floor(running_start / budget)` over a running
+  * token offset. One window per stream (= table partition), ordered by a
+  * deterministic id: the shuffle is hash-partitioned by stream, no global
+  * sort, no single-reducer funnel.
+  *
+  * This is deliberately NOT exact greedy bin packing (close the pack when
+  * the next doc would overflow) — that recurrence is inherently sequential
+  * per stream and buys little for pretraining, where straddling a cut is
+  * the accepted norm. Every pack's start-assigned weight is bounded by
+  * `budget + max item weight`.
+  */
+object Packing {
+
+  /** Assign each row a `pack_id` within its stream: rows are ordered by
+    * `orderCol` inside `streamCol`, the running start offset of each row's
+    * weight is computed, and pack_id = floor(start / budget). Also emits
+    * `tok_start` (the row's offset into its stream's concatenation). */
+  def packSequences(df: DataFrame, streamCol: String, orderCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "packSequences: budget must be positive")
+    val w = Window.partitionBy(col(streamCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val start = (sum(col(weightCol)).over(w) - col(weightCol)).cast("long")
+    df.withColumn("tok_start", start)
+      .withColumn("pack_id", floor(col("tok_start") / lit(budget)).cast("long"))
+  }
+}

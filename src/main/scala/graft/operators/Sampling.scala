@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * Everything here derives from a content hash of the row's id — NO RNG
+  * state, so the same row lands in the same split on every run, at every
+  * cluster size, after every resume (the property a 10^12-row pipeline
+  * actually needs: reproducible train/val/test membership and downsampling
+  * that survives re-execution). md5 (not xxhash64) so the assignment is
+  * portable across engines — the oracle recomputes it bit-for-bit.
+  *
+  * Reference seed: feature-fabrica validates batches it is handed; batch
+  * SELECTION for training is the upstream op this adds (task brief:
+  * operations a large-scale training-data pipeline needs).
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the id's md5 — the cross-engine
+    * deterministic int (DuckDB: CAST(('0x'||substr(md5(x),1,8)) AS BIGINT)). */
+  def hashBucket(id: Column, buckets: Int = 10000): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Train/val/test split column: train gets [0, trainPct), val the next
+    * valPct, test the rest — percentages in [0,1], resolution 1/10000. */
+  def splitColumn(id: Column, trainPct: Double, valPct: Double): Column = {
+    require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 1.0,
+      s"splitColumn: invalid fractions train=$trainPct val=$valPct")
+    val b = hashBucket(id)
+    when(b < (trainPct * 10000).toLong, "train")
+      .when(b < ((trainPct + valPct) * 10000).toLong, "val")
+      .otherwise("test")
+  }
+
+  /** Deterministic downsample: keep rows whose hash bucket falls under
+    * `rate` (resolution 1/10000). A pure filter — pushes into the scan,
+    * composes with partition pruning, zero shuffle. */
+  def sampled(df: DataFrame, idCol: String, rate: Double): DataFrame = {
+    require(rate >= 0 && rate <= 1.0, s"sampled: rate must be in [0,1] ($rate)")
+    df.filter(hashBucket(col(idCol)) < (rate * 10000).toLong)
+  }
+
+  /** Stratified deterministic sample: per-stratum keep rates (strata not
+    * listed keep `defaultRate`). The rate lookup is a small when-chain —
+    * still a pure pushable filter, no join, no shuffle; the id hash (not a
+    * per-stratum RNG) decides membership, so adding a stratum later never
+    * reshuffles earlier strata's membership. */
+  def stratifiedSample(df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0 && r <= 1.0, s"stratifiedSample: rate out of [0,1]: $r"))
+    val rateCol = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === lit(stratum), lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < (rateCol * 10000).cast("long"))
+  }
+}

@@ -280,6 +280,66 @@ class Round3Spec extends SparkTestBase {
     assert(out(3L) == (None, None)) // null text -> null ratios
   }
 
+  test("deterministic split: disjoint, complete, reproducible, near-target fractions") {
+    import graft.operators.Sampling
+    val df = spark.range(20000).select(col("id").cast("string").as("doc_id"))
+    val out = df.select(col("doc_id"),
+      Sampling.splitColumn(col("doc_id"), 0.8, 0.1).as("split"))
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 20000L)
+    assert(math.abs(counts("train") - 16000L) < 400,
+      s"train fraction off: ${counts("train")}")
+    assert(math.abs(counts("val") - 2000L) < 200)
+    // reproducible: recomputation yields the identical assignment
+    val again = df.select(col("doc_id"),
+      Sampling.splitColumn(col("doc_id"), 0.8, 0.1).as("split"))
+    assert(out.exceptAll(again).count() == 0L)
+  }
+
+  test("stratified sample: per-stratum rates honored, rate 0 drops a stratum entirely") {
+    import graft.operators.Sampling
+    val df = spark.range(9000).select(col("id").cast("string").as("doc_id"),
+      (col("id") % 3).cast("string").as("stratum"))
+    val kept = Sampling.stratifiedSample(df, "stratum", "doc_id",
+      Map("0" -> 0.0, "1" -> 0.5))
+    val counts = kept.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!counts.contains("0"), s"rate-0 stratum must vanish: $counts")
+    assert(math.abs(counts("1") - 1500L) < 150, s"half rate off: $counts")
+    assert(counts("2") == 3000L, "default rate 1.0 keeps everything")
+    // membership is a function of the id hash, not the stratum
+    val direct = df.filter(col("stratum") === "1")
+      .filter(Sampling.hashBucket(col("doc_id")) < 5000)
+    assert(kept.filter(col("stratum") === "1").exceptAll(direct).count() == 0L)
+  }
+
+  test("concat-and-chunk packing: offsets contiguous, pack bounded by budget + max item") {
+    import graft.operators.Packing
+    val df = spark.range(5000).select(col("id"),
+      (col("id") % 4).cast("string").as("stream"),
+      (pmod(col("id") * 37, lit(900)) + 1).as("w"))
+    val packed = Packing.packSequences(df, "stream", "id", "w", budget = 4096L)
+    // first row of each stream starts at offset 0
+    val firsts = packed.groupBy("stream").agg(min("tok_start").as("s0"))
+      .filter(col("s0") =!= 0L).count()
+    assert(firsts == 0L)
+    // pack_id is floor(tok_start/budget) for EVERY row
+    assert(packed.filter(col("pack_id") =!=
+      floor(col("tok_start") / 4096L).cast("long")).count() == 0L)
+    // per (stream, pack): assigned weight <= budget + max item weight
+    val maxW = 900L
+    val bad = packed.groupBy("stream", "pack_id").agg(sum("w").as("tot"))
+      .filter(col("tot") > 4096L + maxW).count()
+    assert(bad == 0L)
+    // offsets are the exact running sum (contiguous concatenation)
+    val w2 = org.apache.spark.sql.expressions.Window.partitionBy("stream").orderBy("id")
+    val broken = packed.withColumn("prev_end",
+      lag(col("tok_start") + col("w"), 1, 0L).over(w2))
+      .filter(col("tok_start") =!= col("prev_end")).count()
+    assert(broken == 0L)
+  }
+
   test("approx-vs-exact bin agreement treats both-null as agreement") {
     val df = spark.range(1000)
       .select(when(col("id") % 10 === 0, lit(null).cast("double"))
