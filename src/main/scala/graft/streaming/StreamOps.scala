@@ -75,6 +75,23 @@ object StreamOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Streaming exact dedup: drop rows whose content hash was already seen,
+    * state bounded by the watermark (a duplicate arriving later than the
+    * watermark window is passed through — the documented trade of bounded
+    * state; unbounded exactness is the batch Dedup.exactDedup pass's job).
+    * dropDuplicatesWithinWatermark (NOT plain dropDuplicates on the hash,
+    * whose non-event-time key state never expires): per-key state lives in
+    * the state store and is evicted once the watermark passes it, so state
+    * scales with DISTINCT keys inside the window, not rows. */
+  def dedupStream(events: DataFrame, contentCol: String, tsCol: String,
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("__event_ts", col(tsCol).cast("timestamp"))
+      .withColumn("__content_hash", md5(col(contentCol).cast("string")))
+      .withWatermark("__event_ts", watermark)
+      .dropDuplicatesWithinWatermark("__content_hash")
+      .drop("__event_ts", "__content_hash")
+
   /** Custom keyed state: running per-user totals via mapGroupsWithState —
     * the KeyValueGroupedDataset state API the north-rule scale path needs
     * for resumable incremental aggregation. */

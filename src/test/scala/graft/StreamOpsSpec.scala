@@ -190,6 +190,30 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops within-watermark duplicate content, state watermark-bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream6").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    // duplicate the props payload of 30 rows under new event ids (same ts
+    // window, so they are in-watermark duplicates and must be dropped)
+    batch.limit(30).withColumn("event_id", org.apache.spark.sql.functions.col("event_id") + 500000L)
+      .write.mode("append").parquet(dir)
+    val stream = StreamOps.readEvents(spark, dir, schema)
+    val deduped = StreamOps.dedupStream(stream, "props", "ts", watermark = "10 days")
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_stream").count()
+      val want = spark.read.parquet(dir)
+        .select(org.apache.spark.sql.functions.md5(
+          org.apache.spark.sql.functions.col("props").cast("string"))).distinct().count()
+      assert(got == want, s"stream kept $got, distinct content = $want")
+    } finally q.stop()
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream3").toString
     java.nio.file.Files.copy(
