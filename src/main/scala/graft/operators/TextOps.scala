@@ -26,12 +26,12 @@ object TextOps {
 
   /** Per-language marker hit count over NORMALIZED text (lowercased,
     * whitespace runs — newlines, tabs — collapsed to single spaces via
-    * Dedup.normText): a stopword abutting a newline must still count. */
+    * Dedup.normText): a stopword abutting a newline must still count.
+    * ONE fused traversal per language (CountAnyOf) instead of one full
+    * replace pass per marker — identical counts, 5x fewer string scans. */
   def langScore(c: Column, lang: String): Column = {
     val t = concat(lit(" "), Dedup.normText(c), lit(" "))
-    LangMarkers.toMap.apply(lang)
-      .map(m => countOccurrences(t, m))
-      .reduce(_ + _)
+    graft.functions.expr.MarkerExprs.countAnyOf(t, LangMarkers.toMap.apply(lang))
   }
 
   /** Heuristic language ID: argmax of marker hits, 'und' (undetermined) when
@@ -65,13 +65,13 @@ object TextOps {
   /** Quality features: length, punctuation ratio, stopword ratio, mean word
     * length — the standard heuristic-filter inputs. */
   def punctCount(c: Column): Column =
-    Seq(".", ",", "!", "?", ";", ":").map(p => countOccurrences(c, p))
-      .reduce(_ + _)
+    graft.functions.expr.MarkerExprs.countAnyOf(c,
+      Seq(".", ",", "!", "?", ";", ":"))
 
   def stopwordCount(c: Column): Column =
-    Seq(" the ", " and ", " of ", " to ", " a ", " in ")
-      .map(m => countOccurrences(concat(lit(" "), Dedup.normText(c), lit(" ")), m))
-      .reduce(_ + _)
+    graft.functions.expr.MarkerExprs.countAnyOf(
+      concat(lit(" "), Dedup.normText(c), lit(" ")),
+      Seq(" the ", " and ", " of ", " to ", " a ", " in "))
 
   /** Composite quality score in [0,1]: penalizes too-short docs, rewards
     * normal punctuation density and stopword presence. Deterministic,

@@ -340,6 +340,32 @@ class Round3Spec extends SparkTestBase {
     assert(broken == 0L)
   }
 
+  test("fused marker counter equals the per-marker replace formulation on real text") {
+    import graft.operators.{Dedup, TextOps}
+    import graft.functions.expr.MarkerExprs
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    def oldSum(t: org.apache.spark.sql.Column, ms: Seq[String]) =
+      ms.map(m => TextOps.countOccurrences(t, m)).reduce(_ + _)
+    val padded = concat(lit(" "), Dedup.normText(col("text")), lit(" "))
+    val byLang = TextOps.LangMarkers.toMap
+    val markerSets = Seq(byLang("en"), byLang("es"),
+      Seq(" the ", " and ", " of ", " to ", " a ", " in "))
+    markerSets.zipWithIndex.foreach { case (ms, i) =>
+      val bad = docs.filter(
+        !(MarkerExprs.countAnyOf(padded, ms) <=> oldSum(padded, ms))).count()
+      assert(bad == 0L, s"marker set $i diverges from replace semantics")
+    }
+    // raw (unnormalized) punctuation set too
+    val badP = docs.filter(!(MarkerExprs.countAnyOf(col("text"),
+      Seq(".", ",", "!", "?", ";", ":")) <=>
+      oldSum(col("text"), Seq(".", ",", "!", "?", ";", ":")))).count()
+    assert(badP == 0L)
+    // null text propagates null
+    val n = spark.range(1).select(MarkerExprs.countAnyOf(
+      lit(null).cast("string"), Seq("x")).as("c")).head()
+    assert(n.isNullAt(0))
+  }
+
   test("approx-vs-exact bin agreement treats both-null as agreement") {
     val df = spark.range(1000)
       .select(when(col("id") % 10 === 0, lit(null).cast("double"))
