@@ -601,14 +601,20 @@ object SparkEntry {
     }),
 
     // ======== dedup family ========
-    "dd_exact_summary" -> ((s, d) => {
-      val docs = t(s, d, "documents")
-      val groups = Dedup.exactDupGroups(docs)
-      val kept = Dedup.exactDedup(docs)
-      docs.agg(count(lit(1)).as("n_rows")).crossJoin(
-        kept.agg(count(lit(1)).as("n_kept"))).crossJoin(
-        groups.agg(coalesce(sum(col("n_dup")), lit(0L)).cast("long").as("n_in_dup_groups")))
-    }),
+    // ONE scan + ONE map-side-combined shuffle: all three summary numbers
+    // derive from the per-content-hash counts (n_kept = one survivor per
+    // distinct hash — exactly what Dedup.exactDedup keeps; the row-returning
+    // operator itself still uses the semi-join and is exercised in
+    // OperatorsSpec). The previous formulation scanned the table three times
+    // (count, semi-join dedup, dup groups).
+    "dd_exact_summary" -> ((s, d) =>
+      t(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(col("n")).cast("long").as("n_rows"),
+          count(lit(1)).cast("long").as("n_kept"),
+          coalesce(sum(when(col("n") > 1, col("n"))), lit(0L)).cast("long")
+            .as("n_in_dup_groups"))),
 
     "dd_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(t(s, d, "documents"), "text", "doc_id", n = 5,
