@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.expr.{CharMinHashSig, TokensInRange, WordSimHash}
+import graft.functions.expr.{CharMinHashSig, CountAnyOf, TokensInRange, WordSimHash}
 
 /** SparkSessionExtensions registration: exposes the engine's custom Catalyst
   * expressions to SQL, so suites written as SQL strings (RuleKind.Expr) can
@@ -16,6 +16,7 @@ import graft.functions.expr.{CharMinHashSig, TokensInRange, WordSimHash}
   *   SELECT tokens_in_range(tokens, 0, 49999) FROM sequences
   *   SELECT word_simhash(text, 3, 42) FROM documents
   *   SELECT char_minhash_sig(text, 5, 64, 42) FROM documents
+  *   SELECT count_any_of(text, ' the ', ' and ') FROM documents
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -40,6 +41,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 3, "word_simhash(text, n, seed)")
         WordSimHash(args.head, intLit(args(1), "n"), intLit(args(2), "seed").toLong)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("count_any_of"),
+      new ExpressionInfo(classOf[CountAnyOf].getName, "count_any_of"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "count_any_of(text, marker, ...)")
+        val markers = args.tail.map {
+          case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+          case other => throw new IllegalArgumentException(
+            s"count_any_of markers must be string literals, got $other")
+        }
+        CountAnyOf(args.head, markers)
       }))
     ext.injectFunction((
       FunctionIdentifier("char_minhash_sig"),

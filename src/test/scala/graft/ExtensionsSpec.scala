@@ -33,6 +33,10 @@ class ExtensionsSpec extends org.scalatest.funsuite.AnyFunSuite {
       val sig = spark.sql(
         "SELECT char_minhash_sig('hello world text', 5, 16, 42) AS s").head()
       assert(sig.getSeq[Long](0).length == 16)
+      val cnt = spark.sql(
+        "SELECT count_any_of('a bb a bb a', 'a', 'bb') AS c, " +
+        "count_any_of('xyz', 'a') AS z").head()
+      assert(cnt.getInt(0) == 5 && cnt.getInt(1) == 0)
       // literal-arg validation surfaces as a clear error
       val e = intercept[Exception] {
         spark.sql("SELECT tokens_in_range(array(1), 0, n_tok) FROM (SELECT 5 AS n_tok)")
