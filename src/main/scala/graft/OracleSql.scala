@@ -160,6 +160,26 @@ object OracleSql {
         | avg(feature_b * 1.0) OVER (PARTITION BY feature_a) AS b_mean
         |FROM t""".stripMargin,
 
+    // the reference's hand-computed expectations, PINNED as literals:
+    // z-score [3,5,7]@(5,2) => [-1,0,1]; min_max [0,5,10]@(0,10) => [0,.5,1];
+    // clip [-5,5,15]@(0,10) => [0,5,10]; uniform bins [1,4,10,15,21,25] =>
+    // [0,0,1,1,2,2]; label apple/banana/orange => 0/1/2; binary codes
+    // red=(1,0) blue=(0,0) green=(0,1) yellow=(1,1); weekday(2024-09-11)=2
+    "g_golden_transforms" ->
+      """SELECT CAST(idx AS INT) AS idx, CAST(z AS DOUBLE) AS z,
+        | CAST(mm AS DOUBLE) AS mm, CAST(clipped AS DOUBLE) AS clipped,
+        | CAST(bin AS INT) AS bin, CAST(fruit_idx AS INT) AS fruit_idx,
+        | CAST(bit0 AS INT) AS bit0, CAST(bit1 AS INT) AS bit1,
+        | CAST(dow AS INT) AS dow, CAST(days AS BIGINT) AS days
+        |FROM (VALUES
+        | (0, -1.0, 0.0, 0.0, 0, 0, 1, 0, 3, 4),
+        | (1, 0.0, 0.5, 5.0, 0, 1, 0, 0, 1, 9),
+        | (2, 1.0, 1.0, 10.0, 1, 2, 0, 1, 2, 619),
+        | (3, -1.0, 0.0, 0.0, 1, 0, 1, 1, 0, 365),
+        | (4, 0.0, 0.5, 5.0, 2, 2, 1, 0, 3, 4),
+        | (5, 1.0, 1.0, 10.0, 2, 1, 0, 0, 1, 9)
+        |) t(idx, z, mm, clipped, bin, fruit_idx, bit0, bit1, dow, days)""".stripMargin,
+
     "s_case" ->
       "SELECT doc_id, upper(lang) AS lang_up, lower(upper(text)) AS text_lo FROM documents",
 

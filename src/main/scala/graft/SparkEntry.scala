@@ -500,6 +500,38 @@ object SparkEntry {
         Seq("rid", "feature_a", "b_mean"))
     }),
 
+    // The reference's hand-computed transform expectations
+    // (test_math_transform.py:100-152 z/min_max/clip/binning,
+    // test_string_transform.py:105-172 label + red/blue/green/yellow binary
+    // codes, test_datetime_transform.py weekday/diff) in ONE fixture —
+    // the oracle pins the expected values as LITERALS, so the driver
+    // re-asserts the reference's own numbers, not a recomputation.
+    "g_golden_transforms" -> ((s, d) => {
+      import s.implicits._
+      val fx = Seq(
+        (0, 3.0, 0.0, -5.0, 1.0, "apple", "red", "2023-01-05"),
+        (1, 5.0, 5.0, 5.0, 4.0, "banana", "blue", "2023-01-10"),
+        (2, 7.0, 10.0, 15.0, 10.0, "orange", "green", "2024-09-11"),
+        (3, 3.0, 0.0, -5.0, 15.0, "apple", "yellow", "2024-01-01"),
+        (4, 5.0, 5.0, 5.0, 21.0, "orange", "red", "2023-01-05"),
+        (5, 7.0, 10.0, 15.0, 25.0, "banana", "blue", "2023-01-10")
+      ).toDF("idx", "z_in", "mm_in", "clip_in", "bin_in", "fruit", "color", "d")
+      val binned = MathOps.kbinsUniform(fx, col("bin_in"), 3, "bin")
+      val bits = StringOps.binaryEncode(col("color"),
+        Seq("red", "blue", "green", "yellow"))
+      binned.select(col("idx"),
+        round(MathOps.zscore(col("z_in"), 5.0, 2.0), 6).as("z"),
+        round(MathOps.minMax(col("mm_in"), 0.0, 10.0), 6).as("mm"),
+        round(MathOps.clip(col("clip_in"), 0.0, 10.0), 4).as("clipped"),
+        col("bin"),
+        StringOps.labelEncode(col("fruit"),
+          Seq("apple", "banana", "orange")).as("fruit_idx"),
+        bits.head._2.as("bit0"), bits(1)._2.as("bit1"),
+        DateTimeOps.dayOfWeek(col("d").cast("date")).as("dow"),
+        DateTimeOps.dateTimeDiff(col("d").cast("date"),
+          lit("2023-01-01").cast("date"), "D").as("days"))
+    }),
+
     // ======== §2.10 validation engine ops (on driver testdata) ========
     "v_stats_profile" -> ((s, d) => {
       val sa = StatsAggregator.statsAgg(0.0, 600.0, 10)
