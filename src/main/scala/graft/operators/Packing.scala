@@ -25,15 +25,31 @@ object Packing {
   /** Assign each row a `pack_id` within its stream: rows are ordered by
     * `orderCol` inside `streamCol`, the running start offset of each row's
     * weight is computed, and pack_id = floor(start / budget). Also emits
-    * `tok_start` (the row's offset into its stream's concatenation). */
+    * `tok_start` (the row's offset into its stream's concatenation).
+    *
+    * SKEW LEVER: a running sum is inherently sequential per window
+    * partition, so ONE hot stream (one source owning half the corpus) would
+    * sort-and-scan on a single reducer. `shards > 1` sub-shards each stream
+    * by a deterministic hash of the order key — packs never span shards
+    * (exactly how production packers shard: pack within a file/shard, not
+    * across the whole corpus), parallelism becomes streams × shards, and
+    * the assignment stays reproducible at any cluster size. The emitted
+    * `shard` column disambiguates pack_id in that mode. */
   def packSequences(df: DataFrame, streamCol: String, orderCol: String,
-      weightCol: String, budget: Long): DataFrame = {
+      weightCol: String, budget: Long, shards: Int = 1): DataFrame = {
     require(budget > 0, "packSequences: budget must be positive")
-    val w = Window.partitionBy(col(streamCol))
+    require(shards >= 1, "packSequences: shards must be >= 1")
+    val shard =
+      if (shards == 1) lit(0)
+      else pmod(xxhash64(col(orderCol)), lit(shards.toLong)).cast("int")
+    val withShard = df.withColumn("shard", shard)
+    val w = Window.partitionBy(col(streamCol), col("shard"))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, 0)
     val start = (sum(col(weightCol)).over(w) - col(weightCol)).cast("long")
-    df.withColumn("tok_start", start)
+    val out = withShard
+      .withColumn("tok_start", start)
       .withColumn("pack_id", floor(col("tok_start") / lit(budget)).cast("long"))
+    if (shards == 1) out.drop("shard") else out
   }
 }

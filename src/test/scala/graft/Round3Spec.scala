@@ -338,6 +338,17 @@ class Round3Spec extends SparkTestBase {
       lag(col("tok_start") + col("w"), 1, 0L).over(w2))
       .filter(col("tok_start") =!= col("prev_end")).count()
     assert(broken == 0L)
+    // sharded mode: same rows, same per-(stream,shard,pack) bound, packs
+    // never span shards, and the shard assignment is deterministic
+    val sharded = Packing.packSequences(df, "stream", "id", "w",
+      budget = 4096L, shards = 8)
+    assert(sharded.count() == 5000L)
+    assert(sharded.select(countDistinct(col("shard"))).head().getLong(0) == 8L)
+    val badSh = sharded.groupBy("stream", "shard", "pack_id")
+      .agg(sum("w").as("tot")).filter(col("tot") > 4096L + maxW).count()
+    assert(badSh == 0L)
+    val again = Packing.packSequences(df, "stream", "id", "w", 4096L, shards = 8)
+    assert(sharded.exceptAll(again).count() == 0L)
   }
 
   test("fused marker counter equals the per-marker replace formulation on real text") {
