@@ -45,19 +45,39 @@ class Round3Spec extends SparkTestBase {
         graft.config.ColumnSpec("n_tok2", "int", nullable = true),
         graft.config.ColumnSpec("n_tok3", "int", nullable = true)),
       rules = DefaultSuite.config.rules.filterNot(_.kind == graft.config.RuleKind.Stats))
+    // Count ALL jobs with a listener — NOT setJobGroup: Validator submits
+    // the quantile/uniqueness jobs from Future threads, which do not
+    // reliably inherit the test thread's job-group local property (the
+    // global ExecutionContext's workers usually pre-date the group), so a
+    // group-scoped count silently misses exactly the jobs under test.
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobCount.incrementAndGet(); ()
+      }
+    }
     def jobsWith(nStats: Int, tag: String): Int = {
       val cols = Seq("n_tok", "n_tok2", "n_tok3").take(nStats)
       val cfg = base.copy(rules = base.rules ++
         cols.zipWithIndex.map { case (c, i) => statsRule(s"prof_$i", c) })
       val sc = spark.sparkContext
-      sc.setJobGroup(tag, tag, interruptOnCancel = false)
-      try Validator.run(spark, table, cfg, "doc_id", s"qf-$tag",
-        collectViolations = false)
-      finally sc.clearJobGroup()
-      sc.statusTracker.getJobIdsForGroup(tag).length
+      sc.addSparkListener(listener)
+      jobCount.set(0)
+      try {
+        Validator.run(spark, table, cfg, "doc_id", s"qf-$tag",
+          collectViolations = false)
+        // listener bus is async; this suite runs jobs sequentially, so a
+        // short drain wait makes the count exact
+        Thread.sleep(1500)
+      } finally sc.removeSparkListener(listener)
+      jobCount.get()
     }
     val j1 = jobsWith(1, "qf1")
     val j3 = jobsWith(3, "qf3")
+    // sanity: the count actually sees the validator's jobs (flag agg +
+    // quantile + uniqueness at minimum)
+    assert(j1 >= 3, s"listener missed validator jobs: $j1")
     // before the fix every stats rule launched its own percentile_approx job
     assert(j3 == j1, s"expected fused quantile job: $j1 jobs with 1 rule, $j3 with 3")
   }
