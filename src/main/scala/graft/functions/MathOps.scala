@@ -142,7 +142,10 @@ object MathOps {
     val oneHots = (0 until k).map(i =>
       when(bin.isNull, lit(null).cast("int"))
         .otherwise((bin === i).cast("int")).as(s"${outPrefix}_$i"))
-    binned.select(binned.columns.map(col).toSeq ++ oneHots: _*)
+    // the kmeans strategy adds a hidden __<bin>_center plumbing column —
+    // binding internals, not output contract
+    val visible = binned.columns.filterNot(_.startsWith("__"))
+    binned.select(visible.map(col).toSeq ++ oneHots: _*)
   }
 
   /** K-bins with strategy='kmeans' (math.py:209-227; sklearn semantics:
