@@ -75,6 +75,36 @@ object StreamOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** foreachBatch sink wiring the STREAMING verdicts into the same lineage
+    * manifest the batch validator checkpoints to: one entry per
+    * (window, partition, rule) per micro-batch, partition key
+    * "<window start>|<partition>", detail carrying the micro-batch id.
+    *
+    * The streaming manifest is LINEAGE + metrics, not a resume frontier —
+    * the stream's own checkpointLocation handles restart; a window that
+    * re-emits in a later micro-batch (update mode) appends a fresh entry,
+    * and consumers take the highest-batch entry per key. Verdict rows are
+    * O(windows × partitions × rules) per batch, so the collect is bounded
+    * regardless of input rate. */
+  def verdictManifestSink(cfg: graft.config.SuiteConfig, manifestPath: String,
+      runId: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val spark = batch.sparkSession
+    val ruleNames = batch.columns.filter(_.startsWith("viol_")).map(_.drop(5))
+    val entries = batch.collect().toSeq.flatMap { row =>
+      val win = row.getStruct(row.fieldIndex("window"))
+      val part = Option(row.get(row.fieldIndex(cfg.partitionColumn)))
+        .map(_.toString).getOrElse("<null>")
+      val key = s"${win.get(0)}|$part"
+      val rows = row.getLong(row.fieldIndex("rows"))
+      ruleNames.map { r =>
+        val v = row.getLong(row.fieldIndex(s"viol_$r"))
+        graft.lineage.Manifest.Entry(runId, key, r,
+          if (v == 0L) "pass" else "fail", rows, v, 0L, 0L, s"batch=$batchId")
+      }
+    }
+    graft.lineage.Manifest.append(spark, manifestPath, entries)
+  }
+
   /** Streaming exact dedup: drop rows whose content hash was already seen,
     * state bounded by the watermark (a duplicate arriving later than the
     * watermark window is passed through — the documented trade of bounded

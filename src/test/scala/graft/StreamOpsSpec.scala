@@ -214,6 +214,55 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming verdicts land in the batch validator's manifest (lineage continuity)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream7").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val cfg = graft.config.RuleConfig.loadYaml(
+      """table:
+        |  name: events
+        |  partition_column: event_type
+        |  columns:
+        |    event_id: {type: bigint, nullable: false}
+        |    ts: {type: timestamp, nullable: false}
+        |    user_id: {type: bigint, nullable: false}
+        |    event_type: {type: string, nullable: false}
+        |    value: {type: double, nullable: true}
+        |    props: {type: string, nullable: true}
+        |rules:
+        |  - name: value_range
+        |    description: value within [0, 1000]
+        |    kind: range
+        |    column: value
+        |    min: 0
+        |    max: 1000
+        |""".stripMargin)
+    // manifest OUTSIDE the streamed dir (the file source lists $dir and a
+    // partitioned manifest subtree conflicts with its directory inference)
+    val mp = java.nio.file.Files.createTempDirectory("graft-stream7m").toString + "/manifest"
+    val stream = StreamOps.readEvents(spark, dir, schema)
+    val verdicts = StreamOps.validateStream(stream, cfg, "ts",
+      window_ = "1 hour", watermark = "2 hours")
+    val q = verdicts.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch(StreamOps.verdictManifestSink(cfg, mp, "stream-run-1"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val m = graft.lineage.Manifest.read(spark, mp)
+      .filter(org.apache.spark.sql.functions.col("runId") === "stream-run-1")
+    // summed over windowed manifest entries, counts equal the batch validator
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val rep = graft.engine.Validator.run(spark, batch, cfg, "event_id", "sm1",
+      collectViolations = false)
+    val streamViol = m.agg(org.apache.spark.sql.functions.sum("violationCount"))
+      .head().getLong(0)
+    val batchViol = rep.results.filter(_.rule == "value_range")
+      .map(_.violationCount).sum
+    assert(streamViol == batchViol)
+    assert(m.filter(org.apache.spark.sql.functions.col("rule") === "value_range")
+      .count() > 0)
+  }
+
   test("stateful running totals via mapGroupsWithState") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream3").toString
     java.nio.file.Files.copy(
