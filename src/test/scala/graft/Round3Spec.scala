@@ -397,6 +397,41 @@ class Round3Spec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("AQE splits a skewed join partition at runtime (no manual salting needed)") {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      // force a sort-merge join and thresholds small enough that the test's
+      // hot key qualifies as skewed (defaults target multi-GB partitions)
+      spark.conf.set(keys(0), "-1")
+      spark.conf.set(keys(1), "1")
+      spark.conf.set(keys(2), "32k")
+      spark.conf.set(keys(3), "16k")
+      val left = spark.range(200000).select(
+        when(col("id") % 2 === 0, lit("hot")).otherwise(col("id").cast("string"))
+          .as("k"), col("id").as("v"))
+      val right = spark.range(5000).select(
+        when(col("id") === 0, "hot").otherwise(col("id").cast("string")).as("k"),
+        (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+      // execute THIS Dataset's own QueryExecution (count() would build a
+      // separate one, leaving j's adaptive plan unexecuted = no skew reads)
+      val n = j.queryExecution.toRdd.count()
+      assert(n > 100000L) // the hot key actually matched
+      val plan = j.queryExecution.executedPlan.toString
+      // AQE marks the re-planned read over the skewed exchange
+      assert(plan.contains("skewed"),
+        s"expected an AQE skew-split shuffle read in:\n${plan.take(4000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("approx-vs-exact bin agreement treats both-null as agreement") {
     val df = spark.range(1000)
       .select(when(col("id") % 10 === 0, lit(null).cast("double"))
