@@ -7,9 +7,13 @@ import graft.functions.MathOps
 import graft.lineage.Manifest
 
 /** Round-3 regression tests: the ADVICE findings (drift-on-resume false
-  * fails, axis-0 z-score null guards, null-safe approx-bin agreement) and
-  * the efficiency fixes the verdict asked for (one fused quantile job,
-  * kmeans iteration scans served from cache). */
+  * fails, axis-0 z-score null guards, null-safe approx-bin agreement), the
+  * verdict's efficiency fixes (one fused quantile job, kmeans iteration
+  * scans served from cache), the new operators (inferred-vocab encoders,
+  * kbins one-hot, Hamming-banded simhash, IVF probe/multi-probe,
+  * arbitrary group reductions, repetition ratios, deterministic
+  * sampling/splits, sequence packing, fused marker counting), and the AQE
+  * skew-split machine check. */
 class Round3Spec extends SparkTestBase {
   import spark.implicits._
 
