@@ -544,6 +544,34 @@ object OracleSql {
         |   w -> 1 + CAST(floor((length(w) - 1) / 6) AS INT))), 0) END AS INT) AS n_subwords
         |FROM documents""".stripMargin,
 
+    // the full curation pipeline replayed in SQL: quality gate (>=5 words
+    // over normalized text), exact dedup (min doc_id per md5 of text),
+    // md5-bucket split, concat-and-chunk packing of the train stream
+    "pipe_curation" ->
+      """WITH norm AS (SELECT doc_id, text, source, n_chars,
+        |    list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |      x -> x <> '') AS words
+        |  FROM documents),
+        |q AS (SELECT doc_id, text, source, n_chars FROM norm WHERE len(words) >= 5),
+        |k AS (SELECT q.* FROM q
+        |  JOIN (SELECT md5(text) AS h, min(doc_id) AS mid FROM q GROUP BY 1) m
+        |    ON q.doc_id = m.mid),
+        |s AS (SELECT *, CASE WHEN b < 9000 THEN 'train'
+        |                     WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |       % 10000 AS b FROM k)),
+        |tr AS (SELECT source,
+        |    CAST(floor((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+        |      - n_chars) / 4096) AS BIGINT) AS pack_id
+        |  FROM s WHERE split = 'train'),
+        |pc AS (SELECT CAST(count(*) AS BIGINT) AS np
+        |  FROM (SELECT DISTINCT source, pack_id FROM tr))
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | (SELECT np FROM pc) AS train_packs
+        |FROM s GROUP BY split""".stripMargin,
+
     // deterministic md5 split: DuckDB recomputes the identical hash bucket
     // (CAST('0x'||hex AS BIGINT) == Spark conv(...,16,10) — both positive,
     // so % == pmod)

@@ -980,6 +980,28 @@ object SparkEntry {
         "source", "doc_id", "n_chars", 4096L)
         .select(col("doc_id"), col("source"), col("tok_start"), col("pack_id"))),
 
+    // END-TO-END curation pipeline — the composition a training-data user
+    // actually runs: quality gate → exact dedup (keep min id per content) →
+    // deterministic train/val/test split → pack the train split. Every
+    // stage is one of the library's operators; the oracle replays the whole
+    // pipeline in SQL.
+    "pipe_curation" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val quality = docs.filter(TextOps.tokenCount(col("text")) >= 5)
+      val kept = Dedup.exactDedup(quality)
+      val split = kept.withColumn("split",
+        graft.operators.Sampling.splitColumn(col("doc_id"), 0.9, 0.05))
+      val packed = graft.operators.Packing.packSequences(
+        split.filter(col("split") === "train"), "source", "doc_id",
+        "n_chars", 4096L)
+      val packCount = packed.select(col("source"), col("pack_id"))
+        .distinct().count()
+      split.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+        .withColumn("train_packs", lit(packCount))
+    }),
+
     // ======== relational coverage: joins / windows / json / set ops ========
     "j_star_join" -> ((s, d) => {
       val li = t(s, d, "lineitem")
