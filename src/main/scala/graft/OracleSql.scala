@@ -493,6 +493,29 @@ object OracleSql {
         |FROM cand
         |WHERE inter / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.3""".stripMargin,
 
+    // same chain construction as the engine query; components closed by a
+    // recursive reachability CTE, cluster_id = min reachable node
+    "dd_cluster_cc" ->
+      """WITH RECURSIVE
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ranked a JOIN ranked b
+        |    ON b.source = a.source AND b.rn = a.rn + 1
+        |  WHERE a.rn % 5 <> 0),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS node FROM edges),
+        |walk(node, reach) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)
+        |SELECT node AS id, min(reach) AS cluster_id FROM walk GROUP BY node""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |qn AS (SELECT sqrt(sum(CAST(qv[g.i] AS DOUBLE) * CAST(qv[g.i] AS DOUBLE))) AS qnorm

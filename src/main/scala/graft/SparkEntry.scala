@@ -733,6 +733,25 @@ object SparkEntry {
           coalesce(every(col("nfp") === 1), lit(true)).as("all_consistent"))
     }),
 
+    // duplicate-CLUSTER resolution: connected components (large-star /
+    // small-star) over a deterministic pair graph with real multi-hop
+    // structure — consecutive doc_ids within a source are chained except
+    // every 5th link, yielding chain components of length 1-5 that a
+    // single-hop "group by pair" cannot resolve. The oracle recomputes the
+    // same chains and closes them with a recursive CTE, so every node's
+    // cluster_id (= component min) is hash-checked transitively.
+    "dd_cluster_cc" -> ((s, d) => {
+      val r = t(s, d, "documents").select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      val pairs = r.select(col("source"), col("rn"), col("doc_id").as("id_a"))
+        .join(r.select(col("source"), (col("rn") - 1).as("rn"),
+          col("doc_id").as("id_b")), Seq("source", "rn"))
+        .filter(pmod(col("rn"), lit(5)) =!= 0)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dupClusters(pairs) // (id, cluster_id); persisted — see jaccardPairs contract
+    }),
+
     // cosine near-dup mining at the documented 0.95 threshold, oracle-exact:
     // the testdata embeddings are unit vectors with max pairwise cos ~0.51,
     // so we PLANT true near-duplicates (vec_id+100000, first component

@@ -22,12 +22,18 @@ object Drift {
   final case class DriftVerdict(
       partition: String, psi: Double, ks: Double, pass: Boolean)
 
+  /** Fixed-width histogram bin of `value`, clamped to [0, k). */
+  def binExpr(value: org.apache.spark.sql.Column, lo: Double, hi: Double,
+      k: Int): org.apache.spark.sql.Column = {
+    val w = (hi - lo) / k
+    least(greatest(floor((value.cast("double") - lit(lo)) / lit(w)), lit(0)),
+      lit(k - 1)).cast("int")
+  }
+
   /** Histogram per partition: (partition, bin, cnt); bins clamp to [0, k). */
   def histogram(df: DataFrame, valueCol: String, partitionCol: String,
       lo: Double, hi: Double, k: Int): DataFrame = {
-    val w = (hi - lo) / k
-    val bin = least(greatest(floor((col(valueCol).cast("double") - lit(lo)) / lit(w)), lit(0)),
-      lit(k - 1)).cast("int")
+    val bin = binExpr(col(valueCol), lo, hi, k)
     // NaN would pass the null filter and land in bin 0 (floor(NaN)=0),
     // silently inflating the lowest bin of one snapshot — exclude it like
     // the stats aggregator does
@@ -68,6 +74,47 @@ object Drift {
       if (d > best) best = d
     }
     best
+  }
+
+  /** PSI as a pure Column expression over an `array<double>` histogram vs a
+    * driver-side baseline histogram — same math as [[psi]] (eps-smoothed),
+    * parity-tested against it. The expression form exists so drift can ride
+    * INSIDE a single (streaming) aggregation: a windowed groupBy emits the
+    * current histogram as an array and the verdict derives per row, with no
+    * second stateful operator and no driver collect. */
+  def psiExpr(actual: org.apache.spark.sql.Column,
+      baseline: Array[Double]): org.apache.spark.sql.Column = {
+    val eSum = math.max(baseline.sum, 1e-12)
+    val eps = 1e-6
+    val eProbs = baseline.map(b => math.max(b / eSum, eps))
+    val aSum = greatest(aggregate(actual, lit(0.0), (s, x) => s + x), lit(1e-12))
+    aggregate(
+      zip_with(actual, array(eProbs.map(lit(_)): _*), (a, e) => {
+        val ap = greatest(a / aSum, lit(eps))
+        (ap - e) * log(ap / e)
+      }),
+      lit(0.0), (s, x) => s + x)
+  }
+
+  /** Binned two-sample KS statistic as a pure Column expression — same math
+    * as [[ks]] (max ECDF gap), via one `aggregate` fold carrying a
+    * (ce, ca, best) struct accumulator. */
+  def ksExpr(actual: org.apache.spark.sql.Column,
+      baseline: Array[Double]): org.apache.spark.sql.Column = {
+    val eSum = math.max(baseline.sum, 1e-12)
+    val eProbs = baseline.map(_ / eSum)
+    val aSum = greatest(aggregate(actual, lit(0.0), (s, x) => s + x), lit(1e-12))
+    val zipped = zip_with(actual, array(eProbs.map(lit(_)): _*),
+      (a, e) => struct((a / aSum).as("a"), e.as("e")))
+    val folded = aggregate(zipped,
+      struct(lit(0.0).as("ce"), lit(0.0).as("ca"), lit(0.0).as("best")),
+      (acc, x) => {
+        val ce = acc.getField("ce") + x.getField("e")
+        val ca = acc.getField("ca") + x.getField("a")
+        struct(ce.as("ce"), ca.as("ca"),
+          greatest(acc.getField("best"), abs(ce - ca)).as("best"))
+      })
+    folded.getField("best")
   }
 
   /** Compare each partition of `current` against `baseline` (same column,

@@ -348,4 +348,128 @@ object Dedup {
     coded.unpersist()
     out
   }
+
+  // ---------- duplicate-cluster resolution (connected components) ----------
+
+  /** One large-star round: every node re-points its LARGER neighbors at the
+    * minimum of its neighborhood (incl. itself). Emitted edges are always
+    * (bigger → smaller). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val und = e.select(col("u"), col("v"))
+      .union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = und.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    und.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .distinct()
+  }
+
+  /** One small-star round: every node links ALL its smaller neighbors (and
+    * itself) to the minimum of those neighbors. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    // orient every edge big → small, then group by the big end
+    val dir = e.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+    val relink = dir.join(mins, Seq("u"))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    relink.union(mins.select(col("u"), col("m").as("v"))).distinct()
+  }
+
+  /** Connected components over a near-duplicate pair graph — the step that
+    * turns pair-emitting dedup (LSH/SimHash/Jaccard/embedding) into a
+    * cluster decision: transitively-linked docs belong to one duplicate
+    * cluster and all but a canonical member are dropped.
+    *
+    * Alternating large-star / small-star (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): converges in O(log n)
+    * rounds on ANY graph shape — chains from banded LSH included — where
+    * naive label propagation needs O(diameter) rounds. Each round is two
+    * grouped shuffles over the EDGE set (pairs ≪ corpus at web scale); no
+    * neighborhood is ever collected to the driver or a single row.
+    *
+    * Convergence is detected with an order-insensitive edge-set signature
+    * (count + XOR of xxhash64(u,v) — edges are distinct so XOR is a set
+    * signature; overflow-free under ANSI; collision odds ~2⁻⁶⁴ per check) —
+    * one cheap aggregate instead of an `except` anti-join per round; the
+    * `maxIter` bound (default 25 ⇒ graphs up to ~2²⁵ nodes of worst-case
+    * shape) backstops it.
+    *
+    * Unlike this library's one-shot operators (persist with lineage intact),
+    * each round here MUST checkpoint: the round's plan references the
+    * previous edge set ~8× (union + both star self-joins), so carrying
+    * lineage multiplies the logical plan ~8× PER ROUND — Catalyst analysis
+    * goes exponential long before execution does. With
+    * `spark.sparkContext.setCheckpointDir` configured (a production cluster
+    * should), rounds use reliable checkpoints (recoverable on executor
+    * loss); otherwise `localCheckpoint` (executor-resident blocks — a lost
+    * executor fails the round's job, acceptable for an O(log n)-round
+    * algorithm and unavoidable without a checkpoint dir). Checkpointed RDD
+    * blocks are reclaimed by the ContextCleaner once unreferenced.
+    *
+    * @return one row per node of the pair graph: (id, cluster_id) with
+    *         cluster_id = min id of the component (matches the reference's
+    *         canonical-is-min convention, exact dedup's `canonical_id`).
+    */
+  def dupClusters(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def barrier(e: DataFrame): DataFrame =
+      if (reliable) e.checkpoint(eager = true) else e.localCheckpoint(eager = true)
+    val edges0 = pairs
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .distinct()
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)).as("n"),
+        coalesce(call_function("bit_xor", xxhash64(col("u"), col("v"))),
+          lit(0L)).as("h")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = barrier(edges0)
+    var sig = signature(cur)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val next = barrier(smallStar(largeStar(cur)))
+      val nSig = signature(next)
+      converged = nSig == sig
+      sig = nSig
+      cur = next
+      it += 1
+    }
+    // fixpoint is a star forest: every non-root points straight at its
+    // component min. Roots (the mins themselves) label themselves.
+    val nodes = pairs.select(col(aCol).as("id"))
+      .union(pairs.select(col(bCol).as("id")))
+      .filter(col("id").isNotNull).distinct()
+    val out = nodes
+      .join(cur.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("cluster_id"))
+    // materialize while the star edges are still checkpointed (caller-
+    // unpersist contract, same as jaccardPairs; the intermediate checkpoint
+    // blocks are ContextCleaner-reclaimed once this frame is the only ref)
+    val persisted = out.persist(lvl)
+    persisted.count()
+    persisted
+  }
+
+  /** Keep one document per duplicate cluster: docs not in any pair survive
+    * untouched; within a cluster only the canonical (min-id) member stays.
+    * A broadcast-able drop list would be wrong at scale — the anti-join side
+    * is the non-canonical node set, which grows with the corpus — so this is
+    * a plain shuffled LEFT ANTI join and AQE may still broadcast it when the
+    * cluster set is actually small. */
+  def resolveDuplicates(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", aCol: String = "id_a",
+      bCol: String = "id_b"): DataFrame = {
+    val clusters = dupClusters(pairs, aCol, bCol)
+    val drop = clusters.filter(col("id") =!= col("cluster_id")).select("id")
+    val out = docs.join(drop, docs(idCol) === drop("id"), "left_anti")
+    clusters.unpersist()
+    out
+  }
 }

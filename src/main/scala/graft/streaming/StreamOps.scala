@@ -122,6 +122,40 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__event_ts", "__content_hash")
 
+  /** Streaming distribution drift: per event-time window, the histogram of
+    * `valueCol` (same binning as the batch `Drift.histogram`) compared
+    * against a driver-side baseline histogram with PSI + KS, emitting one
+    * verdict row per window.
+    *
+    * Shape: the k bin counts ride ONE watermarked windowed aggregation
+    * (k conditional sums — no second stateful operator, which streaming
+    * would restrict, and no per-window driver collect), then PSI/KS derive
+    * per emitted row via the expression forms of the batch math
+    * (`Drift.psiExpr`/`ksExpr`, parity-tested against `Drift.psi`/`ks`).
+    * State is O(open windows × k). Null/NaN values are excluded exactly as
+    * the batch histogram excludes them; `n` counts the binned rows. */
+  def driftStream(events: DataFrame, valueCol: String, tsCol: String,
+      baseline: Array[Double], lo: Double, hi: Double,
+      window_ : String = "10 minutes", watermark: String = "30 minutes",
+      psiMax: Double = 0.25, ksMax: Double = 0.2): DataFrame = {
+    val k = baseline.length
+    require(k > 0, "baseline histogram must be non-empty")
+    val binned = events
+      .filter(col(valueCol).isNotNull && !isnan(col(valueCol).cast("double")))
+      .withColumn("__event_ts", col(tsCol).cast("timestamp"))
+      .withColumn("__bin", graft.checks.Drift.binExpr(col(valueCol), lo, hi, k))
+      .withWatermark("__event_ts", watermark)
+    val counts = (0 until k).map(i =>
+      sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"__b$i"))
+    val agged = binned.groupBy(window(col("__event_ts"), window_))
+      .agg(count(lit(1)).as("n"), counts: _*)
+    val hist = array((0 until k).map(i => col(s"__b$i").cast("double")): _*)
+    agged.select(col("window"), col("n"),
+      round(graft.checks.Drift.psiExpr(hist, baseline), 6).as("psi"),
+      round(graft.checks.Drift.ksExpr(hist, baseline), 6).as("ks"))
+      .withColumn("pass", col("psi") <= psiMax && col("ks") <= ksMax)
+  }
+
   /** Custom keyed state: running per-user totals via mapGroupsWithState —
     * the KeyValueGroupedDataset state API the north-rule scale path needs
     * for resumable incremental aggregation. */

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Connected-components duplicate clustering (large-star/small-star):
+  * checked against a driver-side union-find over random graphs, plus the
+  * shapes that defeat single-hop grouping (long chains) and the
+  * resolveDuplicates keep-canonical semantics. */
+class DupClusterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  private def clustersOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = pairs.toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(df)
+    val m = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.unpersist()
+    m
+  }
+
+  test("chain components resolve to the min id (multi-hop)") {
+    val got = clustersOf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("long path converges within the O(log n) round bound") {
+    val path = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = clustersOf(path)
+    assert(got.size == 200 && got.values.forall(_ == 0L))
+  }
+
+  test("matches driver union-find on seeded random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + trial * 20
+      val edges = (1 to n * 2).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      val expect = unionFind(n, edges)
+      val got = clustersOf(edges)
+      assert(got == expect, s"trial $trial: mismatch vs union-find")
+    }
+  }
+
+  test("self loops, reversed duplicates, and nulls are tolerated") {
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 2L), (2L, 1L), (3L, 3L), (null, 5L), (6L, null), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(df)
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.unpersist()
+    // (3,3) self loop: node 3 appears (it is a pair endpoint) labelled itself;
+    // null-sided pairs contribute their non-null endpoint as a singleton
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 5L -> 5L, 6L -> 6L,
+      7L -> 7L, 8L -> 7L))
+  }
+
+  test("empty pair set yields empty clusters") {
+    val out = Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(out.count() == 0L)
+    out.unpersist()
+  }
+
+  test("resolveDuplicates keeps the canonical member and untouched docs") {
+    val docs = (1L to 6L).map(i => (i, s"text$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Dedup.resolveDuplicates(docs, pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L))
+  }
+}

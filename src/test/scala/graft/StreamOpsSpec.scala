@@ -284,4 +284,78 @@ class StreamOpsSpec extends SparkTestBase {
       assert(out.count() > 0)
     } finally q.stop()
   }
+
+  test("psiExpr/ksExpr parity with the driver drift math") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val k = 8
+    val cases = (1 to 20).map { _ =>
+      (Array.fill(k)(rnd.nextInt(100).toDouble),
+        Array.fill(k)(rnd.nextInt(100).toDouble))
+    } :+ ((Array.fill(k)(0.0), Array.fill(k)(5.0))) // empty actual edge
+    cases.zipWithIndex.foreach { case ((base, act), i) =>
+      val row = Seq(Tuple1(act)).toDF("h")
+        .select(
+          graft.checks.Drift.psiExpr(col("h"), base).as("psi"),
+          graft.checks.Drift.ksExpr(col("h"), base).as("ks"))
+        .head()
+      assert(math.abs(row.getDouble(0) - graft.checks.Drift.psi(base, act)) < 1e-9,
+        s"psi case $i")
+      assert(math.abs(row.getDouble(1) - graft.checks.Drift.ks(base, act)) < 1e-9,
+        s"ks case $i")
+    }
+  }
+
+  test("streaming windowed drift matches batch per-window PSI/KS") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-drift").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val mm = batch.agg(min(col("value")).cast("double"),
+      max(col("value")).cast("double")).head()
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1) + 1e-9)
+    val k = 6
+    def histOf(df: org.apache.spark.sql.DataFrame): Array[Double] = {
+      val rows = df
+        .filter(col("value").isNotNull && !isnan(col("value").cast("double")))
+        .groupBy(graft.checks.Drift.binExpr(col("value"), lo, hi, k).as("b"))
+        .count().collect().map(r => (r.getInt(0), r.getLong(1).toDouble)).toMap
+      (0 until k).map(i => rows.getOrElse(i, 0.0)).toArray
+    }
+    val baseline = histOf(batch)
+    val stream = StreamOps.readEvents(spark, dir, schema)
+    val drift = StreamOps.driftStream(stream, "value", "ts", baseline, lo, hi,
+      window_ = "60 minutes", watermark = "365 days")
+    val q = drift.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("drift_win").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("drift_win").collect()
+      assert(out.length > 1, "expect multiple 60m windows")
+      out.foreach { r =>
+        val win = r.getStruct(0)
+        val slice = batch.filter(col("value").isNotNull &&
+          col("ts").cast("timestamp") >= win.getTimestamp(0) &&
+          col("ts").cast("timestamp") < win.getTimestamp(1))
+        val h = histOf(slice)
+        assert(r.getLong(1) == h.sum.toLong, s"n mismatch in $win")
+        assert(math.abs(r.getDouble(2) - graft.checks.Drift.psi(baseline, h)) < 1e-5,
+          s"psi mismatch in $win")
+        assert(math.abs(r.getDouble(3) - graft.checks.Drift.ks(baseline, h)) < 1e-5,
+          s"ks mismatch in $win")
+      }
+    } finally q.stop()
+    // a baseline concentrated in one bin must fail every populated window
+    val skew = Array.tabulate(k)(i => if (i == 0) 1000.0 else 0.0)
+    val drift2 = StreamOps.driftStream(stream, "value", "ts", skew, lo, hi,
+      window_ = "60 minutes", watermark = "365 days")
+    val q2 = drift2.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("drift_skew").start()
+    try {
+      q2.processAllAvailable()
+      val bad = spark.table("drift_skew").filter(col("n") > 20)
+      assert(bad.count() > 0 && bad.filter(col("pass")).count() == 0)
+    } finally q2.stop()
+  }
 }
