@@ -326,13 +326,13 @@ class StreamOpsSpec extends SparkTestBase {
     val baseline = histOf(batch)
     val stream = StreamOps.readEvents(spark, dir, schema)
     val drift = StreamOps.driftStream(stream, "value", "ts", baseline, lo, hi,
-      window_ = "60 minutes", watermark = "365 days")
+      window_ = "7 days", watermark = "365 days")
     val q = drift.writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName("drift_win").start()
     try {
       q.processAllAvailable()
       val out = spark.table("drift_win").collect()
-      assert(out.length > 1, "expect multiple 60m windows")
+      assert(out.length > 1, "expect multiple 7d windows")
       out.foreach { r =>
         val win = r.getStruct(0)
         val slice = batch.filter(col("value").isNotNull &&
@@ -349,7 +349,7 @@ class StreamOpsSpec extends SparkTestBase {
     // a baseline concentrated in one bin must fail every populated window
     val skew = Array.tabulate(k)(i => if (i == 0) 1000.0 else 0.0)
     val drift2 = StreamOps.driftStream(stream, "value", "ts", skew, lo, hi,
-      window_ = "60 minutes", watermark = "365 days")
+      window_ = "7 days", watermark = "365 days")
     val q2 = drift2.writeStream.outputMode(OutputMode.Complete())
       .format("memory").queryName("drift_skew").start()
     try {
