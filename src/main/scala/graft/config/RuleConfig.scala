@@ -47,7 +47,18 @@ final case class RuleSpec(
     bins: Int = 32,
     psiMax: Option[Double] = None,
     ksMax: Option[Double] = None,
-    dependencies: Seq[String] = Nil) {
+    dependencies: Seq[String] = Nil,
+    // referential against a dictionary TABLE (vs the fixed `values` list):
+    // path to the dictionary, its key column (defaults to `column`), and —
+    // when approximate probing is requested via `fpp` — the Bloom sizing.
+    // `bloomBits` is never parsed from YAML: the engine resolves it once
+    // per run (Checks.resolveDictRules) so per-partition sub-runs and the
+    // streaming validator share one build.
+    dictPath: Option[String] = None,
+    dictColumn: Option[String] = None,
+    expectedItems: Option[Long] = None,
+    fpp: Option[Double] = None,
+    bloomBits: Option[Array[Byte]] = None) {
   /** Fail-fast spec validation (reference models/features.py:14,20-30). */
   def validate(knownColumns: Set[String]): Unit = {
     if (description.length < 5)
@@ -64,7 +75,12 @@ final case class RuleSpec(
       case RuleKind.Expr =>
         if (expr.isEmpty) throw ConfigError(s"rule '$name': expr rule needs expr")
       case RuleKind.Referential =>
-        if (values.isEmpty) throw ConfigError(s"rule '$name': referential needs values")
+        if (values.isEmpty && dictPath.isEmpty)
+          throw ConfigError(s"rule '$name': referential needs values or dict_path")
+        if (values.nonEmpty && dictPath.nonEmpty)
+          throw ConfigError(s"rule '$name': referential takes values OR dict_path, not both")
+        fpp.foreach(f => if (f <= 0.0 || f >= 1.0)
+          throw ConfigError(s"rule '$name': fpp must be in (0, 1)"))
         if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
       case RuleKind.Unique | RuleKind.NotNull | RuleKind.Drift | RuleKind.Stats =>
         if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
@@ -137,7 +153,11 @@ object RuleConfig {
         psiMax = optDouble(r, "psi_max"),
         ksMax = optDouble(r, "ks_max"),
         dependencies = Option(r.get("dependencies"))
-          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil))
+          .map(_.elements().asScala.map(_.asText).toSeq).getOrElse(Nil),
+        dictPath = optStr(r, "dict_path"),
+        dictColumn = optStr(r, "dict_column"),
+        expectedItems = optInt(r, "expected_items").map(_.toLong),
+        fpp = optDouble(r, "fpp"))
     }
     val cfg = SuiteConfig(tName, pCol, cols, rules)
     // fail-fast validation pass (pydantic analogue)

@@ -62,7 +62,7 @@ object Validator {
   def runPerPartition(
       spark: SparkSession,
       table: DataFrame,
-      cfg: SuiteConfig,
+      cfg1: SuiteConfig,
       keyCol: String,
       runId: String,
       manifestPath: String,
@@ -71,6 +71,9 @@ object Validator {
       maxViolationExamples: Option[Int] = None,
       violationsOut: Option[String] = None,
       maxParallel: Int = 1): Seq[RunReport] = {
+    // resolve dict-table Bloom rules ONCE for the whole fan-out — per
+    // sub-run resolution would rebuild the filter per partition
+    val cfg = Checks.resolveDictRules(spark, cfg1)
     val pCol = cfg.partitionColumn
     // uniqueness is GLOBAL (duplicate keys span partitions) — it cannot be
     // scoped to a partition sub-run; execute it once per runId, recorded
@@ -154,7 +157,7 @@ object Validator {
   def run(
       spark: SparkSession,
       table: DataFrame,
-      cfg: SuiteConfig,
+      cfg0: SuiteConfig,
       keyCol: String,
       runId: String,
       manifestPath: Option[String] = None,
@@ -165,6 +168,9 @@ object Validator {
       violationsOut: Option[String] = None,
       resumeDone: Option[Set[String]] = None): RunReport = {
     import spark.implicits._
+    // dict-table referential rules with fpp become Bloom row rules here
+    // (no-op when the caller — per-partition CLI, streaming — pre-resolved)
+    val cfg = Checks.resolveDictRules(spark, cfg0)
     val pCol = cfg.partitionColumn
     val t0 = System.nanoTime()
 
@@ -271,6 +277,24 @@ object Validator {
       }
     }
 
+    // ---- referential vs a dictionary TABLE, exact path (no fpp): one
+    // anti-join per rule, submitted concurrently like uniqueness; the Bloom
+    // variant (fpp set) was resolved into the row-rule scan above ----
+    val refJoinFutures = cfg.rules.filter(r =>
+      r.kind == RuleKind.Referential && r.dictPath.isDefined &&
+        r.bloomBits.isEmpty).map { r =>
+      r -> Future {
+        val t1 = System.nanoTime()
+        val dict = spark.read.parquet(r.dictPath.get)
+        val viols = Checks.referentialViolations(df0, r.column.get, dict,
+          r.dictColumn.getOrElse(r.column.get))
+        val perPart = viols.groupBy(coalesce(col(pCol).cast("string"),
+          lit("<null>")).as("partition"))
+          .agg(count(lit(1)).as("n")).collect()
+        (perPart, (System.nanoTime() - t1) / 1000000)
+      }
+    }
+
     // approx quantiles for ALL stats columns in ONE job — percentile_approx
     // is a TypedImperativeAggregate (ObjectHashAggregate), so it runs as its
     // own concurrent job rather than polluting the codegen'd flag scan
@@ -359,6 +383,25 @@ object Validator {
       failed ++ allParts.map(p => RuleResult(p, r.name, "pass", 0L, 0L, 0L, wall, ""))
     }
 
+    // ---- referential dict-join verdicts ----
+    // pass verdicts need the full partition list; reuse the row-agg pass's
+    // enumeration when it exists, else one pruned-column distinct job (only
+    // when the suite has NO row/stats rules at all)
+    lazy val allPartitions: Seq[String] =
+      if (rowResults.nonEmpty) rowResults.map(_.partition).distinct
+      else df0.select(coalesce(col(pCol).cast("string"), lit("<null>")))
+        .distinct().as[String].collect().toSeq
+    val refJoinResults = refJoinFutures.flatMap { case (r, fut) =>
+      val (perPart, wall) = Await.result(fut, Duration.Inf)
+      val failed = perPart.map { row =>
+        RuleResult(row.getString(0), r.name, "fail",
+          0L, row.getLong(1), 0L, wall, s"dict=${r.dictPath.get}")
+      }.toSeq
+      val failedParts = failed.map(_.partition).toSet
+      failed ++ allPartitions.filterNot(failedParts)
+        .map(p => RuleResult(p, r.name, "pass", 0L, 0L, 0L, wall, ""))
+    }
+
     // ---- drift vs baseline snapshot ----
     // On a resumed run drift evaluates over df0, which the resume prune has
     // already stripped of completed partitions — so the BASELINE must be
@@ -382,7 +425,8 @@ object Validator {
       }
     }
 
-    val all = schemaResults ++ rowResults ++ uniqueResults ++ statsResults ++ driftResults
+    val all = schemaResults ++ rowResults ++ uniqueResults ++ refJoinResults ++
+      statsResults ++ driftResults
 
     // strict mode mirrors the reference's fail-fast exception (core.py:72-76):
     // any failing rule aborts with the rule log instead of emitting verdicts

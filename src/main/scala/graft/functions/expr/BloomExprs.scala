@@ -1,0 +1,77 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Codegen'd Bloom-filter membership probe for the approximate referential
+  * check (the 100 TB path when the dictionary is too large to broadcast-join
+  * comfortably: the filter is a few MB of bits regardless of row width).
+  *
+  * Carries the SERIALIZED filter (the sketch's compact bit format) and
+  * deserializes once per task via the codegen reference array — the probe
+  * then stays inside whole-stage codegen (a Scala UDF here would break the
+  * validator's single codegen'd flag-scan span). Membership semantics match
+  * `DataFrameStatFunctions.bloomFilter`'s insertion: UTF-8 bytes for
+  * strings, the widened long for integral types.
+  *
+  * False positives only: an item the builder inserted is ALWAYS found, so
+  * `!might_contain(x)` proves x is missing from the dictionary — flagged
+  * violations are sound; at most a `fpp` fraction of true violations is
+  * missed (the documented approximation, bounded at build time).
+  */
+case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+
+  @transient private lazy val bloom: BloomFilter = BloomFilter.readFrom(filterBytes)
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType | BinaryType | ByteType | ShortType | IntegerType | LongType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain requires string/binary/integral, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = child.dataType match {
+    case StringType => bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+    case BinaryType => bloom.mightContainBinary(v.asInstanceOf[Array[Byte]])
+    case ByteType => bloom.mightContainLong(v.asInstanceOf[Byte].toLong)
+    case ShortType => bloom.mightContainLong(v.asInstanceOf[Short].toLong)
+    case IntegerType => bloom.mightContainLong(v.asInstanceOf[Int].toLong)
+    case LongType => bloom.mightContainLong(v.asInstanceOf[Long])
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomFilter", bloom,
+      classOf[BloomFilter].getName)
+    child.dataType match {
+      case StringType =>
+        nullSafeCodeGen(ctx, ev, v =>
+          s"${ev.value} = $ref.mightContainBinary($v.getBytes());")
+      case BinaryType =>
+        nullSafeCodeGen(ctx, ev, v =>
+          s"${ev.value} = $ref.mightContainBinary($v);")
+      case _ =>
+        nullSafeCodeGen(ctx, ev, v =>
+          s"${ev.value} = $ref.mightContainLong((long) $v);")
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BloomExprs {
+  /** Column-facing API for the codegen'd Bloom membership probe. */
+  def mightContain(c: Column, filterBytes: Array[Byte]): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(c), filterBytes))
+}

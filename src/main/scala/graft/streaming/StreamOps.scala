@@ -65,7 +65,10 @@ object StreamOps {
   def validateStream(table: DataFrame, cfg: graft.config.SuiteConfig,
       tsCol: String, window_ : String = "10 minutes",
       watermark: String = "30 minutes"): DataFrame = {
-    val (flagged, rowRules) = graft.checks.Checks.withFlags(table, cfg.rules)
+    // dict-table Bloom referential rules resolve ONCE at stream setup (the
+    // filter is then a constant of the continuous query, as a stream needs)
+    val rcfg = graft.checks.Checks.resolveDictRules(table.sparkSession, cfg)
+    val (flagged, rowRules) = graft.checks.Checks.withFlags(table, rcfg.rules)
     val aggs = graft.checks.Checks.verdictAggExprs(rowRules, "rows", "viol_")
     flagged
       .withColumn("__event_ts", coalesce(col(tsCol).cast("timestamp"),

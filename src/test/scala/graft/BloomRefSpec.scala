@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.checks.Checks
+import graft.datagen.SeqTableGen
+
+/** Approximate (Bloom) referential checks: sketch-level guarantees, the
+  * codegen'd probe expression, and the YAML dict-table surface through the
+  * batch validator (bloom row-rule path AND exact anti-join path). */
+class BloomRefSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("no false negatives: every dictionary member passes the probe") {
+    val dict = (0 until 2000).map(i => s"key_$i").toDF("k")
+    val bits = Checks.dictBloom(dict, "k", expectedItems = 2000, fpp = 0.01)
+    assert(Checks.referentialBloomViolations(dict, "k", bits).count() == 0L)
+    // and for a long-typed dictionary
+    val dictL = (0L until 2000L).toDF("k")
+    val bitsL = Checks.dictBloom(dictL, "k", expectedItems = 2000, fpp = 0.01)
+    assert(Checks.referentialBloomViolations(dictL, "k", bitsL).count() == 0L)
+  }
+
+  test("soundness exact, misses bounded by fpp") {
+    val dict = (0L until 10000L).toDF("k")
+    val bits = Checks.dictBloom(dict, "k", expectedItems = 10000, fpp = 0.01)
+    val probe = (0L until 20000L).toDF("k")
+    val flagged = Checks.referentialBloomViolations(probe, "k", bits)
+    // every flagged key must be a TRUE violation (>= 10000)
+    assert(flagged.filter(col("k") < 10000L).count() == 0L)
+    val caught = flagged.count()
+    val missed = 10000L - caught
+    assert(missed.toDouble / 10000.0 <= 0.03,
+      s"missed $missed of 10000 true violations at fpp=0.01")
+  }
+
+  test("null values pass, matching the exact referential semantics") {
+    val dict = Seq("a", "b").toDF("k")
+    val bits = Checks.dictBloom(dict, "k", 10, 0.01)
+    val rows = Seq[(java.lang.Long, String)]((1L, "a"), (2L, null), (3L, "zz"))
+      .toDF("id", "k")
+    val got = Checks.referentialBloomViolations(rows, "k", bits)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(3L))
+  }
+
+  private def suiteYaml(dictPath: String, fppLine: String) =
+    s"""table:
+       |  name: seqs
+       |  partition_column: source
+       |  columns:
+       |    doc_id: {type: string, nullable: false}
+       |    tokens: {type: "array<int>", nullable: false}
+       |    n_tok: {type: int, nullable: false}
+       |    source: {type: string, nullable: false}
+       |rules:
+       |  - name: src_in_dict
+       |    description: source must exist in the source dictionary
+       |    kind: referential
+       |    column: source
+       |    dict_path: $dictPath
+       |$fppLine
+       |""".stripMargin
+
+  test("YAML dict-table referential: Bloom path flags planted violations in the row scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomref").toString
+    val table = SeqTableGen.generate(spark, 4000, plant = false)
+    val dictPath = s"$dir/dict"
+    table.select("source").distinct().write.parquet(dictPath)
+    val tampered = table.withColumn("source",
+      when(pmod(xxhash64(col("doc_id")), lit(50)) === 0, lit("bad_src"))
+        .otherwise(col("source")))
+    val planted = tampered.filter(col("source") === "bad_src").count()
+    assert(planted > 0)
+    val cfg = graft.config.RuleConfig.loadYaml(
+      suiteYaml(dictPath, "    fpp: 0.001"))
+    val rep = graft.engine.Validator.run(spark, tampered, cfg, "doc_id", "bl1",
+      collectViolations = true)
+    val res = rep.results.filter(_.rule == "src_in_dict")
+    val flagged = res.map(_.violationCount).sum
+    // soundness: only the planted pseudo-partition fails; completeness: at
+    // fpp=0.001 the deterministic build catches (essentially) all planted
+    assert(res.filter(_.verdict == "fail").map(_.partition).toSet == Set("bad_src"))
+    assert(flagged <= planted && flagged >= (planted * 95) / 100,
+      s"flagged $flagged of $planted planted")
+    // the probe rode the ROW scan: violation rows carry the rule name
+    assert(rep.violations.filter(col("rule") === "src_in_dict").count() == flagged)
+  }
+
+  test("YAML dict-table referential: exact anti-join path counts planted violations exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-exactref").toString
+    val table = SeqTableGen.generate(spark, 4000, plant = false)
+    val dictPath = s"$dir/dict"
+    table.select("source").distinct().write.parquet(dictPath)
+    val tampered = table.withColumn("source",
+      when(pmod(xxhash64(col("doc_id")), lit(50)) === 0, lit("bad_src"))
+        .otherwise(col("source")))
+    val planted = tampered.filter(col("source") === "bad_src").count()
+    val cfg = graft.config.RuleConfig.loadYaml(suiteYaml(dictPath, ""))
+    val rep = graft.engine.Validator.run(spark, tampered, cfg, "doc_id", "ex1",
+      collectViolations = false)
+    val res = rep.results.filter(_.rule == "src_in_dict")
+    assert(res.filter(_.verdict == "fail").map(_.violationCount).sum == planted)
+    assert(res.filter(_.verdict == "fail").map(_.partition).toSet == Set("bad_src"))
+    assert(res.filter(_.verdict == "pass").nonEmpty)
+  }
+
+  test("config rejects values+dict_path together and out-of-range fpp") {
+    val dir = "/tmp/nonexistent-dict"
+    intercept[graft.config.ConfigError] {
+      graft.config.RuleConfig.loadYaml(
+        suiteYaml(dir, "    values: [a, b]"))
+    }
+    intercept[graft.config.ConfigError] {
+      graft.config.RuleConfig.loadYaml(
+        suiteYaml(dir, "    fpp: 1.5"))
+    }
+  }
+}
