@@ -353,7 +353,9 @@ object Dedup {
 
   /** One large-star round: every node re-points its LARGER neighbors at the
     * minimum of its neighborhood (incl. itself). Emitted edges are always
-    * (bigger → smaller). */
+    * (bigger → smaller). NOT deduplicated — the following small-star round
+    * re-groups by node anyway (duplicate edges cannot change a min) and
+    * dedups its own output, so a distinct here would only add a shuffle. */
   private def largeStar(e: DataFrame): DataFrame = {
     val und = e.select(col("u"), col("v"))
       .union(e.select(col("v").as("u"), col("u").as("v")))
@@ -362,7 +364,6 @@ object Dedup {
     und.join(mins, Seq("u"))
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
   }
 
   /** One small-star round: every node links ALL its smaller neighbors (and
@@ -434,6 +435,10 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
+      // exactly ONE star pair per barrier: chaining two rounds before the
+      // barrier re-executes the inner round once per outer reference
+      // (common subplans are not deduplicated, only identical exchanges
+      // are) — measured 2x SLOWER than materializing each round
       val next = barrier(smallStar(largeStar(cur)))
       val nSig = signature(next)
       converged = nSig == sig
