@@ -391,6 +391,23 @@ object OracleSql {
         | true AS no_false_flags,
         | true AS missed_le_5pct""".stripMargin,
 
+    "v_frequent" ->
+      """WITH c AS (
+        |  SELECT coalesce(CAST(source AS VARCHAR), '<null>') AS source,
+        |    coalesce(CAST(lang AS VARCHAR), '<null>') AS lang,
+        |    count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, lang, n,
+        |    round(n / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE), 6) AS share,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, lang ASC) AS INT) AS rank
+        |  FROM c)
+        |SELECT source, lang, n, share, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "v_cardinality" ->
+      """SELECT source, count(DISTINCT doc_id) AS exact_dc, true AS adc_ok
+        |FROM documents GROUP BY source""".stripMargin,
+
     "v_histogram" ->
       """SELECT source,
         | CAST(least(greatest(floor(n_chars / 60.0), 0), 9) AS INT) AS bin,

@@ -595,6 +595,23 @@ object SparkEntry {
             col("n_exact").cast("double") * 0.05).as("missed_le_5pct"))
     }),
 
+    // top-k frequent values per partition (dominance profiling): exact and
+    // fully deterministic (count desc, value asc tiebreak) — oracle-checked
+    "v_frequent" -> ((s, d) =>
+      graft.checks.Checks.frequentValues(t(s, d, "documents"), "lang", "source", 3)
+        .select(col("partition").as("source"), col("value").as("lang"),
+          col("n"), round(col("share"), 6).as("share"), col("rank"))),
+
+    // HLL cardinality profiling, self-verifying: the rsd-1% sketch must land
+    // within 5% of the exact per-partition distinct count
+    "v_cardinality" -> ((s, d) =>
+      t(s, d, "documents").groupBy(col("source"))
+        .agg(countDistinct(col("doc_id")).as("exact_dc"),
+          approx_count_distinct(col("doc_id"), 0.01).as("adc"))
+        .select(col("source"), col("exact_dc"),
+          (abs(col("adc") - col("exact_dc")).cast("double") <=
+            col("exact_dc").cast("double") * 0.05).as("adc_ok"))),
+
     "v_histogram" -> ((s, d) =>
       graft.checks.Drift.histogram(t(s, d, "documents"), "n_chars", "source",
         0.0, 600.0, 10)

@@ -222,6 +222,34 @@ object Checks {
     df.filter(col(colName).isNotNull &&
       !graft.functions.expr.BloomExprs.mightContain(col(colName), filterBytes))
 
+  /** Top-k most frequent values per partition with each value's share of
+    * its partition's rows: (partition, value, n, share, rank).
+    *
+    * Two-phase: ONE groupBy(partition, value) pass over the table (map-side
+    * combinable — a value's popularity is exactly what partial aggregation
+    * absorbs), then share/rank windows over the already-aggregated
+    * (partitions × per-partition distinct values) rows. The window reducer
+    * holds ONE partition's distinct values — fine for the categorical /
+    * low-cardinality columns dominance checks target; a high-cardinality
+    * column's profile belongs to the stats rule's HLL sketch instead.
+    * Nulls count as the literal "<null>" value: an all-null column is
+    * precisely the degeneracy this rule exists to catch. */
+  def frequentValues(df: DataFrame, colName: String, partitionCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(
+        coalesce(col(partitionCol).cast("string"), lit("<null>")).as("partition"),
+        coalesce(col(colName).cast("string"), lit("<null>")).as("value"))
+      .agg(count(lit(1)).as("n"))
+    val byShare = Window.partitionBy("partition")
+    val byRank = Window.partitionBy("partition")
+      .orderBy(col("n").desc, col("value").asc)
+    counts
+      .withColumn("share", col("n").cast("double") / sum("n").over(byShare))
+      .withColumn("rank", row_number().over(byRank))
+      .filter(col("rank") <= k)
+  }
+
   /** Declared schema vs actual: (column, expected, actual, problem) rows.
     * Mirrors FeatureSpec.data_type fail-fast validation (features.py:20-30).
     * Physical nullability is unreliable (parquet reports everything

@@ -27,10 +27,12 @@ object RuleKind {
   case object Referential extends RuleKind // column value in dictionary
   case object Drift       extends RuleKind // per-partition histogram KS/PSI
   case object Stats       extends RuleKind // profile-only (no pass/fail)
+  case object Frequent    extends RuleKind // top-k values + dominance bound
   def parse(s: String): RuleKind = s match {
     case "schema" => Schema; case "not_null" => NotNull; case "range" => Range
     case "token_range" => TokenRange; case "expr" => Expr; case "unique" => Unique
     case "referential" => Referential; case "drift" => Drift; case "stats" => Stats
+    case "frequent" => Frequent
     case other => throw ConfigError(s"unknown rule kind '$other'")
   }
 }
@@ -58,7 +60,12 @@ final case class RuleSpec(
     dictColumn: Option[String] = None,
     expectedItems: Option[Long] = None,
     fpp: Option[Double] = None,
-    bloomBits: Option[Array[Byte]] = None) {
+    bloomBits: Option[Array[Byte]] = None,
+    // frequent-values rule: report the top `topK` values per partition and
+    // FAIL a partition whose most frequent value exceeds `max_share` of its
+    // rows (degenerate/constant-column detection)
+    topK: Int = 3,
+    maxShare: Option[Double] = None) {
   /** Fail-fast spec validation (reference models/features.py:14,20-30). */
   def validate(knownColumns: Set[String]): Unit = {
     if (description.length < 5)
@@ -84,6 +91,10 @@ final case class RuleSpec(
         if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
       case RuleKind.Unique | RuleKind.NotNull | RuleKind.Drift | RuleKind.Stats =>
         if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
+      case RuleKind.Frequent =>
+        if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
+        maxShare.foreach(s => if (s <= 0.0 || s > 1.0)
+          throw ConfigError(s"rule '$name': max_share must be in (0, 1]"))
       case _ => ()
     }
   }
@@ -157,7 +168,9 @@ object RuleConfig {
         dictPath = optStr(r, "dict_path"),
         dictColumn = optStr(r, "dict_column"),
         expectedItems = optInt(r, "expected_items").map(_.toLong),
-        fpp = optDouble(r, "fpp"))
+        fpp = optDouble(r, "fpp"),
+        topK = optInt(r, "top_k").getOrElse(3),
+        maxShare = optDouble(r, "max_share"))
     }
     val cfg = SuiteConfig(tName, pCol, cols, rules)
     // fail-fast validation pass (pydantic analogue)

@@ -295,27 +295,44 @@ object Validator {
       }
     }
 
+    // ---- frequent-values / dominance rules: one grouped pass per rule,
+    // submitted concurrently like uniqueness ----
+    val frequentFutures = cfg.rules.filter(_.kind == RuleKind.Frequent).map { r =>
+      r -> Future {
+        val t1 = System.nanoTime()
+        val rows = Checks.frequentValues(df0, r.column.get, pCol, r.topK).collect()
+        (rows, (System.nanoTime() - t1) / 1000000)
+      }
+    }
+
     // approx quantiles for ALL stats columns in ONE job — percentile_approx
     // is a TypedImperativeAggregate (ObjectHashAggregate), so it runs as its
     // own concurrent job rather than polluting the codegen'd flag scan
     // (north_star: approx-quantiles via approx_percentile); but all rules'
     // percentile sketches ride the SAME ObjectHashAggregate, so N stats
     // rules cost one pruned-column scan instead of N
-    val quantileFuture: Future[Map[String, Map[String, Seq[Double]]]] =
+    // each rule also gets an approx distinct count (HyperLogLog++, rsd 1%):
+    // cardinality is the stat that exposes degenerate/exploded columns at
+    // 10^12 rows where exact count-distinct is its own full shuffle. The
+    // sketch rides this SAME ObjectHashAggregate job — still one scan.
+    val quantileFuture: Future[Map[String, Map[String, (Seq[Double], Long)]]] =
       if (statsRules.isEmpty) Future.successful(Map.empty)
       else Future {
         val qAggs = statsRules.map(r =>
           percentile_approx(col(r.column.get).cast("double"),
-            typedLit(Seq(0.5, 0.95, 0.99)), lit(10000)).as(s"__q_${r.name}"))
+            typedLit(Seq(0.5, 0.95, 0.99)), lit(10000)).as(s"__q_${r.name}")) ++
+          statsRules.map(r =>
+            approx_count_distinct(col(r.column.get), 0.01).as(s"__adc_${r.name}"))
         val rows = df0.groupBy(col(pCol).cast("string").as("partition"))
           .agg(qAggs.head, qAggs.tail: _*).collect()
+        val n = statsRules.size
         statsRules.zipWithIndex.map { case (r, i) =>
           r.name -> rows.flatMap { row =>
             // an all-null partition yields a null quantile array — report
             // the partition without quantiles instead of crashing the run
             if (row.isNullAt(1 + i)) None
             else Some(Option(row.getString(0)).getOrElse("<null>") ->
-              row.getSeq[Double](1 + i))
+              (row.getSeq[Double](1 + i), row.getLong(1 + n + i)))
           }.toMap
         }.toMap
       }
@@ -343,8 +360,9 @@ object Validator {
         statsRules.zipWithIndex.map { case (r, i) =>
           val s = row.getStruct(2 + rowRules.size + i)
           val qs = Await.result(quantileFuture, Duration.Inf)(r.name)
-            .get(part).map(q => f";p50=${q(0)}%.1f;p95=${q(1)}%.1f;p99=${q(2)}%.1f")
-            .getOrElse("")
+            .get(part).map { case (q, adc) =>
+              f";p50=${q(0)}%.1f;p95=${q(1)}%.1f;p99=${q(2)}%.1f;adc=$adc"
+            }.getOrElse("")
           // min/max/mean are null when the partition's column is all-null
           def d(idx: Int): String =
             if (s.isNullAt(idx)) "null" else f"${s.getDouble(idx)}%.4f"
@@ -402,6 +420,20 @@ object Validator {
         .map(p => RuleResult(p, r.name, "pass", 0L, 0L, 0L, wall, ""))
     }
 
+    // ---- frequent-values / dominance verdicts ----
+    val frequentResults = frequentFutures.flatMap { case (r, fut) =>
+      val (rows, wall) = Await.result(fut, Duration.Inf)
+      rows.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (part, vs) =>
+        val sorted = vs.sortBy(_.getInt(4))
+        val top1Share = sorted.head.getDouble(3)
+        val fail = r.maxShare.exists(ms => top1Share > ms)
+        val detail = sorted.map(v => s"${v.getString(1)}:${v.getLong(2)}")
+          .mkString("top=", ",", f";share=$top1Share%.4f")
+        RuleResult(part, r.name, if (fail) "fail" else "pass",
+          0L, if (fail) 1L else 0L, 0L, wall, detail)
+      }
+    }
+
     // ---- drift vs baseline snapshot ----
     // On a resumed run drift evaluates over df0, which the resume prune has
     // already stripped of completed partitions — so the BASELINE must be
@@ -426,7 +458,7 @@ object Validator {
     }
 
     val all = schemaResults ++ rowResults ++ uniqueResults ++ refJoinResults ++
-      statsResults ++ driftResults
+      frequentResults ++ statsResults ++ driftResults
 
     // strict mode mirrors the reference's fail-fast exception (core.py:72-76):
     // any failing rule aborts with the rule log instead of emitting verdicts

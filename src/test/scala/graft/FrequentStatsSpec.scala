@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.checks.Checks
+
+/** Frequent-values/dominance rule kind + HLL cardinality in the stats
+  * profile. */
+class FrequentStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("frequentValues: exact top-k with null bucketing and value tiebreak") {
+    val df = Seq(
+      ("p1", "a"), ("p1", "a"), ("p1", "b"), ("p1", "b"), ("p1", "c"),
+      ("p2", null), ("p2", null), ("p2", "z")
+    ).toDF("part", "v")
+    val got = Checks.frequentValues(df, "v", "part", 2)
+      .orderBy("partition", "rank")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        math.rint(r.getDouble(3) * 100) / 100, r.getInt(4)))
+    assert(got.toSeq == Seq(
+      ("p1", "a", 2L, 0.4, 1), // tie with b broken by value asc
+      ("p1", "b", 2L, 0.4, 2),
+      ("p2", "<null>", 2L, 0.67, 1),
+      ("p2", "z", 1L, 0.33, 2)))
+  }
+
+  test("YAML frequent rule: dominated partition fails max_share, healthy passes") {
+    val table = graft.datagen.SeqTableGen.generate(spark, 3000, plant = false)
+      // degenerate: one source's doc ids are forced to a single "language"
+      .withColumn("marker",
+        when(col("source") === "web", lit("CONST")).otherwise(
+          concat(lit("m"), pmod(xxhash64(col("doc_id")), lit(20)))))
+    val cfg = graft.config.RuleConfig.loadYaml(
+      """table:
+        |  name: seqs
+        |  partition_column: source
+        |  columns:
+        |    doc_id: {type: string, nullable: false}
+        |    tokens: {type: "array<int>", nullable: false}
+        |    n_tok: {type: int, nullable: false}
+        |    source: {type: string, nullable: false}
+        |    marker: {type: string, nullable: false}
+        |rules:
+        |  - name: marker_dominance
+        |    description: no single marker value above 90 percent of a partition
+        |    kind: frequent
+        |    column: marker
+        |    top_k: 2
+        |    max_share: 0.9
+        |""".stripMargin)
+    val rep = graft.engine.Validator.run(spark, table, cfg, "doc_id", "fq1",
+      collectViolations = false)
+    val res = rep.results.filter(_.rule == "marker_dominance")
+    assert(res.filter(_.verdict == "fail").map(_.partition).toSet == Set("web"))
+    assert(res.filter(_.verdict == "pass").nonEmpty)
+    val webDetail = res.find(_.partition == "web").get.detail
+    assert(webDetail.startsWith("top=CONST:") && webDetail.contains("share=1.0000"))
+  }
+
+  test("stats profile carries an HLL distinct count within 5% of exact") {
+    val table = graft.datagen.SeqTableGen.generate(spark, 5000, plant = false)
+    val cfg = graft.config.RuleConfig.loadYaml(
+      """table:
+        |  name: seqs
+        |  partition_column: source
+        |  columns:
+        |    doc_id: {type: string, nullable: false}
+        |    tokens: {type: "array<int>", nullable: false}
+        |    n_tok: {type: int, nullable: false}
+        |    source: {type: string, nullable: false}
+        |rules:
+        |  - name: ntok_stats
+        |    description: profile n_tok per partition
+        |    kind: stats
+        |    column: n_tok
+        |""".stripMargin)
+    val rep = graft.engine.Validator.run(spark, table, cfg, "doc_id", "st-adc",
+      collectViolations = false)
+    val exact = table.groupBy("source")
+      .agg(countDistinct(col("n_tok")).as("dc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val res = rep.results.filter(_.rule == "ntok_stats")
+    assert(res.nonEmpty)
+    res.foreach { rr =>
+      val adc = "adc=(\\d+)".r.findFirstMatchIn(rr.detail)
+        .getOrElse(fail(s"no adc in '${rr.detail}'")).group(1).toLong
+      val e = exact(rr.partition)
+      assert(math.abs(adc - e).toDouble <= e * 0.05,
+        s"partition ${rr.partition}: adc=$adc exact=$e")
+    }
+  }
+}
