@@ -516,6 +516,27 @@ object OracleSql {
         |FROM cand
         |WHERE inter / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.3""".stripMargin,
 
+    // same shingle construction as dd_jaccard_pairs at n=13; benchmark =
+    // docs 0-9, corpus = rest + planted verbatim benchmark copies
+    "t_contamination" ->
+      """WITH d2 AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(0, greatest(len(ws) - 13, 0) + 1),
+        |      i -> array_to_string(ws[i + 1 : i + 13], ' ')),
+        |    s -> s <> '')) AS shs
+        |  FROM d2),
+        |bench AS (SELECT DISTINCT unnest(shs) AS g FROM sh WHERE doc_id < 10),
+        |corp AS (
+        |  SELECT doc_id, unnest(shs) AS g FROM sh WHERE doc_id >= 10
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id, unnest(shs) AS g FROM sh WHERE doc_id < 10)
+        |SELECT c.doc_id AS id, count(*) AS n_shared
+        |FROM corp c JOIN bench b USING (g)
+        |GROUP BY 1""".stripMargin,
+
     // same chain construction as the engine query; components closed by a
     // recursive reachability CTE, cluster_id = min reachable node
     "dd_cluster_cc" ->

@@ -801,6 +801,20 @@ object SparkEntry {
       Dedup.dupClusters(pairs) // (id, cluster_id); persisted — see jaccardPairs contract
     }),
 
+    // benchmark-contamination detection (13-gram overlap vs an eval set),
+    // oracle-exact: benchmark = docs 0-9, corpus = the rest PLUS planted
+    // verbatim copies of the benchmark (doc_id+200000) — the copies must
+    // flag with their full distinct-shingle counts, organic overlaps are
+    // counted identically by the SQL mirror of the same shingle construction
+    "t_contamination" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
+      val planted = bench.select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") >= 10)
+        .select(col("doc_id"), col("text")).unionByName(planted)
+      Dedup.contamination(corpus, "text", "doc_id", bench, "text", n = 13)
+    }),
+
     // cosine near-dup mining at the documented 0.95 threshold, oracle-exact:
     // the testdata embeddings are unit vectors with max pairwise cos ~0.51,
     // so we PLANT true near-duplicates (vec_id+100000, first component

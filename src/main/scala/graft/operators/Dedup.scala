@@ -117,6 +117,47 @@ object Dedup {
     out
   }
 
+  // ---------- benchmark contamination ----------
+
+  /** Benchmark-contamination detection: corpus documents sharing at least
+    * one word n-gram with an evaluation/benchmark set (n = 13 is the
+    * industry-standard contamination window), with the count of distinct
+    * shared n-grams per document. Decontamination = anti-join the flagged
+    * ids (`resolveContamination`).
+    *
+    * Scale shape: the benchmark side is an EVAL SET — tiny next to the
+    * corpus — so its distinct n-grams are broadcast and the corpus-side
+    * explode + join + per-doc count all stay map-side: ZERO corpus shuffle
+    * except the final per-doc aggregation of the (rare) matches. With
+    * `broadcastBench = false` the join strategy is left to AQE for
+    * out-sized benchmark collections. Documents shorter than n words
+    * contribute their full text as one sub-n-gram (wordShingles semantics)
+    * — a short doc fully contained in the benchmark still flags, which is
+    * the conservative direction for decontamination. */
+  def contamination(corpus: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13,
+      broadcastBench: Boolean = true): DataFrame = {
+    val bSh0 = benchmark
+      .select(explode(wordShingles(col(benchTextCol), n)).as("g"))
+      .distinct()
+    val bSh = if (broadcastBench) broadcast(bSh0) else bSh0
+    corpus.select(col(idCol).as("id"),
+        explode(wordShingles(col(textCol), n)).as("g"))
+      .join(bSh, Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+  }
+
+  /** Decontaminated corpus: drop every document sharing >= minShared
+    * n-grams with the benchmark set. */
+  def resolveContamination(corpus: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 13,
+      minShared: Long = 1L): DataFrame = {
+    val bad = contamination(corpus, textCol, idCol, benchmark, benchTextCol, n)
+      .filter(col("n_shared") >= minShared).select("id")
+    corpus.join(bad, corpus(idCol) === bad("id"), "left_anti")
+  }
+
   // ---------- MinHash + LSH ----------
 
   /** MinHash signature: k seeded hash functions over the shingle set;

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Benchmark-contamination detection + decontamination. */
+class ContaminationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val benchText =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima mike november oscar"
+
+  test("verbatim benchmark copy flags with its full shingle count; clean doc does not") {
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, benchText), // full copy: 15 words -> 3 distinct 13-grams
+      (101L, "totally unrelated words that never overlap with the evaluation material at all here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, "text", "doc_id", bench, "text", n = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 3L))
+  }
+
+  test("partial overlap counts only the shared window") {
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    // first 13 benchmark words + a divergent tail: shares EXACTLY the first
+    // 13-gram and nothing else
+    val partial = benchText.split(" ").take(13).mkString(" ") + " zz yy xx ww vv"
+    val corpus = Seq((200L, partial)).toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, "text", "doc_id", bench, "text", n = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(200L -> 1L))
+  }
+
+  test("short documents flag when fully contained (conservative sub-n-gram)") {
+    val bench = Seq((1L, "one two three")).toDF("doc_id", "text")
+    val corpus = Seq((300L, "one two three"), (301L, "four five six"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, "text", "doc_id", bench, "text", n = 13)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got == Set(300L))
+  }
+
+  test("resolveContamination drops exactly the flagged documents") {
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, benchText),
+      (101L, "totally unrelated words that never overlap with the evaluation material at all here"),
+      (102L, "another clean document with enough words to be a real row in the corpus table ok")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.resolveContamination(corpus, "text", "doc_id", bench, "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(101L, 102L))
+  }
+}
