@@ -515,6 +515,11 @@ object Dedup {
     val clusters = dupClusters(pairs, aCol, bCol)
     val drop = clusters.filter(col("id") =!= col("cluster_id")).select("id")
     val out = docs.join(drop, docs(idCol) === drop("id"), "left_anti")
+    // releasing the cluster cache here does NOT re-run the CC rounds when
+    // the caller executes `out`: the plan still references the final
+    // checkpointed star edges (kept alive by the reference), so only the
+    // node-list + label join recomputes — the cache must not outlive this
+    // call (ADVICE round-2: CacheManager never self-reclaims)
     clusters.unpersist()
     out
   }
