@@ -408,6 +408,19 @@ object OracleSql {
       """SELECT source, count(DISTINCT doc_id) AS exact_dc, true AS adc_ok
         |FROM documents GROUP BY source""".stripMargin,
 
+    "v_quarantine_split" ->
+      """SELECT
+        | (SELECT count(*) FROM documents
+        |   WHERE (n_chars IS NULL OR n_chars BETWEEN 50 AND 400)
+        |     AND lang IS NOT NULL) AS n_clean,
+        | (SELECT count(*) FROM documents
+        |   WHERE NOT ((n_chars IS NULL OR n_chars BETWEEN 50 AND 400)
+        |     AND lang IS NOT NULL)) AS n_quar,
+        | (SELECT count(*) FROM documents
+        |   WHERE n_chars IS NOT NULL
+        |     AND (n_chars < 50 OR n_chars > 400)) AS n_quar_chars,
+        | (SELECT count(*) FROM documents WHERE lang IS NULL) AS n_quar_lang""".stripMargin,
+
     "v_histogram" ->
       """SELECT source,
         | CAST(least(greatest(floor(n_chars / 60.0), 0), 9) AS INT) AS bin,

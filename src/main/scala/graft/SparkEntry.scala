@@ -612,6 +612,46 @@ object SparkEntry {
           (abs(col("adc") - col("exact_dc")).cast("double") <=
             col("exact_dc").cast("double") * 0.05).as("adc_ok"))),
 
+    // one-scan quarantine split over documents (range on n_chars + not_null
+    // on lang), oracle-exact: counts derive from re-reading BOTH written
+    // sinks, so the query checks the routing itself, not just the counters.
+    // Range rules pass nulls; not_null is the null check — mirrored in SQL.
+    "v_quarantine_split" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-qsplit").toString
+      val cfg = graft.config.RuleConfig.loadYaml(
+        """table:
+          |  name: documents
+          |  partition_column: source
+          |  columns:
+          |    doc_id: {type: bigint, nullable: false}
+          |    text: {type: string, nullable: true}
+          |    lang: {type: string, nullable: true}
+          |    source: {type: string, nullable: true}
+          |    n_chars: {type: bigint, nullable: true}
+          |rules:
+          |  - name: chars_range
+          |    description: n_chars within [50, 400]
+          |    kind: range
+          |    column: n_chars
+          |    min: 50
+          |    max: 400
+          |  - name: lang_present
+          |    description: lang must not be null
+          |    kind: not_null
+          |    column: lang
+          |""".stripMargin)
+      graft.engine.Validator.quarantineSplit(s, t(s, d, "documents"), cfg,
+        s"$dir/clean", s"$dir/quar")
+      val clean = s.read.parquet(s"$dir/clean")
+      val quar = s.read.parquet(s"$dir/quar")
+      clean.agg(count(lit(1)).as("n_clean"))
+        .crossJoin(quar.agg(count(lit(1)).as("n_quar"),
+          coalesce(sum(when(array_contains(col("failed_rules"), "chars_range"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_quar_chars"),
+          coalesce(sum(when(array_contains(col("failed_rules"), "lang_present"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_quar_lang")))
+    }),
+
     "v_histogram" -> ((s, d) =>
       graft.checks.Drift.histogram(t(s, d, "documents"), "n_chars", "source",
         0.0, 600.0, 10)

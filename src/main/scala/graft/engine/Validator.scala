@@ -59,6 +59,53 @@ object Validator {
     * trades a little scheduling overhead for real crash-resume granularity,
     * the right default for 10^12-row tables. Partition pruning on the Hive
     * layout means each sub-run scans only its own directory. */
+  /** Quarantine split: route rows failing ANY row-level rule of the suite
+    * to a quarantine sink and passing rows to the clean sink, in ONE flag
+    * scan of the input (the same codegen'd projection the validator runs —
+    * dict-table Bloom rules included). The quarantine side carries a
+    * `__failed_rules` column naming the violated rules so triage never
+    * re-derives them.
+    *
+    * Both sinks are written from one persisted narrow frame (input columns +
+    * boolean flags) — the table is read once, not once per sink. Relational
+    * rules (uniqueness, dict anti-join, drift) are NOT row-routable and are
+    * deliberately out of scope: a duplicate pair spans rows, so routing it
+    * row-wise would quarantine arbitrary members; run them via [[run]].
+    *
+    * @return (cleanRows, quarantinedRows) */
+  def quarantineSplit(
+      spark: SparkSession,
+      table: DataFrame,
+      cfg0: SuiteConfig,
+      cleanOut: String,
+      quarantineOut: String,
+      partitionByCol: Boolean = true): (Long, Long) = {
+    val cfg = Checks.resolveDictRules(spark, cfg0)
+    val (flagged, rowRules) = Checks.withFlags(table, cfg.rules)
+    require(rowRules.nonEmpty, "quarantineSplit needs at least one row-level rule")
+    val okAll = rowRules.map(r => col(Checks.flagCol(r.name))).reduce(_ && _)
+    val failedList = array_compact(array(rowRules.map(r =>
+      when(!col(Checks.flagCol(r.name)), lit(r.name))): _*))
+    val routed = flagged
+      .withColumn("__ok", okAll)
+      .withColumn("__failed_rules", when(!okAll, failedList))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dataCols = table.columns.map(col).toSeq
+      def writer(df: DataFrame) = {
+        val w = df.write.mode("overwrite")
+        if (partitionByCol) w.partitionBy(cfg.partitionColumn) else w
+      }
+      writer(routed.filter(col("__ok")).select(dataCols: _*)).parquet(cleanOut)
+      writer(routed.filter(!col("__ok"))
+        .select(dataCols :+ col("__failed_rules").as("failed_rules"): _*))
+        .parquet(quarantineOut)
+      val counts = routed.groupBy(col("__ok")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+      (counts.getOrElse(true, 0L), counts.getOrElse(false, 0L))
+    } finally routed.unpersist()
+  }
+
   def runPerPartition(
       spark: SparkSession,
       table: DataFrame,

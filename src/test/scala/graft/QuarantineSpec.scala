@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.datagen.SeqTableGen
+import graft.engine.Validator
+
+/** One-scan quarantine split: failing rows to a quarantine sink with the
+  * violated rule names, passing rows onward. */
+class QuarantineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val yaml =
+    """table:
+      |  name: seqs
+      |  partition_column: source
+      |  columns:
+      |    doc_id: {type: string, nullable: false}
+      |    tokens: {type: "array<int>", nullable: false}
+      |    n_tok: {type: int, nullable: false}
+      |    source: {type: string, nullable: false}
+      |rules:
+      |  - name: ntok_range
+      |    description: n_tok within [1, 512]
+      |    kind: range
+      |    column: n_tok
+      |    min: 1
+      |    max: 512
+      |  - name: tok_bounds
+      |    description: every token id in vocab
+      |    kind: token_range
+      |    column: tokens
+      |    min: 0
+      |    max: 49999
+      |""".stripMargin
+
+  test("split conserves rows, routes planted violations, clean revalidates green") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quar").toString
+    val table = SeqTableGen.generate(spark, 5000, plant = true)
+    val total = table.count()
+    val cfg = graft.config.RuleConfig.loadYaml(yaml)
+    val (nClean, nQuar) = Validator.quarantineSplit(spark, table, cfg,
+      s"$dir/clean", s"$dir/quarantine")
+    assert(nClean + nQuar == total && nQuar > 0)
+
+    val clean = spark.read.parquet(s"$dir/clean")
+    val quar = spark.read.parquet(s"$dir/quarantine")
+    assert(clean.count() == nClean && quar.count() == nQuar)
+    // clean side re-validates with zero violations
+    val rep = Validator.run(spark, clean, cfg, "doc_id", "qs-re",
+      collectViolations = false)
+    assert(rep.results.forall(_.verdict == "pass"), rep.results.filter(_.verdict == "fail"))
+    // quarantine carries the exact violated rules per row
+    // range rules PASS nulls (null-ness is a not_null rule's concern), so
+    // the tag must appear exactly for non-null out-of-bounds values
+    val wrongTags = quar.filter(
+      array_contains(col("failed_rules"), "ntok_range") =!=
+        (col("n_tok").isNotNull && (col("n_tok") < 1 || col("n_tok") > 512)))
+      .count()
+    assert(wrongTags == 0L)
+    // schema: clean output is exactly the input columns (no flag leakage)
+    assert(clean.columns.sorted.toSeq == table.columns.sorted.toSeq)
+    assert(quar.columns.sorted.toSeq == (table.columns :+ "failed_rules").sorted.toSeq)
+    // partitioned layout preserved for downstream partition pruning
+    assert(new java.io.File(s"$dir/clean").listFiles()
+      .exists(_.getName.startsWith("source=")))
+  }
+
+  test("suite with no row rules is rejected") {
+    val cfg = graft.config.RuleConfig.loadYaml(
+      """table:
+        |  name: seqs
+        |  partition_column: source
+        |  columns:
+        |    doc_id: {type: string, nullable: false}
+        |    source: {type: string, nullable: false}
+        |rules:
+        |  - name: uniq
+        |    description: unique doc ids
+        |    kind: unique
+        |    column: doc_id
+        |""".stripMargin)
+    val table = SeqTableGen.generate(spark, 100, plant = false)
+    intercept[IllegalArgumentException] {
+      Validator.quarantineSplit(spark, table, cfg, "/tmp/qx1", "/tmp/qx2")
+    }
+  }
+}
