@@ -7,6 +7,7 @@ import graft.config.RuleConfig
   *   graft.engine.Main --table <parquet dir> --rules <suite.yaml>
   *     [--manifest <dir>] [--run-id <id>] [--baseline <parquet dir>]
   *     [--violations-out <dir>] [--key doc_id]
+  *     [--clean-out <dir> --quarantine-out <dir>]   (route mode)
   *
   * On a real cluster this is submitted with --master yarn/k8s; all
   * parallelism comes from the cluster manager + AQE. Local runs inherit
@@ -51,6 +52,22 @@ object Main {
     val keyCol = opts.getOrElse("key", "doc_id")
     val runId = opts.getOrElse("run-id", "run-default")
     val baseline = opts.get("baseline").map(spark.read.parquet(_))
+
+    // --quarantine-out Q --clean-out C: route mode — one flag scan writes
+    // failing rows (tagged with their violated rules) to Q and passing rows
+    // to C, then exits: 0 if nothing quarantined, 2 otherwise. Mutually
+    // exclusive with the verdict modes below (relational rules are not
+    // row-routable; run them in a separate verdict pass).
+    (opts.get("quarantine-out"), opts.get("clean-out")) match {
+      case (Some(q), Some(c)) =>
+        val (nClean, nQuar) = Validator.quarantineSplit(spark, table, cfg, c, q)
+        println(s"clean=$nClean quarantined=$nQuar")
+        spark.stop()
+        sys.exit(if (nQuar > 0) 2 else 0)
+      case (Some(_), None) | (None, Some(_)) =>
+        sys.error("--quarantine-out and --clean-out must be given together")
+      case _ => ()
+    }
 
     // --per-partition true: checkpoint after every partition (crash-resume
     // granularity = one partition); requires --manifest. The printed report
