@@ -550,6 +550,26 @@ object OracleSql {
         |FROM corp c JOIN bench b USING (g)
         |GROUP BY 1""".stripMargin,
 
+    // tokens-payload golden: identical range()-built token arrays
+    "t_token_contamination" ->
+      """WITH base AS (
+        |  SELECT i AS id,
+        |    list_transform(range(0, 20), j -> CAST((i * 7 + j * 13) % 1000 AS INT)) AS tokens
+        |  FROM range(0, 200) t(i)),
+        |sh AS (
+        |  SELECT id, list_distinct(list_transform(range(0, len(tokens) - 13 + 1),
+        |    k -> array_to_string(list_transform(tokens[k + 1 : k + 13],
+        |      x -> CAST(x AS VARCHAR)), ' '))) AS shs
+        |  FROM base),
+        |bench AS (SELECT DISTINCT unnest(shs) AS g FROM sh WHERE id < 10),
+        |corp AS (
+        |  SELECT id, unnest(shs) AS g FROM sh WHERE id >= 10
+        |  UNION ALL
+        |  SELECT id + 1000 AS id, unnest(shs) AS g FROM sh WHERE id < 10)
+        |SELECT c.id, count(*) AS n_shared
+        |FROM corp c JOIN bench b USING (g)
+        |GROUP BY 1""".stripMargin,
+
     // same chain construction as the engine query; components closed by a
     // recursive reachability CTE, cluster_id = min reachable node
     "dd_cluster_cc" ->

@@ -855,6 +855,21 @@ object SparkEntry {
       Dedup.contamination(corpus, "text", "doc_id", bench, "text", n = 13)
     }),
 
+    // tokens-payload contamination golden (north-rule table shape): both
+    // engines synthesize identical array<int> sequences from range(), plant
+    // verbatim benchmark copies (id+1000), and must agree on every shared
+    // token-13-gram count — including whatever organic overlaps the
+    // arithmetic construction produces
+    "t_token_contamination" -> ((s, d) => {
+      val base = s.range(200).select(col("id"),
+        transform(sequence(lit(0), lit(19)),
+          j => ((col("id") * 7 + j * 13) % 1000).cast("int")).as("tokens"))
+      val bench = base.filter(col("id") < 10)
+      val planted = bench.select((col("id") + 1000).as("id"), col("tokens"))
+      val corpus = base.filter(col("id") >= 10).unionByName(planted)
+      Dedup.tokenContamination(corpus, "tokens", "id", bench, "tokens", n = 13)
+    }),
+
     // cosine near-dup mining at the documented 0.95 threshold, oracle-exact:
     // the testdata embeddings are unit vectors with max pairwise cos ~0.51,
     // so we PLANT true near-duplicates (vec_id+100000, first component

@@ -134,6 +134,36 @@ object Dedup {
     * contribute their full text as one sub-n-gram (wordShingles semantics)
     * — a short doc fully contained in the benchmark still flags, which is
     * the conservative direction for decontamination. */
+  /** Token n-gram shingles over an `array<int>` column (distinct), rendered
+    * as space-joined strings — the tokens-payload analogue of
+    * [[wordShingles]] for PRE-TOKENIZED corpora (the north rule's table
+    * shape): contamination there must compare token windows, not re-derived
+    * words. Arrays shorter than n contribute their full content as one
+    * sub-n-gram, same conservative direction as the text path. */
+  def tokenShingles(tokens: Column, n: Int): Column =
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+          i => array_join(slice(tokens, i + 1, lit(n)).cast("array<string>"), " ")),
+        s => s =!= ""))
+
+  /** [[contamination]] over pre-tokenized sequences: corpus documents
+    * sharing at least one token n-gram with the benchmark set. Same
+    * broadcast shape — the eval set's distinct token windows are tiny. */
+  def tokenContamination(corpus: DataFrame, tokCol: String, idCol: String,
+      benchmark: DataFrame, benchTokCol: String, n: Int = 13,
+      broadcastBench: Boolean = true): DataFrame = {
+    val bSh0 = benchmark
+      .select(explode(tokenShingles(col(benchTokCol), n)).as("g"))
+      .distinct()
+    val bSh = if (broadcastBench) broadcast(bSh0) else bSh0
+    corpus.select(col(idCol).as("id"),
+        explode(tokenShingles(col(tokCol), n)).as("g"))
+      .join(bSh, Seq("g"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def contamination(corpus: DataFrame, textCol: String, idCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 13,
       broadcastBench: Boolean = true): DataFrame = {

@@ -41,6 +41,18 @@ class ContaminationSpec extends SparkTestBase {
     assert(got == Set(300L))
   }
 
+  test("token contamination: verbatim token-array copy flags, disjoint does not") {
+    val bench = Seq((1L, (0 until 20).toArray)).toDF("id", "tokens")
+    val corpus = Seq(
+      (100L, (0 until 20).toArray),        // copy: 8 distinct 13-grams
+      (101L, (100 until 120).toArray),     // disjoint ids
+      (102L, (5 until 18).toArray)         // exactly the window [5,17]
+    ).toDF("id", "tokens")
+    val got = Dedup.tokenContamination(corpus, "tokens", "id", bench, "tokens", n = 13)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(100L -> 8L, 102L -> 1L))
+  }
+
   test("resolveContamination drops exactly the flagged documents") {
     val bench = Seq((1L, benchText)).toDF("doc_id", "text")
     val corpus = Seq(
