@@ -150,6 +150,19 @@ class PlanSpec extends SparkTestBase {
       s"single-partition exchanges over unbounded input:\n${offenders.mkString("\n")}")
   }
 
+  test("contamination joins the benchmark side as a broadcast (no corpus shuffle)") {
+    val p = planOf("t_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the eval-set n-grams broadcast in:\n$p")
+    // exactly two hash exchanges are legitimate: the benchmark side's own
+    // tiny distinct and the final per-doc count agg. A THIRD would mean the
+    // corpus n-grams were shuffled for the join — the anti-pattern this
+    // gate exists to catch.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"expected 2 hash exchanges (bench distinct + final agg), got $exchanges:\n$p")
+  }
+
   test("uniqueness resolve join carries no forced broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.Join
     // pathological 50%-duplicate table: a forced broadcast of the dup side
