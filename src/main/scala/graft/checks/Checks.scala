@@ -225,13 +225,17 @@ object Checks {
   /** Top-k most frequent values per partition with each value's share of
     * its partition's rows: (partition, value, n, share, rank).
     *
-    * Two-phase: ONE groupBy(partition, value) pass over the table (map-side
-    * combinable — a value's popularity is exactly what partial aggregation
-    * absorbs), then share/rank windows over the already-aggregated
-    * (partitions × per-partition distinct values) rows. The window reducer
-    * holds ONE partition's distinct values — fine for the categorical /
-    * low-cardinality columns dominance checks target; a high-cardinality
-    * column's profile belongs to the stats rule's HLL sketch instead.
+    * ONE groupBy(partition, value) pass over the table (map-side combinable
+    * — a value's popularity is exactly what partial aggregation absorbs),
+    * then top-k over the aggregated rows in TWO window phases, same shape
+    * as the violation-example cap: phase 1 ranks within (partition, 64
+    * value-hash salt buckets) keeping ≤k per bucket — a high-cardinality
+    * column (accidental `frequent` on a key) spreads its distinct values
+    * over 64 reducers instead of one — phase 2 ranks the ≤64k survivors
+    * per partition. The global top-k by (count desc, value asc) is a subset
+    * of the union of per-bucket top-k, so the result is IDENTICAL to the
+    * single-window formulation. Shares divide by per-partition totals from
+    * the aggregated rows (map-side combined, never a window over them).
     * Nulls count as the literal "<null>" value: an all-null column is
     * precisely the degeneracy this rule exists to catch. */
   def frequentValues(df: DataFrame, colName: String, partitionCol: String,
@@ -241,13 +245,17 @@ object Checks {
         coalesce(col(partitionCol).cast("string"), lit("<null>")).as("partition"),
         coalesce(col(colName).cast("string"), lit("<null>")).as("value"))
       .agg(count(lit(1)).as("n"))
-    val byShare = Window.partitionBy("partition")
-    val byRank = Window.partitionBy("partition")
+    val totals = counts.groupBy("partition").agg(sum("n").as("__tot"))
+    val w1 = Window.partitionBy(col("partition"), pmod(xxhash64(col("value")), lit(64)))
+      .orderBy(col("n").desc, col("value").asc)
+    val w2 = Window.partitionBy("partition")
       .orderBy(col("n").desc, col("value").asc)
     counts
-      .withColumn("share", col("n").cast("double") / sum("n").over(byShare))
-      .withColumn("rank", row_number().over(byRank))
-      .filter(col("rank") <= k)
+      .withColumn("__rn", row_number().over(w1)).filter(col("__rn") <= k)
+      .withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .join(totals, Seq("partition"))
+      .withColumn("share", col("n").cast("double") / col("__tot").cast("double"))
+      .select(col("partition"), col("value"), col("n"), col("share"), col("rank"))
   }
 
   /** Declared schema vs actual: (column, expected, actual, problem) rows.
