@@ -517,6 +517,12 @@ object Dedup {
       cur = next
       it += 1
     }
+    // fail LOUDLY rather than return labels that are not component minima:
+    // 25 rounds covers component diameters beyond any real dedup graph, so
+    // exhaustion means something structural (or maxIter was lowered)
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge within $maxIter rounds — raise maxIter")
     // fixpoint is a star forest: every non-root points straight at its
     // component min. Roots (the mins themselves) label themselves.
     val nodes = pairs.select(col(aCol).as("id"))

@@ -69,6 +69,13 @@ class DupClusterSpec extends SparkTestBase {
       7L -> 7L, 8L -> 7L))
   }
 
+  test("exhausting maxIter throws instead of returning wrong labels") {
+    val path = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
+    intercept[IllegalStateException] {
+      Dedup.dupClusters(path.toDF("id_a", "id_b"), maxIter = 2)
+    }
+  }
+
   test("empty pair set yields empty clusters") {
     val out = Dedup.dupClusters(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
     assert(out.count() == 0L)
