@@ -1139,6 +1139,34 @@ object SparkEntry {
         .withColumn("train_packs", lit(packCount))
     }),
 
+    // END-TO-END curation v2: quality gate → decontaminate vs an eval set →
+    // TRANSITIVE duplicate-cluster resolution (connected components over
+    // deterministic chain pairs, keep the component min) → deterministic
+    // split. Exercises the session's new operators composed; the oracle
+    // replays every stage in SQL, closing the clusters with a recursive CTE.
+    "pipe_curation2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val bench = docs.filter(col("doc_id") < 10).select(col("doc_id"), col("text"))
+      val corpus0 = docs.filter(col("doc_id") >= 10)
+      val quality = corpus0.filter(TextOps.tokenCount(col("text")) >= 5)
+      val decon = Dedup.resolveContamination(quality, "text", "doc_id",
+        bench, "text")
+      val r = decon.select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+      val pairs = r.select(col("source"), col("rn"), col("doc_id").as("id_a"))
+        .join(r.select(col("source"), (col("rn") - 1).as("rn"),
+          col("doc_id").as("id_b")), Seq("source", "rn"))
+        .filter(pmod(col("rn"), lit(5)) =!= 0)
+        .select("id_a", "id_b")
+      val resolved = Dedup.resolveDuplicates(decon, pairs)
+      resolved.withColumn("split",
+          graft.operators.Sampling.splitColumn(col("doc_id"), 0.9, 0.05))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("sum_chars"))
+    }),
+
     // ======== relational coverage: joins / windows / json / set ops ========
     "j_star_join" -> ((s, d) => {
       val li = t(s, d, "lineitem")
