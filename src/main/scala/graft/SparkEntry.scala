@@ -822,6 +822,37 @@ object SparkEntry {
           coalesce(every(col("nfp") === 1), lit(true)).as("all_consistent"))
     }),
 
+    // cluster resolution over REAL mined pairs (MinHash-LSH, not synthetic
+    // chains), self-verifying: the clustering must satisfy the closure
+    // invariants regardless of which pairs the miner produced — (1) both
+    // ends of every mined pair share a cluster_id, (2) every cluster_id is
+    // itself a member of its cluster (the canonical exists), (3) the
+    // canonical is the min member id. Oracle pins the booleans.
+    "dd_cluster_lsh_check" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",
+        estThreshold = 0.2)
+      val clusters = Dedup.dupClusters(pairs)
+      val closed = pairs
+        .join(clusters.select(col("id").as("id_a"), col("cluster_id").as("ca")), Seq("id_a"))
+        .join(clusters.select(col("id").as("id_b"), col("cluster_id").as("cb")), Seq("id_b"))
+        .agg((count(lit(1)) > 0).as("has_pairs"),
+          coalesce(every(col("ca") === col("cb")), lit(false)).as("pairs_closed"))
+      val canon = clusters.groupBy("cluster_id")
+        .agg(min(col("id")).as("min_id"),
+          max(when(col("id") === col("cluster_id"), 1).otherwise(0)).as("self"))
+        .agg(coalesce(every(col("self") === 1), lit(false)).as("canonical_is_member"),
+          coalesce(every(col("cluster_id") === col("min_id")), lit(false))
+            .as("canonical_is_min"))
+      // evaluate WHILE the mined pairs + clusters are still cached, then
+      // release both and return the 1-row verdict as a literal frame
+      val row = closed.crossJoin(canon).head()
+      pairs.unpersist(); clusters.unpersist()
+      import s.implicits._
+      Seq((row.getBoolean(0), row.getBoolean(1), row.getBoolean(2),
+        row.getBoolean(3)))
+        .toDF("has_pairs", "pairs_closed", "canonical_is_member", "canonical_is_min")
+    }),
+
     // duplicate-CLUSTER resolution: connected components (large-star /
     // small-star) over a deterministic pair graph with real multi-hop
     // structure — consecutive doc_ids within a source are chained except
