@@ -125,6 +125,24 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__event_ts", "__content_hash")
 
+  /** Streaming quarantine feed: rows failing ANY row-level rule of the YAML
+    * suite, tagged with the violated rule names — the live counterpart of
+    * the batch `Validator.quarantineSplit` routing (same shared predicates,
+    * same `failed_rules` contract). Stateless (pure filter + projection in
+    * append mode): attach it as a second sink next to `validateStream`'s
+    * windowed verdicts and the quarantine parquet fills continuously while
+    * counts aggregate. */
+  def quarantineStream(table: DataFrame, cfg: graft.config.SuiteConfig): DataFrame = {
+    val rcfg = graft.checks.Checks.resolveDictRules(table.sparkSession, cfg)
+    val (flagged, rowRules) = graft.checks.Checks.withFlags(table, rcfg.rules)
+    require(rowRules.nonEmpty, "quarantineStream needs at least one row-level rule")
+    val okAll = rowRules.map(r => col(graft.checks.Checks.flagCol(r.name))).reduce(_ && _)
+    val failedList = array_compact(array(rowRules.map(r =>
+      when(!col(graft.checks.Checks.flagCol(r.name)), lit(r.name))): _*))
+    flagged.filter(!okAll)
+      .select(table.columns.map(col) :+ failedList.as("failed_rules"): _*)
+  }
+
   /** Streaming distribution drift: per event-time window, the histogram of
     * `valueCol` (same binning as the batch `Drift.histogram`) compared
     * against a driver-side baseline histogram with PSI + KS, emitting one

@@ -285,6 +285,61 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming quarantine feed matches the batch routing row-for-row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-quar").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val cfg = graft.config.RuleConfig.loadYaml(
+      """table:
+        |  name: events
+        |  partition_column: event_type
+        |  columns:
+        |    event_id: {type: bigint, nullable: false}
+        |    ts: {type: timestamp, nullable: false}
+        |    user_id: {type: bigint, nullable: false}
+        |    event_type: {type: string, nullable: false}
+        |    value: {type: double, nullable: true}
+        |    props: {type: string, nullable: true}
+        |rules:
+        |  - name: value_not_null
+        |    description: value must be present
+        |    kind: not_null
+        |    column: value
+        |  - name: value_range
+        |    description: value within [0, 1000]
+        |    kind: range
+        |    column: value
+        |    min: 0
+        |    max: 1000
+        |  - name: type_known
+        |    description: event_type in the known set
+        |    kind: referential
+        |    column: event_type
+        |    values: [click, view, purchase]
+        |""".stripMargin)
+    val stream = StreamOps.readEvents(spark, dir, schema)
+    val quar = StreamOps.quarantineStream(stream, cfg)
+    val q = quar.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("quar_feed").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("quar_feed")
+      val batch = spark.read.parquet(s"$dir/events.parquet")
+      val expectBad = batch.filter(col("value").isNull ||
+        col("value") < 0 || col("value") > 1000 ||
+        !col("event_type").isin("click", "view", "purchase"))
+      assert(out.count() == expectBad.count() && out.count() > 0)
+      // tags exact: value_not_null iff null, value_range iff non-null oob
+      assert(out.filter(array_contains(col("failed_rules"), "value_not_null") =!=
+        col("value").isNull).count() == 0)
+      assert(out.filter(array_contains(col("failed_rules"), "value_range") =!=
+        (col("value").isNotNull && (col("value") < 0 || col("value") > 1000)))
+        .count() == 0)
+      assert(out.columns.toSeq == (batch.columns :+ "failed_rules").toSeq)
+    } finally q.stop()
+  }
+
   test("psiExpr/ksExpr parity with the driver drift math") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
