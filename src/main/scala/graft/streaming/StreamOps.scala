@@ -108,6 +108,26 @@ object StreamOps {
     graft.lineage.Manifest.append(spark, manifestPath, entries)
   }
 
+  /** foreachBatch sink for [[driftStream]] output: one manifest entry per
+    * emitted window per micro-batch, partition key "<window start>", rule
+    * name `ruleName`, psi/ks in the detail — the drift analogue of
+    * [[verdictManifestSink]] (same lineage-not-resume contract; rows are
+    * O(windows) per batch so the collect is bounded). */
+  def driftManifestSink(manifestPath: String, runId: String,
+      ruleName: String = "stream_drift"): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val entries = batch.collect().toSeq.map { row =>
+        val win = row.getStruct(row.fieldIndex("window"))
+        graft.lineage.Manifest.Entry(runId, s"${win.get(0)}", ruleName,
+          if (row.getBoolean(row.fieldIndex("pass"))) "pass" else "fail",
+          row.getLong(row.fieldIndex("n")),
+          if (row.getBoolean(row.fieldIndex("pass"))) 0L else 1L, 0L, 0L,
+          f"psi=${row.getDouble(row.fieldIndex("psi"))}%.6f;" +
+            f"ks=${row.getDouble(row.fieldIndex("ks"))}%.6f;batch=$batchId")
+      }
+      graft.lineage.Manifest.append(batch.sparkSession, manifestPath, entries)
+  }
+
   /** Streaming exact dedup: drop rows whose content hash was already seen,
     * state bounded by the watermark (a duplicate arriving later than the
     * watermark window is passed through — the documented trade of bounded

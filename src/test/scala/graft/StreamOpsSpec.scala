@@ -340,6 +340,31 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming drift verdicts land in the manifest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-driftm").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val mp = java.nio.file.Files.createTempDirectory("graft-stream-driftm2")
+      .toString + "/manifest"
+    val stream = StreamOps.readEvents(spark, dir, schema)
+    // an impossible baseline (all mass in the TOP bin, where real event
+    // values are sparse) fails every window
+    val skew = Array.tabulate(6)(i => if (i == 5) 1000.0 else 0.0)
+    val drift = StreamOps.driftStream(stream, "value", "ts", skew, 0.0, 1000.0,
+      window_ = "7 days", watermark = "365 days")
+    val q = drift.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch(StreamOps.driftManifestSink(mp, "drift-run-1"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val m = graft.lineage.Manifest.read(spark, mp)
+      .filter(col("runId") === "drift-run-1" && col("rule") === "stream_drift")
+      .collect()
+    assert(m.nonEmpty)
+    assert(m.forall(r => r.getAs[String]("verdict") == "fail"))
+    assert(m.forall(r => r.getAs[String]("detail").contains("psi=")))
+  }
+
   test("psiExpr/ksExpr parity with the driver drift math") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
