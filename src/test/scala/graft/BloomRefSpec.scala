@@ -33,6 +33,14 @@ class BloomRefSpec extends SparkTestBase {
       s"missed $missed of 10000 true violations at fpp=0.01")
   }
 
+  test("bloom build is bit-identical across partitionings (cluster-size determinism)") {
+    val dict = (0 until 5000).map(i => s"k$i").toDF("k")
+    val a = Checks.dictBloom(dict.repartition(1), "k", 5000, 0.01)
+    val b = Checks.dictBloom(dict.repartition(13), "k", 5000, 0.01)
+    assert(java.util.Arrays.equals(a, b),
+      "merge is a bitwise OR — partitioning must not change the filter")
+  }
+
   test("null values pass, matching the exact referential semantics") {
     val dict = Seq("a", "b").toDF("k")
     val bits = Checks.dictBloom(dict, "k", 10, 0.01)
