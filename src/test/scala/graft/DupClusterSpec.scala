@@ -69,6 +69,16 @@ class DupClusterSpec extends SparkTestBase {
       7L -> 7L, 8L -> 7L))
   }
 
+  test("string doc ids cluster to the lexicographic min (north-rule id type)") {
+    val pairs = Seq(("doc-b", "doc-c"), ("doc-c", "doc-a"), ("doc-x", "doc-y"))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs)
+    val got = out.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    out.unpersist()
+    assert(got == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a", "doc-c" -> "doc-a",
+      "doc-x" -> "doc-x", "doc-y" -> "doc-x"))
+  }
+
   test("exhausting maxIter throws instead of returning wrong labels") {
     val path = (0L until 200L).sliding(2).map(s => (s(0), s(1))).toSeq
     intercept[IllegalStateException] {
