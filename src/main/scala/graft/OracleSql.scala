@@ -421,6 +421,52 @@ object OracleSql {
         |     AND (n_chars < 50 OR n_chars > 400)) AS n_quar_chars,
         | (SELECT count(*) FROM documents WHERE lang IS NULL) AS n_quar_lang""".stripMargin,
 
+    // duplicate-aware quarantine: replay the full routing — recursive-CTE
+    // transitive closure of the chain pairs gives each node's cluster min;
+    // non-canonical members are quarantined with duplicate_of = the min,
+    // alongside the row-rule failures (range passes nulls; not_null is the
+    // null check)
+    "v_quarantine_dup" ->
+      """WITH RECURSIVE
+        |ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ranked a JOIN ranked b
+        |    ON b.source = a.source AND b.rn = a.rn + 1
+        |  WHERE a.rn % 5 <> 0),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS node FROM edges),
+        |walk(node, reach) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+        |clusters AS (
+        |  SELECT node AS id, min(reach) AS cluster_id FROM walk GROUP BY node),
+        |dup AS (SELECT id, cluster_id FROM clusters WHERE id <> cluster_id),
+        |f AS (
+        |  SELECT d.doc_id,
+        |    (d.n_chars IS NULL OR d.n_chars BETWEEN 50 AND 400) AS ok_chars,
+        |    (d.lang IS NOT NULL) AS ok_lang,
+        |    dup.cluster_id AS duplicate_of
+        |  FROM documents d LEFT JOIN dup ON dup.id = d.doc_id)
+        |SELECT
+        | CAST(count(*) FILTER (WHERE ok_chars AND ok_lang
+        |   AND duplicate_of IS NULL) AS BIGINT) AS n_clean,
+        | CAST(count(*) FILTER (WHERE NOT (ok_chars AND ok_lang
+        |   AND duplicate_of IS NULL)) AS BIGINT) AS n_quar,
+        | CAST(count(*) FILTER (WHERE duplicate_of IS NOT NULL) AS BIGINT)
+        |   AS n_dup_routed,
+        | CAST(coalesce(sum(duplicate_of), 0) AS BIGINT) AS dup_of_sum,
+        | CAST(coalesce(sum(doc_id * duplicate_of), 0) AS BIGINT) AS dup_link_sum,
+        | CAST(count(*) FILTER (WHERE NOT ok_chars) AS BIGINT) AS n_quar_chars,
+        | CAST(count(*) FILTER (WHERE NOT ok_lang) AS BIGINT) AS n_quar_lang
+        |FROM f""".stripMargin,
+
     "v_histogram" ->
       """SELECT source,
         | CAST(least(greatest(floor(n_chars / 60.0), 0), 9) AS INT) AS bin,

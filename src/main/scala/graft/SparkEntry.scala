@@ -61,6 +61,57 @@ object SparkEntry {
   private val ivfIndexPath =
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
+  /** Once-per-JVM cache of the v_quarantine_split output dir, keyed by
+    * source dir — same rationale as [[ivfIndexPath]]: the split is
+    * deterministic per input, and plan-only callers invoke every query
+    * closure, so an uncached write would leak a temp dir (and re-do two
+    * parquet writes) per invocation. */
+  private val qsplitPath =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  /** Same cache, for the duplicate-aware split's output dir. */
+  private val qsplitDupPath =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
+  /** Deterministic within-source chain pairs over documents (consecutive
+    * doc_ids by source rank, broken every 5th link) — the pair fixture whose
+    * transitive closure a DuckDB recursive CTE can replay exactly; shared by
+    * dd_cluster_cc and v_quarantine_dup. */
+  private def chainPairs(docs: DataFrame): DataFrame = {
+    val r = docs.select(col("doc_id"), col("source"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("doc_id"))))
+    r.select(col("source"), col("rn"), col("doc_id").as("id_a"))
+      .join(r.select(col("source"), (col("rn") - 1).as("rn"),
+        col("doc_id").as("id_b")), Seq("source", "rn"))
+      .filter(pmod(col("rn"), lit(5)) =!= 0)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** The documents row-rule suite used by both quarantine queries. */
+  private val docsQuarantineYaml =
+    """table:
+      |  name: documents
+      |  partition_column: source
+      |  columns:
+      |    doc_id: {type: bigint, nullable: false}
+      |    text: {type: string, nullable: true}
+      |    lang: {type: string, nullable: true}
+      |    source: {type: string, nullable: true}
+      |    n_chars: {type: bigint, nullable: true}
+      |rules:
+      |  - name: chars_range
+      |    description: n_chars within [50, 400]
+      |    kind: range
+      |    column: n_chars
+      |    min: 50
+      |    max: 400
+      |  - name: lang_present
+      |    description: lang must not be null
+      |    kind: not_null
+      |    column: lang
+      |""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ======== §2.1 element-wise math ========
@@ -617,31 +668,13 @@ object SparkEntry {
     // sinks, so the query checks the routing itself, not just the counters.
     // Range rules pass nulls; not_null is the null check — mirrored in SQL.
     "v_quarantine_split" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-qsplit").toString
-      val cfg = graft.config.RuleConfig.loadYaml(
-        """table:
-          |  name: documents
-          |  partition_column: source
-          |  columns:
-          |    doc_id: {type: bigint, nullable: false}
-          |    text: {type: string, nullable: true}
-          |    lang: {type: string, nullable: true}
-          |    source: {type: string, nullable: true}
-          |    n_chars: {type: bigint, nullable: true}
-          |rules:
-          |  - name: chars_range
-          |    description: n_chars within [50, 400]
-          |    kind: range
-          |    column: n_chars
-          |    min: 50
-          |    max: 400
-          |  - name: lang_present
-          |    description: lang must not be null
-          |    kind: not_null
-          |    column: lang
-          |""".stripMargin)
-      graft.engine.Validator.quarantineSplit(s, t(s, d, "documents"), cfg,
-        s"$dir/clean", s"$dir/quar")
+      val cfg = graft.config.RuleConfig.loadYaml(docsQuarantineYaml)
+      val dir = Option(qsplitPath.get()).filter(_._1 == d).map(_._2).getOrElse {
+        val p = java.nio.file.Files.createTempDirectory("graft-qsplit").toString
+        graft.engine.Validator.quarantineSplit(s, t(s, d, "documents"), cfg,
+          s"$p/clean", s"$p/quar")
+        qsplitPath.set((d, p)); p
+      }
       val clean = s.read.parquet(s"$dir/clean")
       val quar = s.read.parquet(s"$dir/quar")
       clean.agg(count(lit(1)).as("n_clean"))
@@ -790,7 +823,8 @@ object SparkEntry {
       val planted = fps.filter(col("doc_id") < 20)
         .select((col("doc_id") + 100000).as("doc_id"),
           col("fp").bitwiseXOR(mask).as("fp"))
-      val pairs = Dedup.hammingPairsFromFps(fps.unionByName(planted),
+      val all = fps.unionByName(planted)
+      val pairs = Dedup.hammingPairsFromFps(all,
         "doc_id", "fp", maxHamming = 3, bands = 4)
       val expected = fps.filter(col("doc_id") < 20)
         .select(col("doc_id").as("id_a"), (col("doc_id") + 100000).as("id_b"),
@@ -801,8 +835,20 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n_planted"),
           coalesce(every(coalesce(col("hamming") === col("h_exp"), lit(false))),
             lit(false)).as("all_recovered"))
-        .crossJoin(pairs.agg(
-          coalesce(every(col("hamming") <= 3), lit(true)).as("hamming_ok")))
+        // independent verdict: re-derive each returned pair's distance from
+        // the RAW fingerprints (popcount of xor) and demand it match the
+        // pipeline's `hamming` — a pair surviving with a wrong distance or
+        // a mixed-up id fails here even though it passed the band join's
+        // own ≤ maxHamming filter (which made the old `every(hamming <= 3)`
+        // formulation vacuously true)
+        .crossJoin(pairs
+          .join(all.select(col("doc_id").as("id_a"), col("fp").as("rfp_a")),
+            Seq("id_a"))
+          .join(all.select(col("doc_id").as("id_b"), col("fp").as("rfp_b")),
+            Seq("id_b"))
+          .agg(coalesce(every(
+            bit_count(col("rfp_a").bitwiseXOR(col("rfp_b"))).cast("int")
+              === col("hamming")), lit(false)).as("hamming_ok")))
     }),
 
     // oracle-backed simhash evidence: planted exact-duplicate texts (new
@@ -860,16 +906,39 @@ object SparkEntry {
     // single-hop "group by pair" cannot resolve. The oracle recomputes the
     // same chains and closes them with a recursive CTE, so every node's
     // cluster_id (= component min) is hash-checked transitively.
-    "dd_cluster_cc" -> ((s, d) => {
-      val r = t(s, d, "documents").select(col("doc_id"), col("source"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("source")).orderBy(col("doc_id"))))
-      val pairs = r.select(col("source"), col("rn"), col("doc_id").as("id_a"))
-        .join(r.select(col("source"), (col("rn") - 1).as("rn"),
-          col("doc_id").as("id_b")), Seq("source", "rn"))
-        .filter(pmod(col("rn"), lit(5)) =!= 0)
-        .select(col("id_a"), col("id_b"))
-      Dedup.dupClusters(pairs) // (id, cluster_id); persisted — see jaccardPairs contract
+    "dd_cluster_cc" -> ((s, d) =>
+      // (id, cluster_id); persisted — see jaccardPairs contract
+      Dedup.dupClusters(chainPairs(t(s, d, "documents")))),
+
+    // duplicate-aware quarantine: row-rule failures AND non-canonical
+    // duplicate-cluster members (transitive closure of the deterministic
+    // chain pairs) routed to the quarantine sink with duplicate_of tags;
+    // oracle replays the routing in SQL (recursive-CTE closure) and the
+    // engine side re-reads BOTH written sinks, so the query checks the
+    // actual routing including the duplicate_of linkage sums
+    "v_quarantine_dup" -> ((s, d) => {
+      val dir = Option(qsplitDupPath.get()).filter(_._1 == d).map(_._2).getOrElse {
+        val p = java.nio.file.Files.createTempDirectory("graft-qsplit-dup").toString
+        val cfg = graft.config.RuleConfig.loadYaml(docsQuarantineYaml)
+        graft.engine.Validator.quarantineSplitDupAware(
+          s, t(s, d, "documents"), cfg, chainPairs(t(s, d, "documents")),
+          "doc_id", s"$p/clean", s"$p/quar")
+        qsplitDupPath.set((d, p)); p
+      }
+      val clean = s.read.parquet(s"$dir/clean")
+      val quar = s.read.parquet(s"$dir/quar")
+      clean.agg(count(lit(1)).as("n_clean"))
+        .crossJoin(quar.agg(
+          count(lit(1)).as("n_quar"),
+          coalesce(sum(when(col("duplicate_of").isNotNull, 1L).otherwise(0L)),
+            lit(0L)).as("n_dup_routed"),
+          coalesce(sum(col("duplicate_of")), lit(0L)).as("dup_of_sum"),
+          coalesce(sum(col("doc_id") * col("duplicate_of")), lit(0L))
+            .as("dup_link_sum"),
+          coalesce(sum(when(array_contains(col("failed_rules"), "chars_range"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_quar_chars"),
+          coalesce(sum(when(array_contains(col("failed_rules"), "lang_present"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_quar_lang")))
     }),
 
     // benchmark-contamination detection (13-gram overlap vs an eval set),

@@ -51,14 +51,6 @@ object Validator {
   private[graft] def partitionTag(p: String): String =
     f"${graft.functions.expr.Mix.splitmix64(p.hashCode.toLong) >>> 32}%08x"
 
-  /** Partition-granular checkpointed execution: validates one table
-    * partition per job, appending the manifest AFTER each — so a crash at
-    * any point loses at most one partition of work and the re-run with the
-    * same runId resumes exactly at the first unfinished partition. `run()`
-    * alone checkpoints only at the end (whole-table atomicity); this mode
-    * trades a little scheduling overhead for real crash-resume granularity,
-    * the right default for 10^12-row tables. Partition pruning on the Hive
-    * layout means each sub-run scans only its own directory. */
   /** Quarantine split: route rows failing ANY row-level rule of the suite
     * to a quarantine sink and passing rows to the clean sink, in ONE flag
     * scan of the input (the same codegen'd projection the validator runs —
@@ -79,13 +71,67 @@ object Validator {
       cfg0: SuiteConfig,
       cleanOut: String,
       quarantineOut: String,
-      partitionByCol: Boolean = true): (Long, Long) = {
+      partitionByCol: Boolean = true): (Long, Long) =
+    quarantineImpl(spark, table, cfg0, cleanOut, quarantineOut,
+      partitionByCol, dup = None)
+
+  /** Duplicate-aware quarantine: [[quarantineSplit]] plus routing of
+    * non-canonical duplicate-cluster members. `pairs` is a near-duplicate
+    * pair frame from any of the miners (MinHash-LSH, SimHash banding,
+    * Jaccard, embedding); its transitive closure is resolved with
+    * [[graft.operators.Dedup.dupClusters]] and every member that is NOT its
+    * cluster's canonical (min id) is quarantined with a
+    * `duplicate_of = <canonical id>` tag and `"duplicate"` in its
+    * `failed_rules` — the row-routable slice of relational validation
+    * (a duplicate PAIR is not row-routable, but "non-canonical member of a
+    * resolved cluster" names exactly one row).
+    *
+    * Scale shape: the table is still read ONCE (the flag scan); the drop
+    * list joins against the scan output by id — a plain shuffled left join
+    * on purpose, since the non-canonical set grows with the corpus (AQE
+    * still broadcasts it when it is actually small — same reasoning as
+    * `resolveDuplicates`). */
+  def quarantineSplitDupAware(
+      spark: SparkSession,
+      table: DataFrame,
+      cfg0: SuiteConfig,
+      pairs: DataFrame,
+      idCol: String,
+      cleanOut: String,
+      quarantineOut: String,
+      partitionByCol: Boolean = true,
+      aCol: String = "id_a",
+      bCol: String = "id_b"): (Long, Long) = {
+    val clusters = graft.operators.Dedup.dupClusters(pairs, aCol, bCol)
+    try {
+      val dropTags = clusters.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("__dup_id"), col("cluster_id").as("__duplicate_of"))
+      quarantineImpl(spark, table, cfg0, cleanOut, quarantineOut,
+        partitionByCol, dup = Some((dropTags, idCol)))
+    } finally clusters.unpersist()
+  }
+
+  private def quarantineImpl(
+      spark: SparkSession,
+      table: DataFrame,
+      cfg0: SuiteConfig,
+      cleanOut: String,
+      quarantineOut: String,
+      partitionByCol: Boolean,
+      dup: Option[(DataFrame, String)]): (Long, Long) = {
     val cfg = Checks.resolveDictRules(spark, cfg0)
-    val (flagged, rowRules) = Checks.withFlags(table, cfg.rules)
+    val (flagged0, rowRules) = Checks.withFlags(table, cfg.rules)
     require(rowRules.nonEmpty, "quarantineSplit needs at least one row-level rule")
-    val okAll = rowRules.map(r => col(Checks.flagCol(r.name))).reduce(_ && _)
-    val failedList = array_compact(array(rowRules.map(r =>
-      when(!col(Checks.flagCol(r.name)), lit(r.name))): _*))
+    val flagged = dup.fold(flagged0) { case (tags, idCol) =>
+      flagged0.join(tags, flagged0(idCol) === tags("__dup_id"), "left")
+        .drop("__dup_id")
+    }
+    val okRules = rowRules.map(r => col(Checks.flagCol(r.name))).reduce(_ && _)
+    val okAll = dup.fold(okRules)(_ => okRules && col("__duplicate_of").isNull)
+    val failedEntries = rowRules.map(r =>
+      when(!col(Checks.flagCol(r.name)), lit(r.name))) ++
+      dup.map(_ => when(col("__duplicate_of").isNotNull, lit("duplicate")))
+    val failedList = array_compact(array(failedEntries: _*))
     val routed = flagged
       .withColumn("__ok", okAll)
       .withColumn("__failed_rules", when(!okAll, failedList))
@@ -97,8 +143,10 @@ object Validator {
         if (partitionByCol) w.partitionBy(cfg.partitionColumn) else w
       }
       writer(routed.filter(col("__ok")).select(dataCols: _*)).parquet(cleanOut)
-      writer(routed.filter(!col("__ok"))
-        .select(dataCols :+ col("__failed_rules").as("failed_rules"): _*))
+      val quarCols = dataCols ++
+        Seq(col("__failed_rules").as("failed_rules")) ++
+        dup.map(_ => col("__duplicate_of").as("duplicate_of"))
+      writer(routed.filter(!col("__ok")).select(quarCols: _*))
         .parquet(quarantineOut)
       val counts = routed.groupBy(col("__ok")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getBoolean(0) -> r.getLong(1)).toMap
@@ -106,6 +154,14 @@ object Validator {
     } finally routed.unpersist()
   }
 
+  /** Partition-granular checkpointed execution: validates one table
+    * partition per job, appending the manifest AFTER each — so a crash at
+    * any point loses at most one partition of work and the re-run with the
+    * same runId resumes exactly at the first unfinished partition. `run()`
+    * alone checkpoints only at the end (whole-table atomicity); this mode
+    * trades a little scheduling overhead for real crash-resume granularity,
+    * the right default for 10^12-row tables. Partition pruning on the Hive
+    * layout means each sub-run scans only its own directory. */
   def runPerPartition(
       spark: SparkSession,
       table: DataFrame,

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines, over a
@@ -27,6 +26,29 @@ object Dedup {
   /** Canonical text normalization shared by all fingerprints. */
   def normText(c: Column): Column =
     regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  /** Drop every row whose bucket has more than `maxBucket` members — the
+    * shared pathological-bucket guard of the banded/bucketed miners.
+    *
+    * Two-phase on purpose: `groupBy(bucket).count` is map-side combinable
+    * (the hot bucket contributes ONE partial count per input partition, not
+    * its rows), and the few over-cap KEYS — at most n/maxBucket of them by
+    * construction, 16 B each — are broadcast back as a LEFT ANTI hash join,
+    * so over-cap rows are filtered IN PLACE on the scan side. The previous
+    * `count(1).over(Window.partitionBy(bucket))` formulation shuffled every
+    * member of the pathological bucket through a single window task before
+    * dropping it — the very 10⁸-member boilerplate bucket the cap exists to
+    * defend against became the hotspot. (A fully degenerate corpus where
+    * EVERY bucket is over-cap would make the broadcast side large, but then
+    * the output is empty and the job should be questioned, not completed.) */
+  private[graft] def capBuckets(keyed: DataFrame, bucketCol: String,
+      maxBucket: Int): DataFrame = {
+    val overCap = keyed.groupBy(col(bucketCol))
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") > maxBucket)
+      .select(col(bucketCol))
+    keyed.join(broadcast(overCap), Seq(bucketCol), "left_anti")
+  }
 
   // ---------- exact dedup ----------
 
@@ -119,21 +141,6 @@ object Dedup {
 
   // ---------- benchmark contamination ----------
 
-  /** Benchmark-contamination detection: corpus documents sharing at least
-    * one word n-gram with an evaluation/benchmark set (n = 13 is the
-    * industry-standard contamination window), with the count of distinct
-    * shared n-grams per document. Decontamination = anti-join the flagged
-    * ids (`resolveContamination`).
-    *
-    * Scale shape: the benchmark side is an EVAL SET — tiny next to the
-    * corpus — so its distinct n-grams are broadcast and the corpus-side
-    * explode + join + per-doc count all stay map-side: ZERO corpus shuffle
-    * except the final per-doc aggregation of the (rare) matches. With
-    * `broadcastBench = false` the join strategy is left to AQE for
-    * out-sized benchmark collections. Documents shorter than n words
-    * contribute their full text as one sub-n-gram (wordShingles semantics)
-    * — a short doc fully contained in the benchmark still flags, which is
-    * the conservative direction for decontamination. */
   /** Token n-gram shingles over an `array<int>` column (distinct), rendered
     * as space-joined strings — the tokens-payload analogue of
     * [[wordShingles]] for PRE-TOKENIZED corpora (the north rule's table
@@ -164,6 +171,21 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Benchmark-contamination detection: corpus documents sharing at least
+    * one word n-gram with an evaluation/benchmark set (n = 13 is the
+    * industry-standard contamination window), with the count of distinct
+    * shared n-grams per document. Decontamination = anti-join the flagged
+    * ids (`resolveContamination`).
+    *
+    * Scale shape: the benchmark side is an EVAL SET — tiny next to the
+    * corpus — so its distinct n-grams are broadcast and the corpus-side
+    * explode + join + per-doc count all stay map-side: ZERO corpus shuffle
+    * except the final per-doc aggregation of the (rare) matches. With
+    * `broadcastBench = false` the join strategy is left to AQE for
+    * out-sized benchmark collections. Documents shorter than n words
+    * contribute their full text as one sub-n-gram (wordShingles semantics)
+    * — a short doc fully contained in the benchmark still flags, which is
+    * the conservative direction for decontamination. */
   def contamination(corpus: DataFrame, textCol: String, idCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 13,
       broadcastBench: Boolean = true): DataFrame = {
@@ -240,9 +262,7 @@ object Dedup {
     val keyed = sigs.select(col("id"),
       explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
     // cap pathological buckets (all-identical boilerplate): documented guard
-    val sized = keyed.withColumn("bn",
-      count(lit(1)).over(Window.partitionBy(col("bk"))))
-      .filter(col("bn") <= maxBucket)
+    val sized = capBuckets(keyed, "bk", maxBucket)
     val cand = sized.select(col("bk"), col("id").as("id_a"))
       .join(sized.select(col("bk"), col("id").as("id_b")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
@@ -330,9 +350,7 @@ object Dedup {
     val base = fps.select(col(idCol).as("id"), col(fpCol).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = base.select(col("id"), explode(bandsOf(col("fp"), bands)).as("bk"))
-    val sized = keyed.withColumn("bn",
-      count(lit(1)).over(Window.partitionBy(col("bk"))))
-      .filter(col("bn") <= maxBucket)
+    val sized = capBuckets(keyed, "bk", maxBucket)
     val cand = sized.select(col("bk"), col("id").as("id_a"))
       .join(sized.select(col("bk"), col("id").as("id_b")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))
@@ -366,9 +384,12 @@ object Dedup {
   // ---------- embedding near-dup ----------
 
   /** Cosine similarity between two float-array columns (codegen'd HOFs).
-    * Zero-norm vectors (0/0 = NaN, which Spark orders ABOVE all doubles in
-    * desc sorts) pin to -1: undefined similarity must never win a top-k or
-    * pass a near-dup threshold. */
+    * Zero-norm vectors pin to -1: undefined similarity must never win a
+    * top-k or pass a near-dup threshold. The zero check is an explicit
+    * short-circuiting `when` — under ANSI mode (Spark 4 default) a bare
+    * `dot / 0.0` THROWS DIVIDE_BY_ZERO instead of yielding NaN, so one
+    * all-zero embedding in 10^12 rows would fail the task 4x and kill the
+    * job; `nanvl` alone never gets a chance to catch it. */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -376,7 +397,8 @@ object Dedup {
       lit(0.0), (acc, v) => acc + v))
     val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
-    nanvl(dot / (na * nb), lit(-1.0))
+    val denom = na * nb
+    when(denom === 0.0, lit(-1.0)).otherwise(nanvl(dot / denom, lit(-1.0)))
   }
 
   /** Embedding near-duplicate pairs above a cosine threshold, bucketed by a
@@ -398,9 +420,7 @@ object Dedup {
       code.as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keyed = coded.select(col("id"), col("bucket"))
-    val sized = keyed.withColumn("bn",
-      count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("bn") <= maxBucket)
+    val sized = capBuckets(keyed, "bucket", maxBucket)
     val cand = sized.select(col("bucket"), col("id").as("id_a"))
       .join(sized.select(col("bucket"), col("id").as("id_b")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))

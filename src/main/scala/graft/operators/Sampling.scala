@@ -30,8 +30,11 @@ object Sampling {
     require(trainPct >= 0 && valPct >= 0 && trainPct + valPct <= 1.0,
       s"splitColumn: invalid fractions train=$trainPct val=$valPct")
     val b = hashBucket(id)
-    when(b < (trainPct * 10000).toLong, "train")
-      .when(b < ((trainPct + valPct) * 10000).toLong, "val")
+    // round, don't truncate: 0.7*10000 is 6999.999... in IEEE doubles — a
+    // toLong truncation would shift the train boundary to 6999 and disagree
+    // with any oracle that writes 7000
+    when(b < math.round(trainPct * 10000), "train")
+      .when(b < math.round((trainPct + valPct) * 10000), "val")
       .otherwise("test")
   }
 
@@ -40,7 +43,7 @@ object Sampling {
     * composes with partition pruning, zero shuffle. */
   def sampled(df: DataFrame, idCol: String, rate: Double): DataFrame = {
     require(rate >= 0 && rate <= 1.0, s"sampled: rate must be in [0,1] ($rate)")
-    df.filter(hashBucket(col(idCol)) < (rate * 10000).toLong)
+    df.filter(hashBucket(col(idCol)) < math.round(rate * 10000))
   }
 
   /** Stratified deterministic sample: per-stratum keep rates (strata not
@@ -56,6 +59,6 @@ object Sampling {
       case (acc, (stratum, r)) =>
         when(col(strataCol) === lit(stratum), lit(r)).otherwise(acc)
     }
-    df.filter(hashBucket(col(idCol)) < (rateCol * 10000).cast("long"))
+    df.filter(hashBucket(col(idCol)) < round(rateCol * 10000).cast("long"))
   }
 }

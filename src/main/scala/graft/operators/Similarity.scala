@@ -51,10 +51,14 @@ object Similarity {
   def cosineTo(vec: Column, query: Seq[Double]): Column = {
     val q = typedlit(query)
     val qn = math.sqrt(query.map(x => x * x).sum)
-    // zero-norm vectors give 0/0 = NaN, and Spark orders NaN ABOVE every
-    // double — a single all-zero embedding would outrank every true
-    // neighbor in a cos-desc top-k; pin undefined similarity to -1
-    nanvl(dot(vec, q) / (norm(vec) * lit(qn)), lit(-1.0))
+    // zero-norm vectors pin to -1 via a short-circuiting `when`: under ANSI
+    // mode (Spark 4 default) division by a zero norm THROWS rather than
+    // yielding the NaN that `nanvl` would catch — and NaN sorts ABOVE every
+    // double, so even non-ANSI an unguarded zero vector would outrank every
+    // true neighbor in a cos-desc top-k
+    val denom = norm(vec) * lit(qn)
+    when(denom === 0.0, lit(-1.0))
+      .otherwise(nanvl(dot(vec, q) / denom, lit(-1.0)))
   }
 
   /** Brute-force top-k by cosine to a single query vector. Compiles to
@@ -86,9 +90,8 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       code.as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cIds = c.select(col("bucket"), col("corpus_id"))
-      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("bucket"))))
-      .filter(col("bn") <= maxBucket).drop("bn")
+    val cIds = Dedup.capBuckets(
+      c.select(col("bucket"), col("corpus_id")), "bucket", maxBucket)
     val cand = q.select(col("bucket"), col("query_id"))
       .join(cIds, Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))

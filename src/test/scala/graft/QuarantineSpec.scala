@@ -65,6 +65,50 @@ class QuarantineSpec extends SparkTestBase {
       .exists(_.getName.startsWith("source=")))
   }
 
+  test("dup-aware split routes non-canonical cluster members, clean re-splits green") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quar-dup").toString
+    val table = SeqTableGen.generate(spark, 3000, plant = true)
+    val total = table.count()
+    def d(i: Long) = f"doc-$i%012d"
+    // clusters: chain {10,11,12}, pair {20,21}, and pair {30,1996} whose
+    // non-canonical member 1996 (residue 2 mod 997) ALSO fails tok_bounds
+    val pairs = Seq(
+      (d(10), d(11)), (d(11), d(12)), (d(20), d(21)), (d(30), d(1996)))
+      .toDF("id_a", "id_b")
+    val cfg = graft.config.RuleConfig.loadYaml(yaml)
+    val (nClean, nQuar) = Validator.quarantineSplitDupAware(spark, table, cfg,
+      pairs, "doc_id", s"$dir/clean", s"$dir/quar")
+    assert(nClean + nQuar == total && nQuar > 0)
+    val clean = spark.read.parquet(s"$dir/clean")
+    val quar = spark.read.parquet(s"$dir/quar")
+    assert(clean.count() == nClean && quar.count() == nQuar)
+    // every non-canonical member is quarantined, tagged with its canonical
+    val tags = quar.filter(col("duplicate_of").isNotNull)
+      .select("doc_id", "duplicate_of").as[(String, String)].collect().toMap
+    assert(tags == Map(
+      d(11) -> d(10), d(12) -> d(10), d(21) -> d(20), d(1996) -> d(30)))
+    // canonical members pass through to the clean side
+    Seq(10L, 20L, 30L).foreach(i =>
+      assert(clean.filter(col("doc_id") === d(i)).count() == 1))
+    // dup + rule failure carries BOTH tags; dup-only exactly the one tag
+    val both = quar.filter(col("doc_id") === d(1996))
+      .select("failed_rules").as[Seq[String]].head()
+    assert(both.contains("duplicate") && both.contains("tok_bounds"))
+    assert(quar.filter(col("doc_id") === d(11))
+      .select("failed_rules").as[Seq[String]].head() == Seq("duplicate"))
+    assert(quar.columns.sorted.toSeq ==
+      (table.columns ++ Seq("failed_rules", "duplicate_of")).sorted.toSeq)
+    // clean side revalidates green INCLUDING dup-awareness: re-splitting
+    // with the surviving-pair subset quarantines nothing (each cluster kept
+    // exactly its canonical, so no pair has both endpoints clean)
+    val survivingPairs = pairs
+      .join(clean.select(col("doc_id").as("id_a")), Seq("id_a"))
+      .join(clean.select(col("doc_id").as("id_b")), Seq("id_b"))
+    val (n2c, n2q) = Validator.quarantineSplitDupAware(spark, clean, cfg,
+      survivingPairs, "doc_id", s"$dir/clean2", s"$dir/quar2")
+    assert(n2q == 0 && n2c == nClean)
+  }
+
   test("suite with no row rules is rejected") {
     val cfg = graft.config.RuleConfig.loadYaml(
       """table:

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Similarity}
+
+/** Round-4 regressions: the bucket-cap rework (two-phase count + broadcast
+  * anti-join instead of a count-over-window that funneled the pathological
+  * bucket through one task) — semantics AND plan shape. */
+class Round4Spec extends SparkTestBase {
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+  import org.apache.spark.sql.execution.window.WindowExec
+  import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+  // sees through AQE wrappers AND the cache: the miners return persisted
+  // frames, so the interesting plan lives inside the InMemoryRelation — a
+  // naive walk would stop at InMemoryTableScan and vacuously find no window
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => a +: flatten(a.executedPlan)
+    case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+      im +: flatten(im.relation.cachedPlan)
+    // AQE query stages are LEAF nodes wrapping the materialized subtree
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: flatten(q.plan)
+    case other => other +: other.children.flatMap(flatten)
+  }
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): Seq[SparkPlan] =
+    flatten(df.queryExecution.executedPlan)
+
+  test("capBuckets: planted hot bucket is dropped, small buckets survive") {
+    // one boilerplate bucket with 3x the cap, 50 healthy buckets of 3
+    val hot = spark.range(300).select(lit("HOT").as("bk"), col("id"))
+    val ok = spark.range(150).select(
+      concat(lit("b"), (col("id") % 50).cast("string")).as("bk"), col("id"))
+    val keyed = hot.unionByName(ok)
+    val capped = Dedup.capBuckets(keyed, "bk", maxBucket = 100)
+    capped.persist()
+    assert(capped.count() == 150)
+    assert(capped.filter(col("bk") === "HOT").count() == 0)
+    assert(capped.filter(col("bk") === "b7").count() == 3)
+    // plan shape: the filter is a broadcast anti hash join — the keyed side
+    // (where the 300 hot rows live) is never exchanged on the bucket key
+    val join = finalPlan(capped).collectFirst { case j: BroadcastHashJoinExec => j }
+    assert(join.isDefined, "over-cap key filter must be a broadcast hash join")
+    capped.unpersist()
+  }
+
+  test("capBuckets boundary: a bucket of exactly maxBucket members is kept") {
+    val keyed = spark.range(100).select(lit("edge").as("bk"), col("id"))
+    assert(Dedup.capBuckets(keyed, "bk", maxBucket = 100).count() == 100)
+    assert(Dedup.capBuckets(keyed, "bk", maxBucket = 99).count() == 0)
+  }
+
+  test("hamming pairs: hot fingerprint bucket capped without a band-key window") {
+    // 500 identical fingerprints (every band collides) + one planted pair
+    val hot = spark.range(1000, 1500)
+      .select(col("id"), lit(0x0F0F0F0F0F0F0F0FL).as("fp"))
+    val pairItems = spark.createDataFrame(Seq(
+      (1L, 0x7777000011110000L), (2L, 0x7777000011110001L))).toDF("id", "fp")
+    val pairs = Dedup.hammingPairsFromFps(
+      hot.unionByName(pairItems), "id", "fp", maxHamming = 3, bands = 4,
+      maxBucket = 100)
+    // the boilerplate cluster is truncated (documented), the honest pair found
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq == Seq((1L, 2L, 1)))
+    assert(!finalPlan(pairs).exists(_.isInstanceOf[WindowExec]),
+      "bucket cap must not use a window over the band key")
+    pairs.unpersist()
+  }
+
+  test("minhash LSH / embedding near-dup plans carry no window at all") {
+    val docs = spark.range(60).select(col("id").as("doc_id"),
+      concat(lit("alpha beta gamma delta text "), (col("id") % 7).cast("string"))
+        .as("text"))
+    val mh = Dedup.minhashLshPairs(docs, "text", "doc_id", estThreshold = 0.3)
+    assert(!finalPlan(mh).exists(_.isInstanceOf[WindowExec]))
+    mh.unpersist()
+    val emb = spark.range(60).select(col("id"),
+      transform(sequence(lit(0), lit(7)),
+        i => ((col("id") % 5) * i).cast("float")).as("v"))
+    val nd = Dedup.embeddingNearDupPairs(emb, "v", "id", dim = 8, threshold = 0.9)
+    assert(!finalPlan(nd).exists(_.isInstanceOf[WindowExec]))
+    nd.unpersist()
+  }
+
+  test("lshTopK: only the per-query rank window remains (none on the bucket)") {
+    val emb = spark.range(80).select(col("id"),
+      transform(sequence(lit(0), lit(7)),
+        i => ((col("id") % 9) * i + 1).cast("float")).as("v"))
+    val out = Similarity.lshTopK(emb, emb.limit(5), "v", "id", dim = 8, k = 3)
+    val wins = finalPlan(out).collect { case w: WindowExec => w }
+    assert(wins.nonEmpty, "rank window expected")
+    assert(wins.forall(_.partitionSpec.map(_.sql).exists(_.contains("query_id"))),
+      s"window must partition by query_id, got: ${wins.map(_.partitionSpec.map(_.sql))}")
+    out.unpersist()
+  }
+}
