@@ -426,6 +426,14 @@ object OracleSql {
     // non-canonical members are quarantined with duplicate_of = the min,
     // alongside the row-rule failures (range passes nulls; not_null is the
     // null check)
+    // dims are what the engine ENCODED into real PNG/GIF/BMP bytes; the
+    // oracle replays the arithmetic, the engine must decode it back
+    "mm_image_decode" ->
+      """SELECT CAST(i AS BIGINT) AS id,
+        | CAST(8 + (i * 7) % 40 AS INT) AS width,
+        | CAST(5 + (i * 3) % 21 AS INT) AS height
+        |FROM range(0, 24) t(i)""".stripMargin,
+
     "v_quarantine_dup" ->
       """WITH RECURSIVE
         |ranked AS (
@@ -492,6 +500,44 @@ object OracleSql {
         |  LEFT JOIN ps ON ps.source = grid.source AND ps.bin = grid.bin
         |  LEFT JOIN g ON g.bin = grid.bin)
         |GROUP BY source""".stripMargin,
+
+    // snapshot-loop drift: baseline = the doc_id % 3 != 0 subset's histogram
+    // (what the engine published to parquet), current = the full table; PSI
+    // over eps-clamped bin shares, KS = max binned-ECDF gap over RAW shares
+    "v_drift_snapshot" ->
+      """WITH b AS (
+        |  SELECT coalesce(source, '<null>') AS source,
+        |    CAST(least(greatest(floor(n_chars / 60.0), 0), 9) AS INT) AS bin,
+        |    doc_id
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |bh AS (SELECT source, bin, count(*) AS cnt FROM b
+        |       WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+        |ch AS (SELECT source, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+        |bt AS (SELECT source, CAST(sum(cnt) AS DOUBLE) AS tot FROM bh GROUP BY 1),
+        |ct AS (SELECT source, CAST(sum(cnt) AS DOUBLE) AS tot FROM ch GROUP BY 1),
+        |grid AS (SELECT ct.source, CAST(g.i AS INT) AS bin
+        |         FROM ct, generate_series(0, 9) AS g(i)),
+        |pq AS (
+        |  SELECT grid.source, grid.bin,
+        |    greatest(coalesce(bh.cnt, 0) / bt.tot, 1e-6) AS e,
+        |    greatest(coalesce(ch.cnt, 0) / ct.tot, 1e-6) AS a,
+        |    coalesce(bh.cnt, 0) / bt.tot AS eraw,
+        |    coalesce(ch.cnt, 0) / ct.tot AS araw
+        |  FROM grid
+        |  JOIN bt ON bt.source = grid.source
+        |  JOIN ct ON ct.source = grid.source
+        |  LEFT JOIN bh ON bh.source = grid.source AND bh.bin = grid.bin
+        |  LEFT JOIN ch ON ch.source = grid.source AND ch.bin = grid.bin),
+        |scored AS (
+        |  SELECT source, sum((a - e) * ln(a / e)) AS psi, max(abs(ce - ca)) AS ks
+        |  FROM (SELECT source, a, e,
+        |      sum(eraw) OVER (PARTITION BY source ORDER BY bin) AS ce,
+        |      sum(araw) OVER (PARTITION BY source ORDER BY bin) AS ca
+        |    FROM pq)
+        |  GROUP BY source)
+        |SELECT source, round(psi, 6) AS psi, round(ks, 6) AS ks,
+        |  (psi <= 0.2 AND ks <= 0.15) AS pass
+        |FROM scored""".stripMargin,
 
     "v_content_hash" ->
       """SELECT source,

@@ -73,6 +73,10 @@ object SparkEntry {
   private val qsplitDupPath =
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
+  /** Same cache, for the published drift baseline snapshot dir. */
+  private val driftSnapPath =
+    new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
+
   /** Deterministic within-source chain pairs over documents (consecutive
     * doc_ids by source rank, broken every 5th link) — the pair fixture whose
     * transitive closure a DuckDB recursive CTE can replay exactly; shared by
@@ -692,6 +696,32 @@ object SparkEntry {
 
     "v_psi" -> ((s, d) => psiPerSource(t(s, d, "documents"))),
 
+    // the drift snapshot loop, oracle-exact: a PUBLISHED baseline snapshot
+    // (the doc_id % 3 != 0 subset's n_chars histogram — 3 is coprime with
+    // the source assignment, so EVERY partition gets baseline mass — written
+    // to parquet and read back through the binning-validated reader) gates
+    // the full table; the oracle replays histogram + eps-smoothed PSI +
+    // binned-ECDF KS from the same construction
+    "v_drift_snapshot" -> ((s, d) => {
+      import s.implicits._
+      val dir = Option(driftSnapPath.get()).filter(_._1 == d).map(_._2).getOrElse {
+        val p = java.nio.file.Files.createTempDirectory("graft-driftsnap").toString
+        graft.checks.Drift.writeSnapshot(
+          t(s, d, "documents").filter(col("doc_id") % 3 =!= 0),
+          "n_chars", "source", 0.0, 600.0, 10, s"$p/chars_drift")
+        driftSnapPath.set((d, p)); p
+      }
+      val base = graft.checks.Drift.readSnapshot(
+        s, s"$dir/chars_drift", "n_chars", 0.0, 600.0, 10)
+      val curHist = graft.checks.Drift.histogram(
+        t(s, d, "documents"), "n_chars", "source", 0.0, 600.0, 10)
+      graft.checks.Drift.compareHists(base, curHist, 10, 0.2, 0.15)
+        .toDF()
+        .select(col("partition").as("source"),
+          round(col("psi"), 6).as("psi"), round(col("ks"), 6).as("ks"),
+          col("pass"))
+    }),
+
     "v_content_hash" -> ((s, d) => t(s, d, "documents")
       .groupBy("source")
       .agg(expr("bit_xor(cast(conv(substr(md5(text),1,8),16,10) as bigint))")
@@ -1166,6 +1196,25 @@ object SparkEntry {
         when(col("mtype") === "audio", lit(16000) + pmod(h, lit(3)) * 100)
           .otherwise(lit(0)).cast("int").as("sample_rate"),
         length(col("payload")).cast("long").as("byte_len"))
+    }),
+
+    // REAL image decode (JDK ImageIO), oracle-exact: a driver-built fixture
+    // of tiny PNG/GIF/BMP images with arithmetic dims — the batched decode
+    // must recover every width/height from the actual encoded bytes (the
+    // oracle replays only the arithmetic; the bytes round-trip is entirely
+    // on the engine side)
+    "mm_image_decode" -> ((s, d) => {
+      import s.implicits._
+      val rows = (0 until 24).map { i =>
+        val w = 8 + (i * 7) % 40
+        val h = 5 + (i * 3) % 21
+        val fmt = Seq("png", "gif", "bmp")(i % 3)
+        (i.toLong, Multimodal.encodeImage(w, h, fmt), "image")
+      }
+      val df = rows.toDF("doc_id", "payload", "mtype")
+      Multimodal.decodeBatched(df, "payload", "mtype", "doc_id")
+        .select(col("id"), col("meta.width").as("width"),
+          col("meta.height").as("height"))
     }),
 
     "mm_batch" -> ((s, d) => { // rows-only: mapPartitions batch plumbing

@@ -43,6 +43,48 @@ object Drift {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** A publishable baseline snapshot: the per-partition histogram with the
+    * binning metadata embedded per row, so a later run cannot silently
+    * compare against a snapshot built with different binning. Null
+    * partitions are stored under the validator's `<null>` pseudo-partition
+    * (a real string — no 3VL surprises for later pruning filters). */
+  def snapshot(df: DataFrame, valueCol: String, partitionCol: String,
+      lo: Double, hi: Double, k: Int): DataFrame =
+    histogram(df, valueCol, partitionCol, lo, hi, k)
+      .withColumn("partition", coalesce(col("partition"), lit("<null>")))
+      .withColumn("value_col", lit(valueCol))
+      .withColumn("lo", lit(lo))
+      .withColumn("hi", lit(hi))
+      .withColumn("k", lit(k))
+
+  /** Publish a snapshot to parquet — run N's histograms become run N+1's
+    * drift baseline (the closing of the snapshot loop; see
+    * [[graft.engine.Validator.run]]'s `snapshotOut`). O(partitions × bins)
+    * rows — negligible next to the table at any scale. */
+  def writeSnapshot(df: DataFrame, valueCol: String, partitionCol: String,
+      lo: Double, hi: Double, k: Int, path: String): Unit =
+    snapshot(df, valueCol, partitionCol, lo, hi, k)
+      .write.mode("overwrite").parquet(path)
+
+  /** Read a published snapshot, REFUSING silently-incomparable baselines:
+    * the embedded binning metadata must match the requested binning
+    * exactly (a baseline histogram with different lo/hi/k would produce
+    * plausible-looking but meaningless PSI/KS values). */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, path: String,
+      valueCol: String, lo: Double, hi: Double, k: Int): DataFrame = {
+    val df = spark.read.parquet(path)
+    val meta = df.select("value_col", "lo", "hi", "k").distinct().collect()
+    require(meta.length == 1,
+      s"drift snapshot at $path has ${meta.length} distinct binning tuples")
+    val m = meta.head
+    require(m.getString(0) == valueCol && m.getDouble(1) == lo &&
+        m.getDouble(2) == hi && m.getInt(3) == k,
+      s"drift snapshot binning mismatch at $path: snapshot is " +
+        s"(${m.getString(0)}, lo=${m.getDouble(1)}, hi=${m.getDouble(2)}, " +
+        s"k=${m.getInt(3)}), requested ($valueCol, lo=$lo, hi=$hi, k=$k)")
+    df.select(col("partition"), col("bin"), col("cnt"))
+  }
+
   private def toDense(rows: Seq[(Int, Long)], k: Int): Array[Double] = {
     val a = Array.fill(k)(0.0)
     rows.foreach { case (b, c) => if (b >= 0 && b < k) a(b) = c.toDouble }
@@ -117,26 +159,38 @@ object Drift {
     folded.getField("best")
   }
 
+  /** Collect a (partition, bin, cnt) histogram frame to dense driver-side
+    * arrays. Null partition values map to "<null>" — the validator's
+    * convention; a raw null key would NPE in the verdict sort. */
+  private def collectHist(histDf: DataFrame, k: Int): Map[String, Array[Double]] =
+    histDf.select(col("partition"), col("bin"), col("cnt"))
+      .collect()
+      .groupBy(r => Option(r.getString(0)).getOrElse("<null>"))
+      .map { case (p, rows) =>
+        p -> toDense(rows.map(r => (r.getInt(1), r.getLong(2))).toSeq, k)
+      }
+
   /** Compare each partition of `current` against `baseline` (same column,
     * same binning). Returns one verdict per current partition. */
   def compare(
       baseline: DataFrame, current: DataFrame,
       valueCol: String, partitionCol: String,
       lo: Double, hi: Double, k: Int,
-      psiMax: Double, ksMax: Double): Seq[DriftVerdict] = {
+      psiMax: Double, ksMax: Double): Seq[DriftVerdict] =
+    compareHists(
+      histogram(baseline, valueCol, partitionCol, lo, hi, k),
+      histogram(current, valueCol, partitionCol, lo, hi, k),
+      k, psiMax, ksMax)
 
-    // null partition values map to "<null>" — the validator's convention;
-    // a raw null key would NPE in the sort below
-    def collectHists(df: DataFrame): Map[String, Array[Double]] =
-      histogram(df, valueCol, partitionCol, lo, hi, k)
-        .collect()
-        .groupBy(r => Option(r.getString(0)).getOrElse("<null>"))
-        .map { case (p, rows) =>
-          p -> toDense(rows.map(r => (r.getInt(1), r.getLong(2))).toSeq, k)
-        }
-
-    val base = collectHists(baseline)
-    val cur = collectHists(current)
+  /** Verdicts from two ALREADY-BINNED histogram frames (partition, bin,
+    * cnt) — the form the snapshot loop uses: run N's published snapshot vs
+    * run N+1's freshly-aggregated histogram, no re-histogramming of any
+    * baseline table. */
+  def compareHists(
+      baselineHist: DataFrame, currentHist: DataFrame,
+      k: Int, psiMax: Double, ksMax: Double): Seq[DriftVerdict] = {
+    val base = collectHist(baselineHist, k)
+    val cur = collectHist(currentHist, k)
     val curVerdicts = cur.toSeq.sortBy(_._1).map { case (p, h) =>
       base.get(p) match {
         case Some(b) =>

@@ -6,6 +6,7 @@ import graft.config.RuleConfig
 /** spark-submit entry point:
   *   graft.engine.Main --table <parquet dir> --rules <suite.yaml>
   *     [--manifest <dir>] [--run-id <id>] [--baseline <parquet dir>]
+  *     [--baseline-snapshot <dir>] [--snapshot-out <dir>]   (snapshot loop)
   *     [--violations-out <dir>] [--key doc_id]
   *     [--clean-out <dir> --quarantine-out <dir>]   (route mode)
   *
@@ -104,7 +105,11 @@ object Main {
     } else {
       Validator.run(spark, table, cfg, keyCol, runId,
         manifestPath = opts.get("manifest"), baseline = baseline,
-        violationsOut = opts.get("violations-out"))
+        violationsOut = opts.get("violations-out"),
+        // the drift snapshot loop: gate on run N's published histograms,
+        // publish this run's as run N+1's baseline (versioned dirs)
+        baselineSnapshot = opts.get("baseline-snapshot"),
+        snapshotOut = opts.get("snapshot-out"))
     }
     // --compact true: fold the manifest's append-files into one parquet
     // after the run — at 10^4 partitions × per-partition appends the

@@ -269,7 +269,9 @@ object Validator {
       strict: Boolean = false,
       maxViolationExamples: Option[Int] = None,
       violationsOut: Option[String] = None,
-      resumeDone: Option[Set[String]] = None): RunReport = {
+      resumeDone: Option[Set[String]] = None,
+      baselineSnapshot: Option[String] = None,
+      snapshotOut: Option[String] = None): RunReport = {
     import spark.implicits._
     // dict-table referential rules with fpp become Bloom row rules here
     // (no-op when the caller — per-partition CLI, streaming — pre-resolved)
@@ -540,27 +542,75 @@ object Validator {
       }
     }
 
-    // ---- drift vs baseline snapshot ----
+    // ---- drift vs baseline (raw table OR published snapshot) ----
     // On a resumed run drift evaluates over df0, which the resume prune has
     // already stripped of completed partitions — so the BASELINE must be
-    // pruned by the same predicate, or Drift.compare's vanished-partition
-    // logic would FAIL every already-completed partition (present in the
-    // baseline, absent from the pruned current snapshot) on resume.
+    // pruned by the same predicate, or the vanished-partition logic would
+    // FAIL every already-completed partition (present in the baseline,
+    // absent from the pruned current snapshot) on resume.
     val prunedBaseline = baseline.map(b =>
       if (doneParts.isEmpty) b else b.filter(keepPredicate(b)))
-    val driftResults = cfg.rules.filter(_.kind == RuleKind.Drift).flatMap { r =>
-      prunedBaseline match {
-        case None => Seq(RuleResult("*", r.name, "pass", 0L, 0L, 0L, 0L, "no baseline"))
-        case Some(base) =>
-          val t1 = System.nanoTime()
-          val verdicts = Drift.compare(base, df0, r.column.get, pCol,
-            r.min.getOrElse(0.0), r.max.getOrElse(1024.0), r.bins,
-            r.psiMax.getOrElse(0.2), r.ksMax.getOrElse(0.15))
-          val wall = (System.nanoTime() - t1) / 1000000
-          verdicts.map(v => RuleResult(v.partition, r.name,
-            if (v.pass) "pass" else "fail", 0L, if (v.pass) 0L else 1L, 0L, wall,
-            f"psi=${v.psi}%.4f;ks=${v.ks}%.4f"))
-      }
+    val driftRules = cfg.rules.filter(_.kind == RuleKind.Drift)
+    // the snapshot loop writes versioned dirs (run N publishes, run N+1
+    // gates on it): overwriting the dir being read would clobber the
+    // baseline mid-comparison, so reading and writing the same path is a
+    // configuration error, not a supported rolling update
+    if (driftRules.nonEmpty && snapshotOut.isDefined &&
+        baselineSnapshot == snapshotOut)
+      throw new IllegalArgumentException(
+        s"snapshotOut must differ from baselineSnapshot (${snapshotOut.get})" +
+          " — publish versioned snapshot dirs, one per run")
+    val driftResults = driftRules.flatMap { r =>
+      val loB = r.min.getOrElse(0.0)
+      val hiB = r.max.getOrElse(1024.0)
+      val t1 = System.nanoTime()
+      // ONE histogram aggregation of the current table per rule, shared by
+      // the drift compare AND the published next-run snapshot
+      val curSnap = Drift.snapshot(df0, r.column.get, pCol, loB, hiB, r.bins)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val baseHist = baselineSnapshot
+          .map { p =>
+            val h = Drift.readSnapshot(spark, s"$p/${r.name}", r.column.get,
+              loB, hiB, r.bins)
+            // same prune as prunedBaseline, on the snapshot's own string
+            // partition column ("<null>" is a real string there — no 3VL)
+            if (doneParts.isEmpty) h
+            else h.filter(!col("partition").isin(doneParts.toSeq: _*))
+          }
+          .orElse(prunedBaseline.map(b =>
+            Drift.histogram(b, r.column.get, pCol, loB, hiB, r.bins)))
+        val results = baseHist match {
+          case None =>
+            Seq(RuleResult("*", r.name, "pass", 0L, 0L, 0L, 0L, "no baseline"))
+          case Some(bh) =>
+            val verdicts = Drift.compareHists(bh, curSnap, r.bins,
+              r.psiMax.getOrElse(0.2), r.ksMax.getOrElse(0.15))
+            val wall = (System.nanoTime() - t1) / 1000000
+            verdicts.map(v => RuleResult(v.partition, r.name,
+              if (v.pass) "pass" else "fail", 0L, if (v.pass) 0L else 1L, 0L,
+              wall, f"psi=${v.psi}%.4f;ks=${v.ks}%.4f"))
+        }
+        // publish AFTER comparing (compareHists collected both sides to the
+        // driver, so nothing lazy still references a snapshot file here)
+        snapshotOut.foreach { out =>
+          // resume consistency: completed partitions are absent from df0 —
+          // carry their rows forward from the prior snapshot so the
+          // published baseline stays whole-table
+          val carried = baselineSnapshot
+            .filter(_ => doneParts.nonEmpty)
+            .map(p => Drift.readSnapshot(spark, s"$p/${r.name}",
+                r.column.get, loB, hiB, r.bins)
+              .filter(col("partition").isin(doneParts.toSeq: _*))
+              .withColumn("value_col", lit(r.column.get))
+              .withColumn("lo", lit(loB))
+              .withColumn("hi", lit(hiB))
+              .withColumn("k", lit(r.bins)))
+          carried.fold(curSnap)(c => curSnap.unionByName(c))
+            .write.mode("overwrite").parquet(s"$out/${r.name}")
+        }
+        results
+      } finally curSnap.unpersist()
     }
 
     val all = schemaResults ++ rowResults ++ uniqueResults ++ refJoinResults ++

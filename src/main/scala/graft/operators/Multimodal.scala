@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata structs.
   *
-  * The decode step is STUBBED with a deterministic fake (this container has
-  * no image/audio codecs): metadata is derived from a hash of the payload,
-  * so results are reproducible and testable. Everything around the stub —
-  * schema, batch iteration shape, partitioning, explode of sampled frames —
-  * is real Spark plumbing that a codec-backed implementation would drop
-  * into unchanged (swap `fakeDecode` for the real library call inside the
-  * same `mapPartitions` batch loop).
+  * IMAGE decode is REAL: the JDK ships PNG/GIF/BMP/JPEG readers
+  * (`javax.imageio`), so [[decodeBatched]] reads true width/height from the
+  * bytes — no external codecs needed. Payloads ImageIO cannot parse (and
+  * all AUDIO/VIDEO, whose codecs the JDK does not ship) degrade to the
+  * deterministic hash-derived [[fakeDecode]] so one corrupt record in a
+  * 10^12-row table never fails a task; the surrounding plumbing — schema,
+  * batch iteration shape, partitioning, explode of sampled frames — is the
+  * production shape either way (a codec library call drops into the same
+  * `mapPartitions` batch loop).
   */
 object Multimodal {
 
@@ -29,7 +31,40 @@ object Multimodal {
   final case class MediaMeta(media_type: String, width: Int, height: Int,
       n_frames: Int, sample_rate: Int, byte_len: Long)
 
-  /** DETERMINISTIC FAKE decode — stands in for the real codec call.
+  /** Real image decode via the JDK's own readers (PNG/GIF/BMP/JPEG ship
+    * with `javax.imageio` — zero external dependencies). None when the
+    * bytes are not a parseable image, so callers can degrade instead of
+    * failing the task. */
+  def decodeImage(payload: Array[Byte]): Option[MediaMeta] =
+    if (payload == null || payload.isEmpty) None
+    else
+      try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+        .map(img => MediaMeta("image", img.getWidth, img.getHeight, 1, 0,
+          payload.length.toLong))
+      // malformed streams can throw beyond IOException (readers differ);
+      // any non-fatal parse failure means "not an image", never a dead task
+      catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Deterministic fixture encoder (tests/goldens): a w×h RGB image with a
+    * fixed pixel pattern, encoded by the JDK writer for `format`
+    * ("png" | "gif" | "bmp"). */
+  def encodeImage(w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) { img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff); y += 1 }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** DETERMINISTIC FAKE decode — the degrade path for unparseable images
+    * and the stand-in for audio/video (the JDK ships no codecs for those).
     * Derives plausible metadata purely from payload bytes. */
   def fakeDecode(payload: Array[Byte], mediaType: String): MediaMeta = {
     val h = java.util.Arrays.hashCode(payload).toLong & 0x7fffffffL
@@ -67,7 +102,12 @@ object Multimodal {
             val payload =
               if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
             val mtype = if (r.isNullAt(2)) "unknown" else r.getString(2)
-            val m = fakeDecode(payload, mtype)
+            // images decode for real (JDK ImageIO); unparseable bytes and
+            // audio/video degrade to the deterministic fake
+            val m =
+              if (mtype == "image")
+                decodeImage(payload).getOrElse(fakeDecode(payload, mtype))
+              else fakeDecode(payload, mtype)
             Row(if (r.isNullAt(0)) null else r.getLong(0),
               Row(m.media_type, m.width, m.height, m.n_frames, m.sample_rate,
                 m.byte_len))

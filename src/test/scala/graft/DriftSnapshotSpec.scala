@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.checks.Drift
+import graft.datagen.SeqTableGen
+import graft.engine.Validator
+
+/** The drift snapshot loop: run N publishes its per-partition histograms;
+  * run N+1 gates on them as its baseline — including on a resumed run,
+  * where completed partitions must keep their old snapshot rows. */
+class DriftSnapshotSpec extends SparkTestBase {
+
+  private val yaml =
+    """table:
+      |  name: seqs
+      |  partition_column: source
+      |  columns:
+      |    doc_id: {type: string, nullable: false}
+      |    tokens: {type: "array<int>", nullable: true}
+      |    n_tok: {type: int, nullable: false}
+      |    source: {type: string, nullable: false}
+      |rules:
+      |  - name: ntok_range
+      |    description: n_tok within [1, 512]
+      |    kind: range
+      |    column: n_tok
+      |    min: 1
+      |    max: 512
+      |  - name: ntok_drift
+      |    description: n_tok distribution vs last run
+      |    kind: drift
+      |    column: n_tok
+      |    min: 0
+      |    max: 512
+      |    bins: 8
+      |    psi_max: 0.2
+      |    ks_max: 0.15
+      |""".stripMargin
+  private def cfg = graft.config.RuleConfig.loadYaml(yaml)
+
+  test("snapshot write/read round-trips and refuses mismatched binning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap").toString
+    val t1 = SeqTableGen.generate(spark, 2000)
+    Drift.writeSnapshot(t1, "n_tok", "source", 0.0, 512.0, 8, s"$dir/h")
+    val back = Drift.readSnapshot(spark, s"$dir/h", "n_tok", 0.0, 512.0, 8)
+    assert(back.columns.toSeq == Seq("partition", "bin", "cnt"))
+    // counts conserve: every non-null n_tok lands in exactly one bin
+    assert(back.agg(sum("cnt")).head().getLong(0)
+      == t1.filter(col("n_tok").isNotNull).count())
+    // different k / column / range each refuse loudly
+    intercept[IllegalArgumentException] {
+      Drift.readSnapshot(spark, s"$dir/h", "n_tok", 0.0, 512.0, 16)
+    }
+    intercept[IllegalArgumentException] {
+      Drift.readSnapshot(spark, s"$dir/h", "n_chars", 0.0, 512.0, 8)
+    }
+    intercept[IllegalArgumentException] {
+      Drift.readSnapshot(spark, s"$dir/h", "n_tok", 0.0, 1024.0, 8)
+    }
+  }
+
+  test("run N publishes, run N+1 gates on the published snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snaploop").toString
+    val t1 = SeqTableGen.generate(spark, 4000)
+    // run 1: no baseline — drift is a single no-baseline pass; publishes s1
+    val r1 = Validator.run(spark, t1, cfg, "doc_id", "snap-r1",
+      collectViolations = false, snapshotOut = Some(s"$dir/s1"))
+    val d1 = r1.results.filter(_.rule == "ntok_drift")
+    assert(d1.map(_.detail) == Seq("no baseline"))
+    // run 2: gates on s1 — same table, so every partition passes with psi~0
+    val r2 = Validator.run(spark, t1, cfg, "doc_id", "snap-r2",
+      collectViolations = false,
+      baselineSnapshot = Some(s"$dir/s1"), snapshotOut = Some(s"$dir/s2"))
+    val d2 = r2.results.filter(_.rule == "ntok_drift")
+    assert(d2.nonEmpty && d2.forall(_.verdict == "pass"), d2)
+    assert(d2.map(_.partition).toSet ==
+      t1.select("source").distinct().collect().map(_.getString(0)).toSet)
+    // a shifted table against the same snapshot must FAIL drift
+    val shifted = t1.withColumn("n_tok",
+      least(col("n_tok") * 3 + 100, lit(512)).cast("int"))
+    val r3 = Validator.run(spark, shifted, cfg, "doc_id", "snap-r3",
+      collectViolations = false, baselineSnapshot = Some(s"$dir/s1"))
+    assert(r3.results.filter(_.rule == "ntok_drift").forall(_.verdict == "fail"))
+    // reading and writing the same snapshot dir is a configuration error
+    intercept[IllegalArgumentException] {
+      Validator.run(spark, t1, cfg, "doc_id", "snap-r4",
+        collectViolations = false,
+        baselineSnapshot = Some(s"$dir/s1"), snapshotOut = Some(s"$dir/s1"))
+    }
+  }
+
+  test("resumed run carries completed partitions' old snapshot rows forward") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapres").toString
+    val t1 = SeqTableGen.generate(spark, 4000)
+    Validator.run(spark, t1, cfg, "doc_id", "snap-ra",
+      collectViolations = false, snapshotOut = Some(s"$dir/s1"))
+    // resume with web already complete: df0 excludes web, yet the published
+    // s2 must still carry web's rows (from s1) so the NEXT run's baseline
+    // stays whole-table
+    val rep = Validator.run(spark, t1, cfg, "doc_id", "snap-rb",
+      collectViolations = false, resumeDone = Some(Set("web")),
+      baselineSnapshot = Some(s"$dir/s1"), snapshotOut = Some(s"$dir/s2"))
+    // web is neither validated nor drift-compared on the resumed run
+    assert(!rep.results.filter(_.rule == "ntok_drift").exists(_.partition == "web"))
+    val s1web = Drift.readSnapshot(spark, s"$dir/s1/ntok_drift",
+        "n_tok", 0.0, 512.0, 8)
+      .filter(col("partition") === "web")
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    val s2 = Drift.readSnapshot(spark, s"$dir/s2/ntok_drift",
+      "n_tok", 0.0, 512.0, 8)
+    val s2web = s2.filter(col("partition") === "web")
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(s1web.nonEmpty && s2web == s1web,
+      "completed partition must keep its old snapshot rows")
+    // and the other partitions were re-published from the current run
+    assert(s2.select("partition").distinct().count()
+      == t1.select("source").distinct().count())
+  }
+}

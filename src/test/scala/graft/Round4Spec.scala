@@ -84,6 +84,30 @@ class Round4Spec extends SparkTestBase {
     nd.unpersist()
   }
 
+  test("image decode is real: ImageIO round-trips dims; corrupt bytes degrade") {
+    import graft.operators.Multimodal
+    for (fmt <- Seq("png", "gif", "bmp")) {
+      val bytes = Multimodal.encodeImage(37, 13, fmt)
+      val m = Multimodal.decodeImage(bytes)
+      assert(m.contains(Multimodal.MediaMeta("image", 37, 13, 1, 0,
+        bytes.length.toLong)), s"format $fmt")
+    }
+    // garbage and empty payloads are "not an image", not an exception
+    assert(Multimodal.decodeImage("not an image at all".getBytes).isEmpty)
+    assert(Multimodal.decodeImage(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
+    // and the batched path uses the real decoder with the fake as fallback
+    import spark.implicits._
+    val df = Seq(
+      (1L, Multimodal.encodeImage(20, 10, "png"), "image"),
+      (2L, "corrupt".getBytes, "image")).toDF("doc_id", "payload", "mtype")
+    val out = Multimodal.decodeBatched(df, "payload", "mtype", "doc_id")
+      .select(col("id"), col("meta.width"), col("meta.height")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(out(1L) == ((20, 10)))
+    assert(out(2L)._1 >= 64, "corrupt image must fall back to the fake dims")
+  }
+
   test("lshTopK: only the per-query rank window remains (none on the bucket)") {
     val emb = spark.range(80).select(col("id"),
       transform(sequence(lit(0), lit(7)),
