@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** Quantifies the IVF/LSH recall trade the ANN operators make: recall@10 vs
+  * exact brute force, across planes × nprobe, on a deterministic CLUSTERED
+  * vector table (a 256-center mixture — realistic embeddings are clustered;
+  * uniform random vectors have no meaningful neighbors to recall).
+  *
+  * Usage: runMain graft.AnnRecallBench [nVectors] [cpus]  (default 50000, 32)
+  * Prints one recall line per (planes, nprobe) combination plus a JSON
+  * summary; BENCH/BASELINE.md records the table.
+  */
+object AnnRecallBench {
+
+  /** Deterministic clustered vector: center(id % clusters) + noise·hash.
+    * Pure hash expressions — identical at any parallelism. */
+  def clusteredVec(id: Column, dim: Int, clusters: Int, noise: Double,
+      seed: Long = 42L): Column = {
+    val c = pmod(id, lit(clusters.toLong))
+    def u(key: Column, salt: Int) =
+      (pmod(xxhash64(key, lit(seed), lit(salt)), lit(2000001L))
+        .cast("double") / 1e6) - 1.0
+    array((0 until dim).map { i =>
+      (u(c, i) + u(id, i + 10000) * noise).cast("float")
+    }: _*)
+  }
+
+  /** Exact top-k per query by cosine — the ground truth. One cross join
+    * (|Q| × |C| — ground truth is inherently exhaustive; |Q| is small). */
+  def exactTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    queries.select(col("id").as("query_id"), col("v").as("qv"))
+      .crossJoin(corpus.select(col("id").as("corpus_id"), col("v").as("cv")))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos", graft.operators.Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 50000
+    val cpus = if (args.length > 1) args(1) else "32"
+    val dim = 64
+    val k = 10
+    val nq = 100
+    val spark = Bench.buildSession(cpus)
+    try {
+      val emb = spark.range(n)
+        .select(col("id"), clusteredVec(col("id"), dim, 256, 0.15).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count()
+      val queries = emb.filter(pmod(col("id"), lit((n / nq).toLong)) === 0)
+        .limit(nq)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gt = exactTopK(emb, queries, k).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val results = for {
+        planes <- Seq(6, 8, 10)
+        nprobe <- Seq(1, 2, 4)
+      } yield {
+        val t0 = System.nanoTime()
+        val got = Similarity.lshTopKMulti(emb, queries, "v", "id", dim, k,
+          planes = planes, nprobe = nprobe)
+        val hits = got.select("query_id", "corpus_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).count(gt.contains)
+        got.unpersist()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val recall = hits.toDouble / gt.size
+        println(f"planes=$planes%2d nprobe=$nprobe%d recall@10=$recall%.3f " +
+          f"candidates~$nprobe%d/${1 << planes} wall=$wall%.1fs")
+        (planes, nprobe, recall)
+      }
+      val json = results.map { case (p, np, r) =>
+        s"""{"planes":$p,"nprobe":$np,"recall_at_10":${math.round(r * 1000) / 1000.0}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"bench":"ann_recall","n":$n,"dim":$dim,"k":$k,"nq":$nq,"points":$json}""")
+    } finally spark.stop()
+  }
+}

@@ -426,6 +426,18 @@ object OracleSql {
     // non-canonical members are quarantined with duplicate_of = the min,
     // alongside the row-rule failures (range passes nulls; not_null is the
     // null check)
+    // fail-fast goldens: the exact error each invalid construction must
+    // raise (messages cite the reference lines whose semantics they match)
+    "err_fail_fast" ->
+      """SELECT * FROM (VALUES
+        | ('datetime_diff_invalid_unit', true,
+        |  'requirement failed: invalid unit ''fortnight'' (datetime.py:46)'),
+        | ('datetime_extract_invalid_component', true,
+        |  'invalid component ''century'' (datetime.py:136-138)'),
+        | ('kbins_constant_column', true,
+        |  'requirement failed: kbins_uniform: constant column has no bin width')
+        |) AS t(err_case, raised, message)""".stripMargin,
+
     // dims are what the engine ENCODED into real PNG/GIF/BMP bytes; the
     // oracle replays the arithmetic, the engine must decode it back
     "mm_image_decode" ->

@@ -332,6 +332,30 @@ object SparkEntry {
       DateTimeOps.dayOfWeek(col("o_orderdate")).as("dow"),
       DateTimeOps.dayOfWeekName(col("o_orderdate")).as("dow_name"))),
 
+    // expect-error golden: the reference's fail-fast raises (invalid
+    // datetime unit/component — tests/test_datetime_transform.py:36-43,
+    // 161-163 — and the constant-column kbins assert, math.py:188) put
+    // under the SAME oracle regime as values: the query catches each
+    // expected error and emits (case, raised, message) rows the oracle
+    // pins as literals — a silently-passing construction or a changed
+    // message hash-mismatches
+    "err_fail_fast" -> ((s, d) => {
+      import s.implicits._
+      def outcome(f: => Any): (Boolean, String) =
+        try { f; (false, "no error") }
+        catch { case e: IllegalArgumentException => (true, e.getMessage) }
+      val (r1, m1) = outcome(graft.functions.DateTimeOps.dateTimeDiff(
+        col("l_shipdate"), col("l_commitdate"), "fortnight"))
+      val (r2, m2) = outcome(graft.functions.DateTimeOps.dateTimeExtract(
+        col("l_shipdate"), "century"))
+      val (r3, m3) = outcome(MathOps.kbinsUniform(
+        s.range(100).select(lit(7.0).as("c")), col("c"), 5, "bin"))
+      Seq(("datetime_diff_invalid_unit", r1, m1),
+        ("datetime_extract_invalid_component", r2, m2),
+        ("kbins_constant_column", r3, m3))
+        .toDF("err_case", "raised", "message")
+    }),
+
     // ======== §2.5 aggregation / group-by ========
     "q1_agg" -> ((s, d) => q1(s, d)),
 

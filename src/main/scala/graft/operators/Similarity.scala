@@ -70,9 +70,36 @@ object Similarity {
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
 
+  /** Batch multi-probe codes as a pure Column (`array<long>`, length
+    * `nprobe`): the row's own cell first, then the cells across its
+    * least-confident planes — the distributed form of [[multiProbeCodes]]
+    * (parity-tested against it), so a MILLION queries get their probe sets
+    * in one projection instead of a driver loop of 1-row jobs. */
+  def multiProbeCodesCol(vec: Column, dim: Int, planes: Int, nprobe: Int,
+      seed: Long = 42L): Column = {
+    require(nprobe >= 1 && nprobe <= planes + 1,
+      s"multiProbeCodesCol: nprobe must be in [1, planes+1] (got $nprobe)")
+    val dots = array((0 until planes).map(p => planeDot(vec, dim, p, seed)): _*)
+    val base = aggregate(
+      zip_with(dots, sequence(lit(0), lit(planes - 1)),
+        (d, p) => when(d >= 0,
+          call_function("shiftleft", lit(1L), p.cast("int")))
+          .otherwise(lit(0L))),
+      lit(0L), (a, x) => a.bitwiseOR(x))
+    // planes by ascending |dot|; struct sort is lexicographic, ties fall to
+    // the plane index — the same order the driver-side sortBy produces
+    val order = array_sort(zip_with(dots, sequence(lit(0), lit(planes - 1)),
+      (d, p) => struct(abs(d).as("a"), p.cast("int").as("p"))))
+    val flips = transform(slice(order, 1, nprobe - 1),
+      s => base.bitwiseXOR(call_function("shiftleft", lit(1L), s.getField("p"))))
+    concat(array(base), flips)
+  }
+
   /** Batch k-NN: top-k neighbors for EVERY query row against the corpus,
     * LSH-bucketed (IVF-style): join corpus and queries on bucket code, rank
     * within query by cosine. Approximate — recall depends on `planes`.
+    * Delegates to [[lshTopKMulti]] with nprobe = 1 (a query's first probe
+    * code IS its own cell).
     *
     * Scale discipline (same as Dedup near-dup miners): the bucket join
     * carries only ids — vectors attach per candidate pair by id afterwards,
@@ -82,17 +109,27 @@ object Similarity {
     * |C_b|) single-reducer explosion on a degenerate cell). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, dim: Int, k: Int, planes: Int = 8,
+      seed: Long = 42L, maxBucket: Int = 100000): DataFrame =
+    lshTopKMulti(corpus, queries, vecCol, idCol, dim, k, planes,
+      nprobe = 1, seed, maxBucket)
+
+  /** Multi-probe batch k-NN: every query probes its own cell plus its
+    * nprobe−1 most-promising neighbor cells (AnnRecallBench measures the
+    * recall@10 trade across planes × nprobe; BENCH/BASELINE.md records it).
+    * A corpus vector lives in exactly ONE cell and a query's probe codes
+    * are distinct, so candidate pairs need no dedup. */
+  def lshTopKMulti(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, dim: Int, k: Int, planes: Int = 8, nprobe: Int = 2,
       seed: Long = 42L, maxBucket: Int = 100000): DataFrame = {
-    val code = hyperplaneCode(col(vecCol), dim, planes, seed)
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      code.as("bucket"))
+      hyperplaneCode(col(vecCol), dim, planes, seed).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      code.as("bucket"))
+      multiProbeCodesCol(col(vecCol), dim, planes, nprobe, seed).as("probes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cIds = Dedup.capBuckets(
       c.select(col("bucket"), col("corpus_id")), "bucket", maxBucket)
-    val cand = q.select(col("bucket"), col("query_id"))
+    val cand = q.select(col("query_id"), explode(col("probes")).as("bucket"))
       .join(cIds, Seq("bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
       .select("query_id", "corpus_id")

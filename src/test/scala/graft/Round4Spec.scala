@@ -108,6 +108,42 @@ class Round4Spec extends SparkTestBase {
     assert(out(2L)._1 >= 64, "corrupt image must fall back to the fake dims")
   }
 
+  test("multiProbeCodesCol matches the driver-side multiProbeCodes exactly") {
+    val emb = spark.range(10).select(col("id"),
+      AnnRecallBench.clusteredVec(col("id"), 16, 4, 0.2).as("v"))
+    val rows = emb.select(col("id"),
+      Similarity.multiProbeCodesCol(col("v"), 16, 8, 3).as("codes"), col("v"))
+      .collect()
+    rows.foreach { r =>
+      val vec = r.getSeq[Float](2).map(_.toDouble)
+      val expected = Similarity.multiProbeCodes(spark, vec, 8, 3)
+      assert(r.getSeq[Long](1) == expected, s"id=${r.getLong(0)}")
+    }
+  }
+
+  test("measured ANN recall@10: >= 0.9 at the default point, monotone in nprobe") {
+    val emb = spark.range(5000)
+      .select(col("id"), AnnRecallBench.clusteredVec(col("id"), 64, 64, 0.15).as("v"))
+      .persist()
+    val queries = emb.filter(pmod(col("id"), lit(100L)) === 0).limit(50).persist()
+    val gt = AnnRecallBench.exactTopK(emb, queries, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planes sized to the corpus (cells ~ sqrt(n): 64 cells for 5k vectors,
+    // the same guidance BASELINE.md documents; 50k uses planes=8 there)
+    def recall(nprobe: Int): Double = {
+      val got = Similarity.lshTopKMulti(emb, queries, "v", "id", 64, 10,
+        planes = 6, nprobe = nprobe)
+      val hits = got.select("query_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).count(gt.contains)
+      got.unpersist()
+      hits.toDouble / gt.size
+    }
+    val r1 = recall(1); val r2 = recall(2); val r4 = recall(4)
+    assert(r1 <= r2 && r2 <= r4, s"recall not monotone: $r1, $r2, $r4")
+    assert(r4 >= 0.9, s"recall@10 at planes=6 nprobe=4 was $r4 (need >= 0.9)")
+    emb.unpersist(); queries.unpersist()
+  }
+
   test("lshTopK: only the per-query rank window remains (none on the bucket)") {
     val emb = spark.range(80).select(col("id"),
       transform(sequence(lit(0), lit(7)),
