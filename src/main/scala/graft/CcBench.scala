@@ -10,14 +10,21 @@ import org.apache.spark.sql.functions._
   * "template" clusters, the common web-dedup shape) — and times
   * `Dedup.dupClusters` end-to-end at the session's parallelism.
   *
-  * Usage: runMain graft.CcBench [edges] [cpus]   (default 2M edges, 32)
-  * Prints one line: edges, nodes, clusters, rounds-bounded wall seconds.
+  * Usage: runMain graft.CcBench [edges] [cpus] [checkpointDir]
+  * (default 2M edges, 32). With a checkpointDir the CC rounds use RELIABLE
+  * disk checkpoints — the production configuration the dupClusters
+  * docstring recommends (recoverable on executor loss) — instead of
+  * executor-resident localCheckpoint blocks.
+  * Prints one line: edges, nodes, clusters, rounds-bounded wall seconds,
+  * and driver heap in use after the run (a leak across CC rounds would
+  * show up here at the 128M-edge scale).
   */
 object CcBench {
   def main(args: Array[String]): Unit = {
     val nEdges = if (args.nonEmpty) args(0).toLong else 2000000L
     val cpus = if (args.length > 1) args(1) else "32"
     val spark = Bench.buildSession(cpus)
+    args.drop(2).headOption.foreach(spark.sparkContext.setCheckpointDir)
     try {
       import spark.implicits._
       // 60% chain edges (i -> i+1 within 1000-node segments), 40% star edges
@@ -40,7 +47,11 @@ object CcBench {
       val wall = (System.nanoTime() - t0) / 1e9
       clusters.unpersist()
       pairs.unpersist()
-      println(f"""{"metric":"cc_dup_clusters","edges":$total,"nodes":$nNodes,"clusters":$nClusters,"value":$wall%.3f,"unit":"sec","cpus":$cpus}""")
+      val rt = Runtime.getRuntime
+      System.gc()
+      val heapGb = (rt.totalMemory - rt.freeMemory) / 1e9
+      val reliable = spark.sparkContext.getCheckpointDir.isDefined
+      println(f"""{"metric":"cc_dup_clusters","edges":$total,"nodes":$nNodes,"clusters":$nClusters,"value":$wall%.3f,"unit":"sec","cpus":$cpus,"reliable_ckpt":$reliable,"driver_heap_gb":$heapGb%.2f}""")
     } finally spark.stop()
   }
 }
