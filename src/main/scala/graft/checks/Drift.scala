@@ -57,14 +57,27 @@ object Drift {
       .withColumn("hi", lit(hi))
       .withColumn("k", lit(k))
 
-  /** Publish a snapshot to parquet — run N's histograms become run N+1's
-    * drift baseline (the closing of the snapshot loop; see
+  /** Publish a snapshot — run N's histograms become run N+1's drift
+    * baseline (the closing of the snapshot loop; see
     * [[graft.engine.Validator.run]]'s `snapshotOut`). O(partitions × bins)
-    * rows — negligible next to the table at any scale. */
+    * rows — negligible next to the table at any scale.
+    *
+    * Layout: Hive-partitioned by the (string) partition value with DYNAMIC
+    * partition overwrite, so a writer carrying only SOME partitions (a
+    * per-partition checkpointed sub-run publishing just its own slice)
+    * replaces exactly those directories and leaves every other partition's
+    * snapshot untouched — per-partition snapshot updates compose with
+    * per-partition resume for free. */
   def writeSnapshot(df: DataFrame, valueCol: String, partitionCol: String,
       lo: Double, hi: Double, k: Int, path: String): Unit =
-    snapshot(df, valueCol, partitionCol, lo, hi, k)
-      .write.mode("overwrite").parquet(path)
+    writeSnapshotFrame(snapshot(df, valueCol, partitionCol, lo, hi, k), path)
+
+  /** Write an already-built snapshot frame (columns of [[snapshot]]). */
+  def writeSnapshotFrame(snap: DataFrame, path: String): Unit =
+    snap.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("partition")
+      .parquet(path)
 
   /** Read a published snapshot, REFUSING silently-incomparable baselines:
     * the embedded binning metadata must match the requested binning
@@ -82,7 +95,11 @@ object Drift {
       s"drift snapshot binning mismatch at $path: snapshot is " +
         s"(${m.getString(0)}, lo=${m.getDouble(1)}, hi=${m.getDouble(2)}, " +
         s"k=${m.getInt(3)}), requested ($valueCol, lo=$lo, hi=$hi, k=$k)")
-    df.select(col("partition"), col("bin"), col("cnt"))
+    // cast: the Hive layout restores `partition` from directory names and
+    // partition-column TYPE INFERENCE would hand back an int for numeric-
+    // looking values — the collectors expect a string
+    df.select(col("partition").cast("string").as("partition"),
+      col("bin"), col("cnt"))
   }
 
   private def toDense(rows: Seq[(Int, Long)], k: Int): Array[Double] = {

@@ -82,7 +82,12 @@ object Main {
       val reports = Validator.runPerPartition(spark, table, cfg, keyCol, runId,
         mp, baseline = baseline, violationsOut = opts.get("violations-out"),
         // bounded-parallel sub-runs (checkpoint granularity stays 1 partition)
-        maxParallel = opts.get("max-parallel").map(_.toInt).getOrElse(1))
+        maxParallel = opts.get("max-parallel").map(_.toInt).getOrElse(1),
+        // per-partition snapshot loop: each sub-run gates on and publishes
+        // ONLY its own partition's histogram slice (rolling same-dir
+        // updates are safe here — snapshots are pre-read + materialized)
+        baselineSnapshot = opts.get("baseline-snapshot"),
+        snapshotOut = opts.get("snapshot-out"))
       val manifestRows = graft.lineage.Manifest.read(spark, mp)
         .filter(org.apache.spark.sql.functions.col("runId") === runId)
         .collect()

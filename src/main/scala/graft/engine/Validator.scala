@@ -173,7 +173,9 @@ object Validator {
       collectViolations: Boolean = true,
       maxViolationExamples: Option[Int] = None,
       violationsOut: Option[String] = None,
-      maxParallel: Int = 1): Seq[RunReport] = {
+      maxParallel: Int = 1,
+      baselineSnapshot: Option[String] = None,
+      snapshotOut: Option[String] = None): Seq[RunReport] = {
     // resolve dict-table Bloom rules ONCE for the whole fan-out — per
     // sub-run resolution would rebuild the filter per partition
     val cfg = Checks.resolveDictRules(spark, cfg1)
@@ -209,6 +211,26 @@ object Validator {
     val parts = table.select(col(pCol).cast("string")).distinct()
       .collect().map(r => Option(r.getString(0)).getOrElse("<null>"))
       .sorted.filterNot(done)
+    // drift snapshot loop under partition-granular execution: read each
+    // drift rule's snapshot ONCE for the whole fan-out and MATERIALIZE it
+    // (persist + count), then hand every sub-run its own partition's slice.
+    // Materializing up front is what makes a ROLLING same-dir update
+    // (baselineSnapshot == snapshotOut) safe here: each sub-run's dynamic
+    // partition overwrite replaces only its own partition directory, and
+    // nothing lazy still reads the files being replaced. Completed
+    // (resume-skipped) partitions' directories are simply never touched —
+    // the published snapshot stays whole-table across crash/resume.
+    val driftRules = cfg.rules.filter(_.kind == RuleKind.Drift)
+    val snapshotHists: Option[Map[String, DataFrame]] = baselineSnapshot.map {
+      bp =>
+        driftRules.map { r =>
+          val h = Drift.readSnapshot(spark, s"$bp/${r.name}", r.column.get,
+            r.min.getOrElse(0.0), r.max.getOrElse(1024.0), r.bins)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          h.count()
+          r.name -> h
+        }.toMap
+    }
     def subRun(p: String): RunReport = {
       val subTable =
         if (p == "<null>") table.filter(col(pCol).isNull)
@@ -219,10 +241,18 @@ object Validator {
         if (p == "<null>") b.filter(col(pCol).isNull)
         else b.filter(col(pCol).cast("string") === p)
       }
+      // the sub-run compares only its own partition — hand it exactly that
+      // slice of each pre-read snapshot (an unscoped snapshot would make
+      // every OTHER partition look "vanished" and fail)
+      val subHists = snapshotHists.map(_.map { case (name, h) =>
+        name -> h.filter(col("partition") === p)
+      })
       val rep = run(spark, subTable, subCfg, keyCol, runId,
         manifestPath = Some(manifestPath), baseline = subBaseline,
         collectViolations = collectViolations,
         maxViolationExamples = maxViolationExamples,
+        baselineHistograms = subHists,
+        snapshotOut = snapshotOut,
         // sanitized name + short content hash: sanitization alone is not
         // injective ('2024/01' and '2024_01' both map to '2024_01'), and
         // mode("overwrite") inside run() would silently clobber the first
@@ -239,22 +269,27 @@ object Validator {
       if (collectViolations) rep.violations.unpersist()
       rep
     }
-    if (maxParallel <= 1) parts.map(subRun).toSeq
-    else {
-      // Bounded-parallel sub-runs: checkpoint granularity stays one
-      // partition (each sub-run appends its own manifest rows on completion)
-      // but the cluster no longer idles between sub-jobs during driver-side
-      // scheduling. Parquet append-mode writes use task-unique file names,
-      // so concurrent manifest appends do not collide.
-      import java.util.concurrent.Executors
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      val pool = Executors.newFixedThreadPool(maxParallel)
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try Await.result(
-        Future.sequence(parts.toSeq.map(p => Future(subRun(p)))), Duration.Inf)
-      finally pool.shutdown()
-    }
+    val reports =
+      if (maxParallel <= 1) parts.map(subRun).toSeq
+      else {
+        // Bounded-parallel sub-runs: checkpoint granularity stays one
+        // partition (each sub-run appends its own manifest rows on
+        // completion) but the cluster no longer idles between sub-jobs
+        // during driver-side scheduling. Parquet append-mode writes use
+        // task-unique file names, so concurrent manifest appends do not
+        // collide. (Concurrent snapshot publishes touch DISJOINT partition
+        // directories — dynamic overwrite keys on the partition value.)
+        import java.util.concurrent.Executors
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val pool = Executors.newFixedThreadPool(maxParallel)
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try Await.result(
+          Future.sequence(parts.toSeq.map(p => Future(subRun(p)))), Duration.Inf)
+        finally pool.shutdown()
+      }
+    snapshotHists.foreach(_.values.foreach(_.unpersist()))
+    reports
   }
 
   def run(
@@ -271,7 +306,13 @@ object Validator {
       violationsOut: Option[String] = None,
       resumeDone: Option[Set[String]] = None,
       baselineSnapshot: Option[String] = None,
-      snapshotOut: Option[String] = None): RunReport = {
+      snapshotOut: Option[String] = None,
+      // pre-read per-rule baseline histograms (rule name -> (partition,
+      // bin, cnt) frame), already SCOPED to this run's partitions — the
+      // per-partition fan-out reads each snapshot once and threads slices
+      // through instead of re-reading the snapshot dir per sub-run.
+      // Precedence: baselineHistograms > baselineSnapshot > raw baseline.
+      baselineHistograms: Option[Map[String, DataFrame]] = None): RunReport = {
     import spark.implicits._
     // dict-table referential rules with fpp become Bloom row rules here
     // (no-op when the caller — per-partition CLI, streaming — pre-resolved)
@@ -569,15 +610,15 @@ object Validator {
       val curSnap = Drift.snapshot(df0, r.column.get, pCol, loB, hiB, r.bins)
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
-        val baseHist = baselineSnapshot
-          .map { p =>
+        val baseHist = baselineHistograms.flatMap(_.get(r.name))
+          .orElse(baselineSnapshot.map { p =>
             val h = Drift.readSnapshot(spark, s"$p/${r.name}", r.column.get,
               loB, hiB, r.bins)
             // same prune as prunedBaseline, on the snapshot's own string
             // partition column ("<null>" is a real string there — no 3VL)
             if (doneParts.isEmpty) h
             else h.filter(!col("partition").isin(doneParts.toSeq: _*))
-          }
+          })
           .orElse(prunedBaseline.map(b =>
             Drift.histogram(b, r.column.get, pCol, loB, hiB, r.bins)))
         val results = baseHist match {
@@ -606,8 +647,12 @@ object Validator {
               .withColumn("lo", lit(loB))
               .withColumn("hi", lit(hiB))
               .withColumn("k", lit(r.bins)))
-          carried.fold(curSnap)(c => curSnap.unionByName(c))
-            .write.mode("overwrite").parquet(s"$out/${r.name}")
+          // Hive-partitioned + dynamic overwrite: only the partitions in
+          // the frame are replaced, so a publisher carrying one partition
+          // (per-partition sub-run) leaves the rest of the snapshot intact
+          Drift.writeSnapshotFrame(
+            carried.fold(curSnap)(c => curSnap.unionByName(c)),
+            s"$out/${r.name}")
         }
         results
       } finally curSnap.unpersist()

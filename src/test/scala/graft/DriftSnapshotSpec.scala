@@ -89,6 +89,32 @@ class DriftSnapshotSpec extends SparkTestBase {
     }
   }
 
+  test("per-partition snapshot loop: sub-runs gate on and publish own slices") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-snapp").toString
+    val t1 = SeqTableGen.generate(spark, 4000)
+    Validator.runPerPartition(spark, t1, cfg, "doc_id", "pp-r1", s"$dir/m1",
+      collectViolations = false, snapshotOut = Some(s"$dir/s"))
+    // Hive-partitioned snapshot layout (one dir per partition value)
+    assert(new java.io.File(s"$dir/s/ntok_drift").listFiles()
+      .exists(_.getName.startsWith("partition=")))
+    // ROLLING same-dir update: gate on s, republish into s — safe in
+    // per-partition mode because snapshots are pre-read + materialized
+    val reports = Validator.runPerPartition(spark, t1, cfg, "doc_id",
+      "pp-r2", s"$dir/m2", collectViolations = false,
+      baselineSnapshot = Some(s"$dir/s"), snapshotOut = Some(s"$dir/s"))
+    val drift = reports.flatMap(_.results).filter(_.rule == "ntok_drift")
+    val sources = t1.select("source").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(drift.forall(_.verdict == "pass"), drift)
+    // exactly one verdict per partition — each sub-run saw ONLY its slice
+    // (an unscoped snapshot would add a "vanished" failure per other part)
+    assert(drift.map(_.partition).sorted == sources)
+    // the rolling update left the snapshot whole-table
+    val s = Drift.readSnapshot(spark, s"$dir/s/ntok_drift",
+      "n_tok", 0.0, 512.0, 8)
+    assert(s.select("partition").distinct().count() == sources.size)
+  }
+
   test("resumed run carries completed partitions' old snapshot rows forward") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snapres").toString
     val t1 = SeqTableGen.generate(spark, 4000)
