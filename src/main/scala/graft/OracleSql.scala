@@ -421,11 +421,6 @@ object OracleSql {
         |     AND (n_chars < 50 OR n_chars > 400)) AS n_quar_chars,
         | (SELECT count(*) FROM documents WHERE lang IS NULL) AS n_quar_lang""".stripMargin,
 
-    // duplicate-aware quarantine: replay the full routing — recursive-CTE
-    // transitive closure of the chain pairs gives each node's cluster min;
-    // non-canonical members are quarantined with duplicate_of = the min,
-    // alongside the row-rule failures (range passes nulls; not_null is the
-    // null check)
     // fail-fast goldens: the exact error each invalid construction must
     // raise (messages cite the reference lines whose semantics they match)
     "err_fail_fast" ->
@@ -446,6 +441,11 @@ object OracleSql {
         | CAST(5 + (i * 3) % 21 AS INT) AS height
         |FROM range(0, 24) t(i)""".stripMargin,
 
+    // duplicate-aware quarantine: replay the full routing — recursive-CTE
+    // transitive closure of the chain pairs gives each node's cluster min;
+    // non-canonical members are quarantined with duplicate_of = the min,
+    // alongside the row-rule failures (range passes nulls; not_null is the
+    // null check)
     "v_quarantine_dup" ->
       """WITH RECURSIVE
         |ranked AS (

@@ -696,9 +696,9 @@ object SparkEntry {
     // sinks, so the query checks the routing itself, not just the counters.
     // Range rules pass nulls; not_null is the null check — mirrored in SQL.
     "v_quarantine_split" -> ((s, d) => {
-      val cfg = graft.config.RuleConfig.loadYaml(docsQuarantineYaml)
       val dir = Option(qsplitPath.get()).filter(_._1 == d).map(_._2).getOrElse {
         val p = java.nio.file.Files.createTempDirectory("graft-qsplit").toString
+        val cfg = graft.config.RuleConfig.loadYaml(docsQuarantineYaml)
         graft.engine.Validator.quarantineSplit(s, t(s, d, "documents"), cfg,
           s"$p/clean", s"$p/quar")
         qsplitPath.set((d, p)); p

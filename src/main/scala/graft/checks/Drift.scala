@@ -51,7 +51,14 @@ object Drift {
   def snapshot(df: DataFrame, valueCol: String, partitionCol: String,
       lo: Double, hi: Double, k: Int): DataFrame =
     histogram(df, valueCol, partitionCol, lo, hi, k)
-      .withColumn("partition", coalesce(col("partition"), lit("<null>")))
+      // "" must also map to a sentinel: the Hive layout writes an
+      // empty-string partition value as __HIVE_DEFAULT_PARTITION__ and
+      // reads it back as NULL, which would silently mutate "" -> "<null>"
+      // across one snapshot round-trip (collectHist applies the same
+      // mapping to the current side so the keys stay aligned)
+      .withColumn("partition",
+        when(col("partition") === "", lit("<empty>"))
+          .otherwise(coalesce(col("partition"), lit("<null>"))))
       .withColumn("value_col", lit(valueCol))
       .withColumn("lo", lit(lo))
       .withColumn("hi", lit(hi))
@@ -182,7 +189,12 @@ object Drift {
   private def collectHist(histDf: DataFrame, k: Int): Map[String, Array[Double]] =
     histDf.select(col("partition"), col("bin"), col("cnt"))
       .collect()
-      .groupBy(r => Option(r.getString(0)).getOrElse("<null>"))
+      .groupBy { r =>
+        // same sentinels as snapshot(): null -> "<null>", "" -> "<empty>"
+        if (r.isNullAt(0)) "<null>"
+        else if (r.getString(0).isEmpty) "<empty>"
+        else r.getString(0)
+      }
       .map { case (p, rows) =>
         p -> toDense(rows.map(r => (r.getInt(1), r.getLong(2))).toSeq, k)
       }

@@ -212,23 +212,25 @@ object Validator {
       .collect().map(r => Option(r.getString(0)).getOrElse("<null>"))
       .sorted.filterNot(done)
     // drift snapshot loop under partition-granular execution: read each
-    // drift rule's snapshot ONCE for the whole fan-out and MATERIALIZE it
-    // (persist + count), then hand every sub-run its own partition's slice.
-    // Materializing up front is what makes a ROLLING same-dir update
-    // (baselineSnapshot == snapshotOut) safe here: each sub-run's dynamic
-    // partition overwrite replaces only its own partition directory, and
-    // nothing lazy still reads the files being replaced. Completed
-    // (resume-skipped) partitions' directories are simply never touched —
-    // the published snapshot stays whole-table across crash/resume.
+    // drift rule's snapshot ONCE for the whole fan-out as a LINEAGE-FREE
+    // local frame (collect + recreate — the snapshot is O(partitions×bins)
+    // rows), then hand every sub-run its own partition's slice. Lineage-
+    // free, not merely persisted, because a ROLLING same-dir update
+    // (baselineSnapshot == snapshotOut) deletes the very files a cached
+    // plan would recompute from after executor block loss — a persist()
+    // here would turn one lost executor into a FileNotFound job failure.
+    // Completed (resume-skipped) partitions' directories are simply never
+    // touched — the published snapshot stays whole-table across
+    // crash/resume.
     val driftRules = cfg.rules.filter(_.kind == RuleKind.Drift)
     val snapshotHists: Option[Map[String, DataFrame]] = baselineSnapshot.map {
       bp =>
         driftRules.map { r =>
-          val h = Drift.readSnapshot(spark, s"$bp/${r.name}", r.column.get,
+          val read = Drift.readSnapshot(spark, s"$bp/${r.name}", r.column.get,
             r.min.getOrElse(0.0), r.max.getOrElse(1024.0), r.bins)
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          h.count()
-          r.name -> h
+          import scala.jdk.CollectionConverters._
+          r.name -> spark.createDataFrame(
+            read.collect().toSeq.asJava, read.schema)
         }.toMap
     }
     def subRun(p: String): RunReport = {
@@ -288,7 +290,6 @@ object Validator {
           Future.sequence(parts.toSeq.map(p => Future(subRun(p)))), Duration.Inf)
         finally pool.shutdown()
       }
-    snapshotHists.foreach(_.values.foreach(_.unpersist()))
     reports
   }
 
@@ -637,7 +638,13 @@ object Validator {
         snapshotOut.foreach { out =>
           // resume consistency: completed partitions are absent from df0 —
           // carry their rows forward from the prior snapshot so the
-          // published baseline stays whole-table
+          // published baseline stays whole-table. Publishing into an
+          // EXISTING dir is also resume-safe without a carry: the dynamic
+          // partition overwrite below replaces only the partitions present
+          // in the frame. The one unsupported shape is a resumed run
+          // publishing to a FRESH dir with no baselineSnapshot to carry
+          // from — there is nowhere to get the completed partitions'
+          // histograms, so that snapshot covers only the resumed slice.
           val carried = baselineSnapshot
             .filter(_ => doneParts.nonEmpty)
             .map(p => Drift.readSnapshot(spark, s"$p/${r.name}",

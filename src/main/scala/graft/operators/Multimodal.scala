@@ -38,8 +38,14 @@ object Multimodal {
   def decodeImage(payload: Array[Byte]): Option[MediaMeta] =
     if (payload == null || payload.isEmpty) None
     else
+      // MemoryCacheImageInputStream, NOT ImageIO.read(InputStream): the
+      // latter defaults to a DISK-backed stream cache — one temp-file
+      // create/write/delete per record inside the mapPartitions hot loop
+      // (and an outright failure on a read-only tmpdir). The payload is
+      // already fully in memory.
       try Option(javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(payload)))
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(payload))))
         .map(img => MediaMeta("image", img.getWidth, img.getHeight, 1, 0,
           payload.length.toLong))
       // malformed streams can throw beyond IOException (readers differ);

@@ -74,7 +74,14 @@ object Similarity {
     * `nprobe`): the row's own cell first, then the cells across its
     * least-confident planes — the distributed form of [[multiProbeCodes]]
     * (parity-tested against it), so a MILLION queries get their probe sets
-    * in one projection instead of a driver loop of 1-row jobs. */
+    * in one projection instead of a driver loop of 1-row jobs.
+    *
+    * Cost note: HOF lambdas are excluded from codegen subexpression
+    * elimination, so the planes×dim plane-dot work re-evaluates ~(nprobe+1)x
+    * within this one expression. lshTopKMulti bounds that to a single pass
+    * per row (the projection lands behind its persist barrier); callers
+    * embedding this column in a frame evaluated repeatedly should do the
+    * same. */
   def multiProbeCodesCol(vec: Column, dim: Int, planes: Int, nprobe: Int,
       seed: Long = 42L): Column = {
     require(nprobe >= 1 && nprobe <= planes + 1,

@@ -89,6 +89,27 @@ class DriftSnapshotSpec extends SparkTestBase {
     }
   }
 
+  test("empty-string partition values survive the snapshot round-trip") {
+    // the Hive layout writes "" as __HIVE_DEFAULT_PARTITION__ and reads it
+    // back as NULL — without the "<empty>" sentinel an unchanged table
+    // would double-fail ("" new + "<null>" vanished) after one round-trip
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-empty").toString
+    import spark.implicits._
+    val df = Seq((1L, 10), (2L, 20), (3L, 30), (4L, 40))
+      .toDF("doc_id", "n_tok")
+      .withColumn("source",
+        org.apache.spark.sql.functions.when(col("doc_id") === 1, "")
+          .otherwise("web"))
+    Drift.writeSnapshot(df, "n_tok", "source", 0.0, 100.0, 4, s"$dir/h")
+    val back = Drift.readSnapshot(spark, s"$dir/h", "n_tok", 0.0, 100.0, 4)
+    assert(back.select("partition").distinct().collect()
+      .map(_.getString(0)).toSet == Set("<empty>", "web"))
+    val verdicts = Drift.compareHists(back,
+      Drift.histogram(df, "n_tok", "source", 0.0, 100.0, 4), 4, 0.2, 0.15)
+    assert(verdicts.map(_.partition).toSet == Set("<empty>", "web"))
+    assert(verdicts.forall(_.pass), verdicts)
+  }
+
   test("per-partition snapshot loop: sub-runs gate on and publish own slices") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snapp").toString
     val t1 = SeqTableGen.generate(spark, 4000)
