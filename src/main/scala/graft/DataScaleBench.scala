@@ -1,0 +1,22 @@
+package graft
+
+/** Data-scale holding test: full constraint suite over an n-row planted
+  * tokenized table — extends the 4M/16M throughput curve (BENCH/BASELINE.md
+  * "Data-scale holding test"). Throughput should be ~data-size-invariant:
+  * the plan is one streaming scan plus a map-side-combined uniqueness
+  * shuffle, so per-task memory is bounded.
+  *
+  * Usage: runMain graft.DataScaleBench [rows] [cpus]  (default 16M, 32)
+  */
+object DataScaleBench {
+  def main(args: Array[String]): Unit = {
+    val rows = args.headOption.map(_.toLong).getOrElse(16000000L)
+    val cpus = args.lift(1).getOrElse("32")
+    val spark = Bench.buildSession(cpus)
+    try {
+      val (r, sec) = Bench.validateThroughput(spark, rows,
+        s"/tmp/graft-scale-$rows")
+      println(f"""{"metric":"validate_holding","rows":$r,"value":$sec%.3f,"unit":"sec","seq_per_sec":${(r / sec).toLong},"cpus":$cpus}""")
+    } finally spark.stop()
+  }
+}

@@ -578,6 +578,14 @@ object OracleSql {
     "ann_lsh_check" ->
       "SELECT true AS ranks_ok, true AS cos_monotone",
 
+    // self-verifying: multi-probe candidates ⊇ single-probe per query, so
+    // per-query count and best cosine are monotone in nprobe (a query
+    // alone in its cell answers nothing at nprobe=1, so the query-count
+    // itself is data-dependent — only its non-emptiness is pinned)
+    "ann_lsh_multi_check" ->
+      """SELECT true AS has_single_queries,
+        | true AS count_monotone, true AS best_cos_monotone""".stripMargin,
+
     "mm_parity" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows, true AS byte_len_ok,
         | true AS type_ok, true AS ranges_ok

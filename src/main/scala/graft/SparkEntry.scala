@@ -1148,6 +1148,35 @@ object SparkEntry {
             col("cos") <= col("prev_cos") + 1e-12), lit(false)).as("cos_monotone"))
     }),
 
+    // oracle-backed multi-probe evidence: nprobe=3 candidates are a strict
+    // SUPERSET of nprobe=1's per query, so neither the per-query result
+    // count nor the best cosine can decrease — the structural guarantee
+    // multi-probe recall rests on, checked in-engine over every query
+    "ann_lsh_multi_check" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val queries = emb.limit(20)
+      def agg(nprobe: Int, cntCol: String, bestCol: String) = {
+        val r = Similarity.lshTopKMulti(emb, queries, "embedding", "vec_id",
+          dim = 64, k = 5, planes = 6, nprobe = nprobe)
+        val out = r.groupBy("query_id")
+          .agg(count(lit(1)).as(cntCol), max(col("cos")).as(bestCol))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        out.count()
+        r.unpersist()
+        out
+      }
+      val s1 = agg(1, "cnt_s", "best_s")
+      val m3 = agg(3, "cnt_m", "best_m")
+      // left join FROM single: every query the single probe answered must
+      // still be answered at least as well by the superset
+      s1.join(m3, Seq("query_id"), "left")
+        .agg((count(lit(1)) > 0).as("has_single_queries"),
+          coalesce(every(coalesce(col("cnt_m") >= col("cnt_s"), lit(false))),
+            lit(false)).as("count_monotone"),
+          coalesce(every(coalesce(col("best_m") >= col("best_s") - 1e-12,
+            lit(false))), lit(false)).as("best_cos_monotone"))
+    }),
+
     // ======== text analysis ========
     "t_langid" -> ((s, d) => t(s, d, "documents").select(
       col("doc_id"),
