@@ -1,0 +1,39 @@
+package graft
+
+/** Adversarial-bucket evidence for the two-phase bucket cap: a corpus
+  * where HALF the documents are one identical boilerplate text, so every
+  * LSH band bucket for that text holds n/2 members — the exact shape the
+  * `maxBucket` cap defends against. With the old count-over-window cap,
+  * all n/2 × bands boilerplate band rows funneled through single window
+  * tasks before being dropped; the two-phase cap counts them map-side and
+  * broadcast-anti-joins the over-cap keys, so the hot rows never
+  * co-locate.
+  *
+  * Usage: runMain graft.HotBucketBench [docs] [cpus]  (default 200k, 32)
+  */
+object HotBucketBench {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(200000)
+    val cpus = args.lift(1).getOrElse("32")
+    val spark = Bench.buildSession(cpus)
+    try {
+      // the distinct half is md5-derived so its docs share shingles only by
+      // chance — a templated "unique document N" text would make the whole
+      // corpus GENUINELY near-duplicate and measure pair emission instead
+      // of the cap
+      val docs = spark.range(n).selectExpr(
+        "id as doc_id",
+        "case when id % 2 = 0 " +
+          "then 'the quick brown fox jumps over the lazy dog boilerplate banner repeated across half the corpus' " +
+          "else concat_ws(' ', md5(cast(id as string)), " +
+          "md5(cast(id * 7 as string)), md5(cast(id * 13 as string))) end as text")
+      val t0 = System.nanoTime()
+      val pairs = graft.operators.Dedup.minhashLshPairs(
+        docs, "text", "doc_id", maxBucket = 2000)
+      val nPairs = pairs.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      pairs.unpersist()
+      println(f"""{"metric":"hot_bucket_lsh","docs":$n,"boilerplate":${n / 2},"pairs":$nPairs,"value":$wall%.3f,"unit":"sec","cpus":$cpus}""")
+    } finally spark.stop()
+  }
+}
