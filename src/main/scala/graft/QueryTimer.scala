@@ -1,0 +1,21 @@
+package graft
+
+/** Ad-hoc per-query timing at any scale factor — the "new-query holding
+  * check" tool: run named SparkEntry queries once (cold) against a table
+  * dir and print wall + row count, to confirm no pathological plans at 10x
+  * the correctness-gate scale.
+  *
+  * Usage: runMain graft.QueryTimer <sfDir> <query> [query...]
+  */
+object QueryTimer {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: QueryTimer <sfDir> <query> [query...]")
+    val sfDir = args.head
+    val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    try args.drop(1).foreach { n =>
+      val t0 = System.nanoTime()
+      val cnt = SparkEntry.queries(n)(spark, sfDir).count()
+      println(f"$n%-24s ${(System.nanoTime() - t0) / 1e9}%6.2fs rows=$cnt")
+    } finally spark.stop()
+  }
+}
