@@ -578,6 +578,12 @@ object OracleSql {
     "ann_lsh_check" ->
       "SELECT true AS ranks_ok, true AS cos_monotone",
 
+    // self-verifying: the batch IVF probe must agree row-for-row with the
+    // single-query probe on the shared query, and scan fewer files than
+    // the whole index (partition pruning on the union of probe cells)
+    "ann_ivf_batch" ->
+      "SELECT true AS parity_ok, true AS files_pruned, true AS has_rows",
+
     // self-verifying: multi-probe candidates ⊇ single-probe per query, so
     // per-query count and best cosine are monotone in nprobe (a query
     // alone in its cell answers nothing at nprobe=1, so the query-count

@@ -1131,6 +1131,54 @@ object SparkEntry {
         lit(nProbed < nTotal).as("files_pruned"))
     }),
 
+    // batch IVF probe, self-verifying: (1) the batch result for query 0
+    // must match the one-at-a-time probeIvfMulti EXACTLY (same cells, same
+    // ranking; the batch excludes self-matches so the single probe's self
+    // hit is dropped and re-ranked before comparing), (2) the batch scan
+    // reads only the union of the batch's probe cells (fewer files than
+    // the full index)
+    "ann_ivf_batch" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val path = Option(ivfIndexPath.get()).filter(_._1 == d).map(_._2)
+        .getOrElse {
+          val p = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/ivf"
+          Similarity.writeIvf(emb, "embedding", dim = 64, planes = 4, path = p)
+          ivfIndexPath.set((d, p)); p
+        }
+      val k = 5
+      val queries = emb.filter(col("vec_id") < 10)
+      val batch = Similarity.probeIvfBatch(s, path, queries, "embedding",
+        "vec_id", dim = 64, k = k, planes = 4, nprobe = 2)
+      val q0 = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val single = Similarity.probeIvfMulti(s, path, "embedding", "vec_id",
+        q0, k, planes = 4, nprobe = 2)
+      val bq0 = batch.filter(col("query_id") === 0 && col("rank") <= k - 1)
+        .select(col("corpus_id").as("b_id"), col("cos").as("b_cos"),
+          col("rank").as("b_rank"))
+      val sing = single.filter(col("vec_id") =!= 0)
+        .select(col("vec_id").as("s_id"), col("cos").as("s_cos"))
+        // bounded window: `single` is already limit(k) rows
+        .withColumn("s_rank", row_number().over(
+          Window.orderBy(col("s_cos").desc, col("s_id").asc)))
+        .filter(col("s_rank") <= k - 1)
+      val probedCodes = queries
+        .select(explode(Similarity.multiProbeCodesCol(
+          col("embedding"), 64, 4, 2)).as("bucket"))
+        .distinct().collect().map(_.getLong(0))
+      val full = s.read.parquet(path)
+      val nTotal = full.select(input_file_name()).distinct().count()
+      val nProbed = full.filter(col("bucket").isin(probedCodes: _*))
+        .select(input_file_name()).distinct().count()
+      bq0.join(sing, col("b_rank") === col("s_rank"), "full")
+        .agg(
+          coalesce(every(coalesce(col("b_id") === col("s_id") &&
+            abs(col("b_cos") - col("s_cos")) < 1e-9, lit(false))), lit(false))
+            .as("parity_ok"),
+          lit(nProbed < nTotal).as("files_pruned"),
+          (count(lit(1)) > 0).as("has_rows"))
+    }),
+
     // oracle-backed ANN evidence: per-query ranks must be consecutive from 1
     // and cosine non-increasing with rank — structural invariants of a
     // correct top-k, checked in-engine, verdict pinned by the oracle

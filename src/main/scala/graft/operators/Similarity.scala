@@ -220,6 +220,51 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch multi-probe against a WRITTEN IVF index: top-k for every query
+    * row, scanning only the union of the batch's probe cells.
+    *
+    * The batch's distinct probe codes (≤ 2^planes values — bounded,
+    * driver-safe) become an `isin` PARTITION filter on the Hive layout, so
+    * the index scan reads only the probed cell directories — the batch
+    * form of [[probeIvfMulti]]'s pruning, without its one-driver-job-per-
+    * query loop. Same shuffle discipline as [[lshTopKMulti]]: the bucket
+    * join carries ids only (the corpus vectors attach afterwards via a
+    * SECOND pruned scan keyed by id — two narrow pruned reads beat
+    * shipping every float array through the low-cardinality bucket
+    * exchange), and degenerate cells are capped at `maxBucket`. */
+  def probeIvfBatch(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vecCol: String, idCol: String, dim: Int, k: Int,
+      planes: Int, nprobe: Int = 2, seed: Long = 42L,
+      maxBucket: Int = 100000): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      multiProbeCodesCol(col(vecCol), dim, planes, nprobe, seed).as("probes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val codes = q.select(explode(col("probes")).as("bucket"))
+      .distinct().collect().map(_.getLong(0))
+    def pruned = spark.read.parquet(path).filter(col("bucket").isin(codes: _*))
+    val cIds = Dedup.capBuckets(
+      pruned.select(col("bucket"), col(idCol).as("corpus_id")),
+      "bucket", maxBucket)
+    val cand = q.select(col("query_id"), explode(col("probes")).as("bucket"))
+      .join(cIds, Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    val out = cand
+      .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
+      .join(pruned.select(col(idCol).as("corpus_id"), col(vecCol).as("cv")),
+        Seq("corpus_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // materialize with lineage intact; caller unpersists `out`
+    q.unpersist()
+    out
+  }
+
   /** Probe the written IVF index: top-k by cosine WITHIN the query's cell.
     * The `bucket === code` filter is a partition filter on the Hive layout,
     * so the scan reads only the probed cell's directory — at 10^12 vectors
