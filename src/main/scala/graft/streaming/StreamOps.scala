@@ -197,6 +197,31 @@ object StreamOps {
       .withColumn("pass", col("psi") <= psiMax && col("ks") <= ksMax)
   }
 
+  /** [[driftStream]] with its baseline read from a PUBLISHED batch
+    * snapshot (the Validator's snapshot loop —
+    * [[graft.checks.Drift.writeSnapshot]]): the nightly batch run's
+    * histograms gate the live stream. The snapshot's per-partition counts
+    * collapse to ONE global baseline — a stream windows by event time, so
+    * the batch table-partition axis does not exist here — and the
+    * snapshot's embedded binning metadata is validated by the read (a
+    * stream comparing against differently-binned history would emit
+    * plausible nonsense). */
+  def driftStreamFromSnapshot(spark: SparkSession, events: DataFrame,
+      valueCol: String, tsCol: String, snapshotPath: String,
+      lo: Double, hi: Double, k: Int,
+      window_ : String = "10 minutes", watermark: String = "30 minutes",
+      psiMax: Double = 0.25, ksMax: Double = 0.2): DataFrame = {
+    val snap = graft.checks.Drift.readSnapshot(
+      spark, snapshotPath, valueCol, lo, hi, k)
+    val dense = Array.fill(k)(0.0)
+    snap.groupBy("bin").agg(sum("cnt").as("c")).collect().foreach { r =>
+      val b = r.getInt(0)
+      if (b >= 0 && b < k) dense(b) = r.getLong(1).toDouble
+    }
+    driftStream(events, valueCol, tsCol, dense, lo, hi,
+      window_, watermark, psiMax, ksMax)
+  }
+
   /** Custom keyed state: running per-user totals via mapGroupsWithState —
     * the KeyValueGroupedDataset state API the north-rule scale path needs
     * for resumable incremental aggregation. */

@@ -365,6 +365,46 @@ class StreamOpsSpec extends SparkTestBase {
     assert(m.forall(r => r.getAs[String]("detail").contains("psi=")))
   }
 
+  test("driftStreamFromSnapshot gates the stream on a published batch snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-snap").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val batch = spark.read.parquet(s"${sf()}/events.parquet")
+    val snapPath = java.nio.file.Files.createTempDirectory("graft-stream-snap2")
+      .toString + "/h"
+    graft.checks.Drift.writeSnapshot(batch, "value", "event_type",
+      0.0, 1000.0, 6, snapPath)
+    // the equivalent dense GLOBAL baseline, for the reference stream
+    val dense = Array.fill(6)(0.0)
+    graft.checks.Drift.histogram(batch, "value", "event_type", 0.0, 1000.0, 6)
+      .groupBy("bin").agg(sum("cnt").as("c")).collect()
+      .foreach(r => dense(r.getInt(0)) = r.getLong(1).toDouble)
+    def collectDrift(df: org.apache.spark.sql.DataFrame, name: String) = {
+      val q = df.writeStream.outputMode(OutputMode.Complete())
+        .format("memory").queryName(name).start()
+      try { q.processAllAvailable(); spark.table(name).collect() }
+      finally q.stop()
+      }
+    val fromSnap = collectDrift(StreamOps.driftStreamFromSnapshot(spark,
+      StreamOps.readEvents(spark, dir, schema), "value", "ts", snapPath,
+      0.0, 1000.0, 6, window_ = "7 days", watermark = "365 days"), "ds_snap")
+    val reference = collectDrift(StreamOps.driftStream(
+      StreamOps.readEvents(spark, dir, schema), "value", "ts", dense,
+      0.0, 1000.0, window_ = "7 days", watermark = "365 days"), "ds_ref")
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getStruct(0).getTimestamp(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(fromSnap.nonEmpty && keyed(fromSnap) == keyed(reference),
+      "snapshot-fed stream must match the dense-array-fed stream exactly")
+    // mismatched binning refuses instead of comparing nonsense
+    intercept[IllegalArgumentException] {
+      StreamOps.driftStreamFromSnapshot(spark,
+        StreamOps.readEvents(spark, dir, schema), "value", "ts", snapPath,
+        0.0, 1000.0, 12)
+    }
+  }
+
   test("psiExpr/ksExpr parity with the driver drift math") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
