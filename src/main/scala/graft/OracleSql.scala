@@ -487,6 +487,24 @@ object OracleSql {
         | CAST(count(*) FILTER (WHERE NOT ok_lang) AS BIGINT) AS n_quar_lang
         |FROM f""".stripMargin,
 
+    // duplicate rule kind (exact method): members = extra copies beyond
+    // each non-null text value's first occurrence, over the corpus PLUS
+    // the planted copies; verdict = share vs max_share, same formula
+    "v_duplicate_rule" ->
+      """WITH u AS (
+        |  SELECT text FROM documents
+        |  UNION ALL SELECT text FROM documents WHERE doc_id < 50),
+        |g AS (SELECT text, count(*) AS n FROM u
+        |      WHERE text IS NOT NULL GROUP BY text),
+        |m AS (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT) AS members
+        |      FROM g WHERE n > 1),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM u)
+        |SELECT '*' AS part,
+        |  CASE WHEN m.members / t.total > 0.0001 THEN 'fail' ELSE 'pass' END
+        |    AS verdict,
+        |  m.members AS members
+        |FROM m, t""".stripMargin,
+
     "v_histogram" ->
       """SELECT source,
         | CAST(least(greatest(floor(n_chars / 60.0), 0), 9) AS INT) AS bin,

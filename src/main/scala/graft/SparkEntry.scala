@@ -77,6 +77,11 @@ object SparkEntry {
   private val driftSnapPath =
     new java.util.concurrent.atomic.AtomicReference[(String, String)](null)
 
+  /** Once-per-JVM cache of the v_duplicate_rule verdict (plan-only callers
+    * must not re-mine duplicates per invocation), keyed by source dir. */
+  private val dupRuleVerdict =
+    new java.util.concurrent.atomic.AtomicReference[(String, (String, String, Long))](null)
+
   /** Deterministic within-source chain pairs over documents (consecutive
     * doc_ids by source rank, broken every 5th link) — the pair fixture whose
     * transitive closure a DuckDB recursive CTE can replay exactly; shared by
@@ -711,6 +716,45 @@ object SparkEntry {
             .otherwise(0L)), lit(0L)).as("n_quar_chars"),
           coalesce(sum(when(array_contains(col("failed_rules"), "lang_present"), 1L)
             .otherwise(0L)), lit(0L)).as("n_quar_lang")))
+    }),
+
+    // the duplicate RULE KIND (content duplication as a first-class YAML
+    // constraint, global like uniqueness): planted verbatim copies of the
+    // first 50 docs must push the exact-method share over max_share and
+    // fail the rule; the oracle replays the mining (group non-null text,
+    // members = sum(n-1)) and the share verdict from the same construction
+    "v_duplicate_rule" -> ((s, d) => {
+      import s.implicits._
+      val (part, verdict, members) =
+        Option(dupRuleVerdict.get()).filter(_._1 == d).map(_._2).getOrElse {
+          val docs = t(s, d, "documents")
+          val planted = docs.filter(col("doc_id") < 50)
+            .withColumn("doc_id", col("doc_id") + 500000)
+          val cfg = graft.config.RuleConfig.loadYaml(
+            """table:
+              |  name: documents
+              |  partition_column: source
+              |  columns:
+              |    doc_id: {type: bigint, nullable: false}
+              |    text: {type: string, nullable: true}
+              |    lang: {type: string, nullable: true}
+              |    source: {type: string, nullable: true}
+              |    n_chars: {type: bigint, nullable: true}
+              |rules:
+              |  - name: text_dups
+              |    description: exact duplicate text share bounded
+              |    kind: duplicate
+              |    column: text
+              |    method: exact
+              |    max_share: 0.0001
+              |""".stripMargin)
+          val rep = graft.engine.Validator.run(s, docs.unionByName(planted),
+            cfg, "doc_id", "dup-rule-q", collectViolations = false)
+          val r = rep.results.filter(_.rule == "text_dups").head
+          val v = (r.partition, r.verdict, r.violationCount)
+          dupRuleVerdict.set((d, v)); v
+        }
+      Seq((part, verdict, members)).toDF("part", "verdict", "members")
     }),
 
     "v_histogram" -> ((s, d) =>

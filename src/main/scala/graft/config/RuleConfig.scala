@@ -28,11 +28,12 @@ object RuleKind {
   case object Drift       extends RuleKind // per-partition histogram KS/PSI
   case object Stats       extends RuleKind // profile-only (no pass/fail)
   case object Frequent    extends RuleKind // top-k values + dominance bound
+  case object Duplicate   extends RuleKind // content duplication share bound
   def parse(s: String): RuleKind = s match {
     case "schema" => Schema; case "not_null" => NotNull; case "range" => Range
     case "token_range" => TokenRange; case "expr" => Expr; case "unique" => Unique
     case "referential" => Referential; case "drift" => Drift; case "stats" => Stats
-    case "frequent" => Frequent
+    case "frequent" => Frequent; case "duplicate" => Duplicate
     case other => throw ConfigError(s"unknown rule kind '$other'")
   }
 }
@@ -65,7 +66,15 @@ final case class RuleSpec(
     // FAIL a partition whose most frequent value exceeds `max_share` of its
     // rows (degenerate/constant-column detection)
     topK: Int = 3,
-    maxShare: Option[Double] = None) {
+    maxShare: Option[Double] = None,
+    // duplicate rule: `method` picks the miner (exact value match, MinHash-
+    // LSH near-dup, SimHash Hamming near-dup); `threshold` is the minhash
+    // estimated-Jaccard cut; the rule FAILS when the share of non-canonical
+    // duplicate members exceeds `max_share` (default 0 — no duplication
+    // tolerated). GLOBAL like uniqueness: duplicate content spans
+    // partitions, so verdicts record under "*".
+    method: Option[String] = None,
+    threshold: Option[Double] = None) {
   /** Fail-fast spec validation (reference models/features.py:14,20-30). */
   def validate(knownColumns: Set[String]): Unit = {
     if (description.length < 5)
@@ -95,6 +104,15 @@ final case class RuleSpec(
         if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
         maxShare.foreach(s => if (s <= 0.0 || s > 1.0)
           throw ConfigError(s"rule '$name': max_share must be in (0, 1]"))
+      case RuleKind.Duplicate =>
+        if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
+        method.foreach(m => if (!Set("exact", "minhash", "simhash")(m))
+          throw ConfigError(
+            s"rule '$name': method must be exact|minhash|simhash (got '$m')"))
+        threshold.foreach(t => if (t <= 0.0 || t > 1.0)
+          throw ConfigError(s"rule '$name': threshold must be in (0, 1]"))
+        maxShare.foreach(s => if (s < 0.0 || s >= 1.0)
+          throw ConfigError(s"rule '$name': max_share must be in [0, 1)"))
       case _ => ()
     }
   }
@@ -170,7 +188,9 @@ object RuleConfig {
         expectedItems = optInt(r, "expected_items").map(_.toLong),
         fpp = optDouble(r, "fpp"),
         topK = optInt(r, "top_k").getOrElse(3),
-        maxShare = optDouble(r, "max_share"))
+        maxShare = optDouble(r, "max_share"),
+        method = optStr(r, "method"),
+        threshold = optDouble(r, "threshold"))
     }
     val cfg = SuiteConfig(tName, pCol, cols, rules)
     // fail-fast validation pass (pydantic analogue)

@@ -111,6 +111,55 @@ object Validator {
     } finally clusters.unpersist()
   }
 
+  /** Mine a duplicate rule's statistics: (#duplicate clusters,
+    * #non-canonical members). GLOBAL — duplicate content spans partitions,
+    * so both run paths record the verdict under "*". Methods: `exact`
+    * (hash-groupBy on the raw column value — ONE map-side-combinable
+    * shuffle, the same shape as exact dedup), `minhash` (MinHash-LSH pairs
+    * at `threshold` estimated Jaccard → transitive clusters), `simhash`
+    * (Hamming ≤ 3 banding → transitive clusters). The clustered methods
+    * inherit the miners' banded/bucket-capped scale discipline. */
+  def duplicateStats(table: DataFrame, keyCol: String,
+      r: RuleSpec): (Long, Long) = {
+    val c = r.column.getOrElse(
+      throw new IllegalArgumentException(s"duplicate rule ${r.name}: no column"))
+    r.method.getOrElse("exact") match {
+      case "exact" =>
+        val row = table.filter(col(c).isNotNull)
+          .groupBy(col(c)).agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)
+          .agg(count(lit(1)).as("clusters"),
+            coalesce(sum(col("n") - 1), lit(0L)).as("members"))
+          .head()
+        (row.getLong(0), row.getLong(1))
+      case m =>
+        val pairs =
+          if (m == "minhash")
+            graft.operators.Dedup.minhashLshPairs(table, c, keyCol,
+              estThreshold = r.threshold.getOrElse(0.8))
+          else
+            graft.operators.Dedup.simhashNearDupPairs(table, c, keyCol)
+        val clusters = graft.operators.Dedup.dupClusters(pairs)
+        val row = clusters.filter(col("id") =!= col("cluster_id"))
+          .agg(countDistinct(col("cluster_id")).as("clusters"),
+            count(lit(1)).as("members")).head()
+        clusters.unpersist(); pairs.unpersist()
+        (row.getLong(0), row.getLong(1))
+    }
+  }
+
+  private def duplicateRuleResult(table: DataFrame, keyCol: String,
+      r: RuleSpec, totalRows: => Long): RuleResult = {
+    val t1 = System.nanoTime()
+    val (clusters, members) = duplicateStats(table, keyCol, r)
+    val share = members.toDouble / math.max(totalRows, 1L)
+    val fail = share > r.maxShare.getOrElse(0.0)
+    val wall = (System.nanoTime() - t1) / 1000000
+    RuleResult("*", r.name, if (fail) "fail" else "pass", 0L, members, 0L,
+      wall,
+      f"method=${r.method.getOrElse("exact")};clusters=$clusters;share=$share%.6f")
+  }
+
   private def quarantineImpl(
       spark: SparkSession,
       table: DataFrame,
@@ -184,7 +233,11 @@ object Validator {
     // scoped to a partition sub-run; execute it once per runId, recorded
     // under partition "*" (which completedPartitions treats as covering all)
     val uniqueRules = cfg.rules.filter(_.kind == RuleKind.Unique)
-    val subCfg = cfg.copy(rules = cfg.rules.filterNot(_.kind == RuleKind.Unique))
+    // duplicate rules are global for the same reason (dup content spans
+    // partitions) — hoisted out of the sub-runs alongside uniqueness
+    val dupRules = cfg.rules.filter(_.kind == RuleKind.Duplicate)
+    val subCfg = cfg.copy(rules = cfg.rules.filterNot(r =>
+      r.kind == RuleKind.Unique || r.kind == RuleKind.Duplicate))
     // ONE manifest read for the whole call: both the global-uniqueness check
     // and completedPartitions derive from it. At 10^4 partitions a re-read
     // per sub-run would rescan an ever-growing small-file manifest N times
@@ -202,6 +255,12 @@ object Validator {
         runId, "*", r.name,
         if (agg.getLong(1) == 0L) "pass" else "fail",
         0L, agg.getLong(1), agg.getLong(2), wall, s"dupKeys=${agg.getLong(0)}")))
+    }
+    dupRules.filterNot(r => doneGlobal.contains(("*", r.name))).foreach { r =>
+      val rr = duplicateRuleResult(table, keyCol, r, table.count())
+      Manifest.append(spark, manifestPath, Seq(Manifest.Entry(
+        runId, rr.partition, rr.rule, rr.verdict, rr.rowCount,
+        rr.violationCount, rr.contentHash, rr.wallMs, rr.detail)))
     }
     val done = Manifest.completedPartitionsFrom(
       doneGlobal, subCfg.rules.map(_.name))
@@ -584,6 +643,16 @@ object Validator {
       }
     }
 
+    // ---- content-duplication verdicts (global: dup content spans
+    // partitions, so the verdict records under "*" like uniqueness) ----
+    val duplicateResults = cfg.rules.filter(_.kind == RuleKind.Duplicate)
+      .map { r =>
+        duplicateRuleResult(df0, keyCol, r,
+          if (rowResults.nonEmpty)
+            rowResults.groupBy(_.partition).map(_._2.head.rowCount).sum
+          else df0.count())
+      }
+
     // ---- drift vs baseline (raw table OR published snapshot) ----
     // On a resumed run drift evaluates over df0, which the resume prune has
     // already stripped of completed partitions — so the BASELINE must be
@@ -666,7 +735,7 @@ object Validator {
     }
 
     val all = schemaResults ++ rowResults ++ uniqueResults ++ refJoinResults ++
-      frequentResults ++ statsResults ++ driftResults
+      frequentResults ++ statsResults ++ duplicateResults ++ driftResults
 
     // strict mode mirrors the reference's fail-fast exception (core.py:72-76):
     // any failing rule aborts with the rule log instead of emitting verdicts

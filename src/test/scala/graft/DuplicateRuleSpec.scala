@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.config.{ConfigError, RuleConfig}
+import graft.engine.Validator
+
+/** The `duplicate` rule kind: content duplication as a first-class YAML
+  * constraint — global like uniqueness, mined exact / minhash / simhash,
+  * gated on the non-canonical member share. */
+class DuplicateRuleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def yaml(method: String, maxShare: Double,
+      threshold: Option[Double] = None) =
+    s"""table:
+       |  name: docs
+       |  partition_column: source
+       |  columns:
+       |    doc_id: {type: bigint, nullable: false}
+       |    text: {type: string, nullable: true}
+       |    source: {type: string, nullable: false}
+       |rules:
+       |  - name: dup_gate
+       |    description: duplication share bounded
+       |    kind: duplicate
+       |    column: text
+       |    method: $method
+       |    max_share: $maxShare
+       |${threshold.map(t => s"    threshold: $t").getOrElse("")}
+       |""".stripMargin
+
+  // 100 docs: ids 0-4 have verbatim copies at 100-104 (5 clusters of 2);
+  // the rest are distinct md5-derived texts split over two partitions
+  private def fixture = {
+    val base = spark.range(100).select(col("id").as("doc_id"),
+      concat(lit("text body "), md5(col("id").cast("string")),
+        lit(" tail "), md5((col("id") * 31).cast("string"))).as("text"),
+      when(col("id") % 2 === 0, "web").otherwise("books").as("source"))
+    val copies = base.filter(col("doc_id") < 5)
+      .withColumn("doc_id", col("doc_id") + 100)
+      .withColumn("source", lit("web"))
+    base.unionByName(copies)
+  }
+
+  test("exact method: planted copies counted, share gate in both directions") {
+    val t = fixture
+    // 5 non-canonical members over 105 rows = 4.76% share
+    val tight = Validator.run(spark, t,
+      RuleConfig.loadYaml(yaml("exact", 0.01)), "doc_id", "dup-t1",
+      collectViolations = false)
+    val r1 = tight.results.filter(_.rule == "dup_gate")
+    assert(r1.map(_.partition) == Seq("*"), "duplicate rule must be global")
+    assert(r1.head.verdict == "fail" && r1.head.violationCount == 5L)
+    assert(r1.head.detail.contains("clusters=5"))
+    val loose = Validator.run(spark, t,
+      RuleConfig.loadYaml(yaml("exact", 0.1)), "doc_id", "dup-t2",
+      collectViolations = false)
+    assert(loose.results.filter(_.rule == "dup_gate").head.verdict == "pass")
+  }
+
+  test("minhash method: near-dup copies cluster transitively") {
+    // copies are verbatim -> est Jaccard 1.0 >= any threshold
+    val rep = Validator.run(spark, fixture,
+      RuleConfig.loadYaml(yaml("minhash", 0.01, Some(0.8))), "doc_id",
+      "dup-t3", collectViolations = false)
+    val r = rep.results.filter(_.rule == "dup_gate").head
+    assert(r.verdict == "fail" && r.violationCount >= 5L, r)
+  }
+
+  test("simhash method runs and sees the verbatim copies") {
+    val rep = Validator.run(spark, fixture,
+      RuleConfig.loadYaml(yaml("simhash", 0.5)), "doc_id", "dup-t4",
+      collectViolations = false)
+    val r = rep.results.filter(_.rule == "dup_gate").head
+    assert(r.verdict == "pass" && r.violationCount >= 5L, r)
+  }
+
+  test("clean table passes at max_share 0 and empty-pair clustering is sound") {
+    val clean = fixture.filter(col("doc_id") < 100 && col("doc_id") >= 10)
+    for (m <- Seq("exact", "minhash")) {
+      val rep = Validator.run(spark, clean,
+        RuleConfig.loadYaml(yaml(m, 0.0)), "doc_id", s"dup-clean-$m",
+        collectViolations = false)
+      val r = rep.results.filter(_.rule == "dup_gate").head
+      assert(r.verdict == "pass" && r.violationCount == 0L, s"$m: $r")
+    }
+  }
+
+  test("per-partition mode hoists the duplicate rule to one global '*' row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dup-pp").toString
+    Validator.runPerPartition(spark, fixture,
+      RuleConfig.loadYaml(yaml("exact", 0.01)), "doc_id", "dup-pp",
+      s"$dir/m", collectViolations = false)
+    val rows = graft.lineage.Manifest.read(spark, s"$dir/m")
+      .filter(col("runId") === "dup-pp" && col("rule") === "dup_gate")
+      .collect()
+    assert(rows.map(_.getAs[String]("partition")).toSeq == Seq("*"))
+    assert(rows.head.getAs[String]("verdict") == "fail")
+    assert(rows.head.getAs[Long]("violationCount") == 5L)
+    // resume: the global row is already recorded — a re-run appends nothing
+    Validator.runPerPartition(spark, fixture,
+      RuleConfig.loadYaml(yaml("exact", 0.01)), "doc_id", "dup-pp",
+      s"$dir/m", collectViolations = false)
+    assert(graft.lineage.Manifest.read(spark, s"$dir/m")
+      .filter(col("runId") === "dup-pp" && col("rule") === "dup_gate")
+      .count() == 1L)
+  }
+
+  test("config validation rejects bad method / threshold / max_share") {
+    intercept[ConfigError] { RuleConfig.loadYaml(yaml("fuzzy", 0.01)) }
+    intercept[ConfigError] { RuleConfig.loadYaml(yaml("minhash", 0.01, Some(1.5))) }
+    intercept[ConfigError] { RuleConfig.loadYaml(yaml("exact", 1.0)) }
+  }
+}
