@@ -106,6 +106,36 @@ class DuplicateRuleSpec extends SparkTestBase {
       .count() == 1L)
   }
 
+  test("exact method on an array<int> column (token-array equality)") {
+    // the north-rule per-row invariant IS token-array equality — exact
+    // duplication gates directly on the tokens column (arrays group-by
+    // natively; no serialization round-trip)
+    val base = graft.datagen.SeqTableGen.generate(spark, 500)
+    val copies = base.filter(col("doc_id") < "doc-000000000005")
+      .withColumn("doc_id", concat(lit("copy-"), col("doc_id")))
+    val cfg = RuleConfig.loadYaml(
+      """table:
+        |  name: seqs
+        |  partition_column: source
+        |  columns:
+        |    doc_id: {type: string, nullable: false}
+        |    tokens: {type: "array<int>", nullable: true}
+        |    n_tok: {type: int, nullable: false}
+        |    source: {type: string, nullable: false}
+        |rules:
+        |  - name: tokens_dup
+        |    description: exact duplicate token sequences bounded
+        |    kind: duplicate
+        |    column: tokens
+        |    method: exact
+        |    max_share: 0.001
+        |""".stripMargin)
+    val rep = Validator.run(spark, base.unionByName(copies), cfg, "doc_id",
+      "dup-tok", collectViolations = false)
+    val r = rep.results.filter(_.rule == "tokens_dup").head
+    assert(r.verdict == "fail" && r.violationCount == 5L, r)
+  }
+
   test("config validation rejects bad method / threshold / max_share") {
     intercept[ConfigError] { RuleConfig.loadYaml(yaml("fuzzy", 0.01)) }
     intercept[ConfigError] { RuleConfig.loadYaml(yaml("minhash", 0.01, Some(1.5))) }
