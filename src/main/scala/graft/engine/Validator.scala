@@ -125,8 +125,14 @@ object Validator {
       throw new IllegalArgumentException(s"duplicate rule ${r.name}: no column"))
     r.method.getOrElse("exact") match {
       case "exact" =>
+        // group on a 64+128-bit hash pair of the value, not the value: the
+        // aggregation key then rides the shuffle at 24 B/row instead of the
+        // full column (a ~150-token array is ~600 B) — same counts up to a
+        // ~2^-192 birthday collision, far beyond 10^12 rows. The cast
+        // serializes arrays deterministically for md5.
         val row = table.filter(col(c).isNotNull)
-          .groupBy(col(c)).agg(count(lit(1)).as("n"))
+          .groupBy(xxhash64(col(c)), md5(col(c).cast("string")))
+          .agg(count(lit(1)).as("n"))
           .filter(col("n") > 1)
           .agg(count(lit(1)).as("clusters"),
             coalesce(sum(col("n") - 1), lit(0L)).as("members"))
