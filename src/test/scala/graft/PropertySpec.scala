@@ -14,6 +14,22 @@ class PropertySpec extends SparkTestBase {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
 
+  test("capBuckets equals the reference filter on random keyed data") {
+    // property: rows survive iff their bucket's size <= cap — checked
+    // against a driver-side reference over seeded random (bucket, id) data
+    val gen = Gen.listOfN(400,
+      Gen.zip(Gen.choose(0, 25), Gen.choose(0L, 1000000L)))
+    samples(gen, 5).zipWithIndex.foreach { case (rows, i) =>
+      val cap = 1 + (i * 7) % 40
+      val keyed = rows.map { case (b, id) => (s"b$b", id) }.toDF("bk", "id")
+      val expected = rows.groupBy(_._1).filter(_._2.size <= cap)
+        .values.flatten.map { case (b, id) => (s"b$b", id) }.toSet
+      val got = graft.operators.Dedup.capBuckets(keyed, "bk", cap)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == expected, s"case $i cap=$cap")
+    }
+  }
+
   test("splitmix64 is injective on sampled inputs") {
     val xs = samples(Gen.listOfN(200, Gen.long), 20)
     xs.foreach { l =>
