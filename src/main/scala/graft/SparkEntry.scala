@@ -82,6 +82,15 @@ object SparkEntry {
   private val dupRuleVerdict =
     new java.util.concurrent.atomic.AtomicReference[(String, (String, String, Long))](null)
 
+  /** Once-per-JVM caches of the two ANN check verdicts — both run whole
+    * k-NN passes and persist intermediates; computing once per source dir
+    * (then returning a local frame) honors the miners' caller-unpersist
+    * contract instead of leaking one InMemoryRelation per invocation. */
+  private val lshMultiVerdict =
+    new java.util.concurrent.atomic.AtomicReference[(String, (Boolean, Boolean, Boolean))](null)
+  private val ivfBatchVerdict =
+    new java.util.concurrent.atomic.AtomicReference[(String, (Boolean, Boolean, Boolean))](null)
+
   /** Deterministic within-source chain pairs over documents (consecutive
     * doc_ids by source rank, broken every 5th link) — the pair fixture whose
     * transitive closure a DuckDB recursive CTE can replay exactly; shared by
@@ -1182,45 +1191,56 @@ object SparkEntry {
     // reads only the union of the batch's probe cells (fewer files than
     // the full index)
     "ann_ivf_batch" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val path = Option(ivfIndexPath.get()).filter(_._1 == d).map(_._2)
+      import s.implicits._
+      val v = Option(ivfBatchVerdict.get()).filter(_._1 == d).map(_._2)
         .getOrElse {
-          val p = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/ivf"
-          Similarity.writeIvf(emb, "embedding", dim = 64, planes = 4, path = p)
-          ivfIndexPath.set((d, p)); p
+          val emb = t(s, d, "embeddings")
+          val path = Option(ivfIndexPath.get()).filter(_._1 == d).map(_._2)
+            .getOrElse {
+              val p = java.nio.file.Files.createTempDirectory("graft-ivf")
+                .toString + "/ivf"
+              Similarity.writeIvf(emb, "embedding", dim = 64, planes = 4,
+                path = p)
+              ivfIndexPath.set((d, p)); p
+            }
+          val k = 5
+          val queries = emb.filter(col("vec_id") < 10)
+          val batch = Similarity.probeIvfBatch(s, path, queries, "embedding",
+            "vec_id", dim = 64, k = k, planes = 4, nprobe = 2)
+          val q0 = emb.filter(col("vec_id") === 0)
+            .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+          val single = Similarity.probeIvfMulti(s, path, "embedding",
+            "vec_id", q0, k, planes = 4, nprobe = 2)
+          val bq0 = batch.filter(col("query_id") === 0 && col("rank") <= k - 1)
+            .select(col("corpus_id").as("b_id"), col("cos").as("b_cos"),
+              col("rank").as("b_rank"))
+          val sing = single.filter(col("vec_id") =!= 0)
+            .select(col("vec_id").as("s_id"), col("cos").as("s_cos"))
+            // bounded window: `single` is already limit(k) rows
+            .withColumn("s_rank", row_number().over(
+              Window.orderBy(col("s_cos").desc, col("s_id").asc)))
+            .filter(col("s_rank") <= k - 1)
+          val probedCodes = queries
+            .select(explode(Similarity.multiProbeCodesCol(
+              col("embedding"), 64, 4, 2)).as("bucket"))
+            .distinct().collect().map(_.getLong(0))
+          val full = s.read.parquet(path)
+          val nTotal = full.select(input_file_name()).distinct().count()
+          val nProbed = full.filter(col("bucket").isin(probedCodes: _*))
+            .select(input_file_name()).distinct().count()
+          val row = bq0.join(sing, col("b_rank") === col("s_rank"), "full")
+            .agg(
+              coalesce(every(coalesce(col("b_id") === col("s_id") &&
+                abs(col("b_cos") - col("s_cos")) < 1e-9, lit(false))),
+                lit(false)).as("parity_ok"),
+              lit(nProbed < nTotal).as("files_pruned"),
+              (count(lit(1)) > 0).as("has_rows"))
+            .head()
+          batch.unpersist() // probeIvfBatch's caller-unpersist contract
+          val res = (row.getBoolean(0), row.getBoolean(1), row.getBoolean(2))
+          ivfBatchVerdict.set((d, res)); res
         }
-      val k = 5
-      val queries = emb.filter(col("vec_id") < 10)
-      val batch = Similarity.probeIvfBatch(s, path, queries, "embedding",
-        "vec_id", dim = 64, k = k, planes = 4, nprobe = 2)
-      val q0 = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      val single = Similarity.probeIvfMulti(s, path, "embedding", "vec_id",
-        q0, k, planes = 4, nprobe = 2)
-      val bq0 = batch.filter(col("query_id") === 0 && col("rank") <= k - 1)
-        .select(col("corpus_id").as("b_id"), col("cos").as("b_cos"),
-          col("rank").as("b_rank"))
-      val sing = single.filter(col("vec_id") =!= 0)
-        .select(col("vec_id").as("s_id"), col("cos").as("s_cos"))
-        // bounded window: `single` is already limit(k) rows
-        .withColumn("s_rank", row_number().over(
-          Window.orderBy(col("s_cos").desc, col("s_id").asc)))
-        .filter(col("s_rank") <= k - 1)
-      val probedCodes = queries
-        .select(explode(Similarity.multiProbeCodesCol(
-          col("embedding"), 64, 4, 2)).as("bucket"))
-        .distinct().collect().map(_.getLong(0))
-      val full = s.read.parquet(path)
-      val nTotal = full.select(input_file_name()).distinct().count()
-      val nProbed = full.filter(col("bucket").isin(probedCodes: _*))
-        .select(input_file_name()).distinct().count()
-      bq0.join(sing, col("b_rank") === col("s_rank"), "full")
-        .agg(
-          coalesce(every(coalesce(col("b_id") === col("s_id") &&
-            abs(col("b_cos") - col("s_cos")) < 1e-9, lit(false))), lit(false))
-            .as("parity_ok"),
-          lit(nProbed < nTotal).as("files_pruned"),
-          (count(lit(1)) > 0).as("has_rows"))
+      Seq(v).toDF("parity_ok", "files_pruned", "has_rows")
     }),
 
     // oracle-backed ANN evidence: per-query ranks must be consecutive from 1
@@ -1245,28 +1265,39 @@ object SparkEntry {
     // count nor the best cosine can decrease — the structural guarantee
     // multi-probe recall rests on, checked in-engine over every query
     "ann_lsh_multi_check" -> ((s, d) => {
-      val emb = t(s, d, "embeddings")
-      val queries = emb.limit(20)
-      def agg(nprobe: Int, cntCol: String, bestCol: String) = {
-        val r = Similarity.lshTopKMulti(emb, queries, "embedding", "vec_id",
-          dim = 64, k = 5, planes = 6, nprobe = nprobe)
-        val out = r.groupBy("query_id")
-          .agg(count(lit(1)).as(cntCol), max(col("cos")).as(bestCol))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        out.count()
-        r.unpersist()
-        out
-      }
-      val s1 = agg(1, "cnt_s", "best_s")
-      val m3 = agg(3, "cnt_m", "best_m")
-      // left join FROM single: every query the single probe answered must
-      // still be answered at least as well by the superset
-      s1.join(m3, Seq("query_id"), "left")
-        .agg((count(lit(1)) > 0).as("has_single_queries"),
-          coalesce(every(coalesce(col("cnt_m") >= col("cnt_s"), lit(false))),
-            lit(false)).as("count_monotone"),
-          coalesce(every(coalesce(col("best_m") >= col("best_s") - 1e-12,
-            lit(false))), lit(false)).as("best_cos_monotone"))
+      import s.implicits._
+      val v = Option(lshMultiVerdict.get()).filter(_._1 == d).map(_._2)
+        .getOrElse {
+          val emb = t(s, d, "embeddings")
+          // deterministic query set (NOT limit-without-order, which may pick
+          // different rows across the two independent k-NN jobs below)
+          val queries = emb.filter(col("vec_id") < 20)
+          def agg(nprobe: Int, cntCol: String, bestCol: String) = {
+            val r = Similarity.lshTopKMulti(emb, queries, "embedding",
+              "vec_id", dim = 64, k = 5, planes = 6, nprobe = nprobe)
+            val out = r.groupBy("query_id")
+              .agg(count(lit(1)).as(cntCol), max(col("cos")).as(bestCol))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            out.count()
+            r.unpersist()
+            out
+          }
+          val s1 = agg(1, "cnt_s", "best_s")
+          val m3 = agg(3, "cnt_m", "best_m")
+          // left join FROM single: every query the single probe answered
+          // must still be answered at least as well by the superset
+          val row = s1.join(m3, Seq("query_id"), "left")
+            .agg((count(lit(1)) > 0).as("has_single_queries"),
+              coalesce(every(coalesce(col("cnt_m") >= col("cnt_s"),
+                lit(false))), lit(false)).as("count_monotone"),
+              coalesce(every(coalesce(col("best_m") >= col("best_s") - 1e-12,
+                lit(false))), lit(false)).as("best_cos_monotone"))
+            .head()
+          s1.unpersist(); m3.unpersist()
+          val res = (row.getBoolean(0), row.getBoolean(1), row.getBoolean(2))
+          lshMultiVerdict.set((d, res)); res
+        }
+      Seq(v).toDF("has_single_queries", "count_monotone", "best_cos_monotone")
     }),
 
     // ======== text analysis ========

@@ -262,8 +262,9 @@ object Validator {
         if (agg.getLong(1) == 0L) "pass" else "fail",
         0L, agg.getLong(1), agg.getLong(2), wall, s"dupKeys=${agg.getLong(0)}")))
     }
+    lazy val dupTotalRows = table.count() // one count shared by all dup rules
     dupRules.filterNot(r => doneGlobal.contains(("*", r.name))).foreach { r =>
-      val rr = duplicateRuleResult(table, keyCol, r, table.count())
+      val rr = duplicateRuleResult(table, keyCol, r, dupTotalRows)
       Manifest.append(spark, manifestPath, Seq(Manifest.Entry(
         runId, rr.partition, rr.rule, rr.verdict, rr.rowCount,
         rr.violationCount, rr.contentHash, rr.wallMs, rr.detail)))
@@ -489,6 +490,18 @@ object Validator {
       }
     }
 
+    // ---- content-duplication rules: GLOBAL like uniqueness and mined over
+    // the UNPRUNED table for the same resume reason (duplicate content with
+    // one copy in a completed partition and one in a remaining partition is
+    // invisible to the pruned df0) — submitted concurrently so the mining
+    // overlaps the row-flag scan instead of serializing after it. The
+    // share denominator is one lazily-shared unpruned count. ----
+    lazy val dupTotalRows = table.count()
+    val duplicateFutures = cfg.rules.filter(_.kind == RuleKind.Duplicate)
+      .map { r =>
+        r -> Future { duplicateRuleResult(table, keyCol, r, dupTotalRows) }
+      }
+
     // ---- referential vs a dictionary TABLE, exact path (no fpp): one
     // anti-join per rule, submitted concurrently like uniqueness; the Bloom
     // variant (fpp set) was resolved into the row-rule scan above ----
@@ -649,15 +662,10 @@ object Validator {
       }
     }
 
-    // ---- content-duplication verdicts (global: dup content spans
-    // partitions, so the verdict records under "*" like uniqueness) ----
-    val duplicateResults = cfg.rules.filter(_.kind == RuleKind.Duplicate)
-      .map { r =>
-        duplicateRuleResult(df0, keyCol, r,
-          if (rowResults.nonEmpty)
-            rowResults.groupBy(_.partition).map(_._2.head.rowCount).sum
-          else df0.count())
-      }
+    // ---- content-duplication verdicts (submitted above, awaited here) ----
+    val duplicateResults = duplicateFutures.map { case (_, fut) =>
+      Await.result(fut, Duration.Inf)
+    }
 
     // ---- drift vs baseline (raw table OR published snapshot) ----
     // On a resumed run drift evaluates over df0, which the resume prune has
