@@ -106,17 +106,28 @@ object Checks {
     // IDENTICAL to the single-window formulation.
     maxPerRulePartition match {
       case None => all
-      case Some(n) =>
-        import org.apache.spark.sql.expressions.Window
-        val h = xxhash64(col("key"))
-        val w1 = Window.partitionBy(col("partition"), col("rule"),
-          pmod(h, lit(64))).orderBy(h)
-        val w2 = Window.partitionBy(col("partition"), col("rule")).orderBy(h)
-        all.withColumn("__rn", row_number().over(w1))
-          .filter(col("__rn") <= n)
-          .withColumn("__rn", row_number().over(w2))
-          .filter(col("__rn") <= n).drop("__rn")
+      case Some(n) => capViolationExamples(all, n)
     }
+  }
+
+  /** Deterministic per-(partition, rule) example cap over a violations
+    * frame (partition, rule, key, ...) — the two-phase sample documented in
+    * [[violations]], exposed so OTHER violation producers (the duplicate
+    * rule) apply the identical capping discipline: phase 1 ranks within 64
+    * hash-salt buckets (a table-scale violation group spreads over 64
+    * reducers), phase 2 ranks the ≤64n survivors; the global smallest-n by
+    * hash is a subset of the per-bucket union, so the result equals the
+    * single-window formulation. */
+  def capViolationExamples(all: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = xxhash64(col("key"))
+    val w1 = Window.partitionBy(col("partition"), col("rule"),
+      pmod(h, lit(64))).orderBy(h)
+    val w2 = Window.partitionBy(col("partition"), col("rule")).orderBy(h)
+    all.withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= n)
+      .withColumn("__rn", row_number().over(w2))
+      .filter(col("__rn") <= n).drop("__rn")
   }
 
   /** Uniqueness violations: keys occurring more than once, with their counts

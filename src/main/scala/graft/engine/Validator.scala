@@ -158,12 +158,65 @@ object Validator {
       r: RuleSpec, totalRows: => Long): RuleResult = {
     val t1 = System.nanoTime()
     val (clusters, members) = duplicateStats(table, keyCol, r)
+    duplicateVerdict(r, clusters, members, totalRows, t1)
+  }
+
+  private def duplicateVerdict(r: RuleSpec, clusters: Long, members: Long,
+      totalRows: Long, t1: Long): RuleResult = {
     val share = members.toDouble / math.max(totalRows, 1L)
     val fail = share > r.maxShare.getOrElse(0.0)
     val wall = (System.nanoTime() - t1) / 1000000
     RuleResult("*", r.name, if (fail) "fail" else "pass", 0L, members, 0L,
       wall,
       f"method=${r.method.getOrElse("exact")};clusters=$clusters;share=$share%.6f")
+  }
+
+  /** One row per NON-CANONICAL duplicate member of rule `r`:
+    * (partition, rule, key, canonical) — the violations-contract form of
+    * [[duplicateStats]] (same mining, rows retained). Returned PERSISTED
+    * and materialized; the caller owns the unpersist. Stats derive from
+    * this frame (count = members, countDistinct(canonical) = clusters), so
+    * collecting violation examples never mines twice. */
+  private def duplicateViolationRows(table: DataFrame, keyCol: String,
+      pCol: String, r: RuleSpec): DataFrame = {
+    val c = r.column.getOrElse(
+      throw new IllegalArgumentException(s"duplicate rule ${r.name}: no column"))
+    val out = r.method.getOrElse("exact") match {
+      case "exact" =>
+        val rows = table.filter(col(c).isNotNull)
+          .select(col(keyCol).as("key"), col(pCol).as("partition"),
+            xxhash64(col(c)).as("__h1"), md5(col(c).cast("string")).as("__h2"))
+        val groups = rows.groupBy("__h1", "__h2")
+          .agg(min(col("key")).as("canonical"), count(lit(1)).as("__n"))
+          .filter(col("__n") > 1)
+        // group rows co-locate in this join, but every joined row IS output
+        // (each becomes a violation example) — capping to maxViolationExamples
+        // happens downstream via the shared two-phase sampler
+        rows.join(groups, Seq("__h1", "__h2"))
+          .filter(col("key") =!= col("canonical"))
+          .select(col("partition"), lit(r.name).as("rule"), col("key"),
+            col("canonical"))
+      case m =>
+        val pairs =
+          if (m == "minhash")
+            graft.operators.Dedup.minhashLshPairs(table, c, keyCol,
+              estThreshold = r.threshold.getOrElse(0.8))
+          else
+            graft.operators.Dedup.simhashNearDupPairs(table, c, keyCol)
+        val clusters = graft.operators.Dedup.dupClusters(pairs)
+        val drop = clusters.filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as("__dup_id"), col("cluster_id").as("canonical"))
+        val vf = table.join(drop, table(keyCol) === drop("__dup_id"))
+          .select(col(pCol).as("partition"), lit(r.name).as("rule"),
+            col(keyCol).as("key"), col("canonical"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        vf.count() // materialize BEFORE releasing the mining caches
+        clusters.unpersist(); pairs.unpersist()
+        return vf
+    }
+    val vf = out.persist(StorageLevel.MEMORY_AND_DISK)
+    vf.count()
+    vf
   }
 
   private def quarantineImpl(
@@ -499,7 +552,19 @@ object Validator {
     lazy val dupTotalRows = table.count()
     val duplicateFutures = cfg.rules.filter(_.kind == RuleKind.Duplicate)
       .map { r =>
-        r -> Future { duplicateRuleResult(table, keyCol, r, dupTotalRows) }
+        r -> Future {
+          if (collectViolations) {
+            // mine ONCE: the member rows feed the violations frame and the
+            // verdict stats derive from the same persisted frame
+            val t1 = System.nanoTime()
+            val vf = duplicateViolationRows(table, keyCol, pCol, r)
+            val agg = vf.agg(count(lit(1)).as("m"),
+              countDistinct(col("canonical")).as("c")).head()
+            (duplicateVerdict(r, agg.getLong(1), agg.getLong(0),
+              dupTotalRows, t1), Some(vf))
+          } else
+            (duplicateRuleResult(table, keyCol, r, dupTotalRows), None)
+        }
       }
 
     // ---- referential vs a dictionary TABLE, exact path (no fpp): one
@@ -605,17 +670,41 @@ object Validator {
     // materialize the violation rows from the SAME persisted flag pass that
     // fed the verdict aggregation (otherwise unpersisting below would make
     // the caller's later action re-scan the raw table)
+    // await the duplicate futures here: their member frames (when
+    // violations are collected) union into violDF below
+    val duplicateOutputs = duplicateFutures.map { case (_, fut) =>
+      Await.result(fut, Duration.Inf)
+    }
+    val duplicateResults = duplicateOutputs.map(_._1)
+    val dupViolFrames = duplicateOutputs.flatMap(_._2)
+
     val violDF: DataFrame =
-      if (collectViolations && rowRules.nonEmpty) {
-        val v = Checks.violations(flagged, rowRules, keyCol, pCol, maxViolationExamples)
+      if (collectViolations && (rowRules.nonEmpty || dupViolFrames.nonEmpty)) {
+        val rowViol =
+          if (rowRules.nonEmpty)
+            Seq(Checks.violations(flagged, rowRules, keyCol, pCol,
+              maxViolationExamples))
+          else Nil
+        // duplicate members join the same (partition, rule, key) contract,
+        // under the same deterministic example cap
+        val dupViol = dupViolFrames.map { f =>
+          val g = f.select(col("partition"), col("rule"), col("key"))
+          maxViolationExamples
+            .map(n => Checks.capViolationExamples(g, n)).getOrElse(g)
+        }
+        val v = (rowViol ++ dupViol).reduce(_ unionByName _)
           .persist(StorageLevel.MEMORY_AND_DISK)
         v.count()
+        dupViolFrames.foreach(_.unpersist()) // v is materialized above
         // write BEFORE the manifest append below: once a partition is marked
         // complete its violations must already be durable (crash-resume
         // consistency — a resumed run never revisits completed partitions)
         violationsOut.foreach(o => v.write.mode("overwrite").parquet(o))
         v
-      } else spark.emptyDataFrame
+      } else {
+        dupViolFrames.foreach(_.unpersist())
+        spark.emptyDataFrame
+      }
 
     // ---- uniqueness (the one required shuffle; submitted above) ----
     val uniqueResults = uniqueFutures.flatMap { case (r, fut) =>
@@ -660,11 +749,6 @@ object Validator {
         RuleResult(part, r.name, if (fail) "fail" else "pass",
           0L, if (fail) 1L else 0L, 0L, wall, detail)
       }
-    }
-
-    // ---- content-duplication verdicts (submitted above, awaited here) ----
-    val duplicateResults = duplicateFutures.map { case (_, fut) =>
-      Await.result(fut, Duration.Inf)
     }
 
     // ---- drift vs baseline (raw table OR published snapshot) ----
@@ -756,10 +840,9 @@ object Validator {
     if (strict) {
       val failed = all.filter(_.verdict == "fail")
       if (failed.nonEmpty) {
-        if (collectViolations && rowRules.nonEmpty) {
-          flagged.unpersist()
+        if (collectViolations && rowRules.nonEmpty) flagged.unpersist()
+        if (collectViolations && (rowRules.nonEmpty || dupViolFrames.nonEmpty))
           violDF.unpersist() // persisted above; the throw path must not leak it
-        }
         throw ValidationFailed(failed)
       }
     }

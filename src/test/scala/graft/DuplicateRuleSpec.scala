@@ -106,6 +106,38 @@ class DuplicateRuleSpec extends SparkTestBase {
       .count() == 1L)
   }
 
+  test("collectViolations surfaces duplicate members as violation rows") {
+    val t = fixture
+    val rep = Validator.run(spark, t,
+      RuleConfig.loadYaml(yaml("exact", 0.01)), "doc_id", "dup-viol",
+      collectViolations = true)
+    val dupViol = rep.violations.filter(col("rule") === "dup_gate").collect()
+    // exactly the 5 planted non-canonical copies (cluster min is canonical),
+    // each under its own partition
+    assert(dupViol.map(_.getAs[Long]("key")).sorted.toSeq ==
+      Seq(100L, 101L, 102L, 103L, 104L))
+    assert(dupViol.forall(_.getAs[String]("partition") == "web"))
+    rep.violations.unpersist()
+    // the example cap bounds the surfaced rows, never the verdict count
+    val capped = Validator.run(spark, t,
+      RuleConfig.loadYaml(yaml("exact", 0.01)), "doc_id", "dup-viol2",
+      collectViolations = true, maxViolationExamples = Some(2))
+    assert(capped.violations.filter(col("rule") === "dup_gate").count() == 2L)
+    assert(capped.results.filter(_.rule == "dup_gate")
+      .head.violationCount == 5L)
+    capped.violations.unpersist()
+    // clustered methods surface the same members through the same contract
+    val mh = Validator.run(spark, t,
+      RuleConfig.loadYaml(yaml("minhash", 0.01, Some(0.8))), "doc_id",
+      "dup-viol3", collectViolations = true)
+    val mhKeys = mh.violations.filter(col("rule") === "dup_gate")
+      .collect().map(_.getAs[Long]("key")).toSet
+    assert(Set(100L, 101L, 102L, 103L, 104L).subsetOf(mhKeys))
+    assert(mh.results.filter(_.rule == "dup_gate").head.violationCount
+      == mhKeys.size)
+    mh.violations.unpersist()
+  }
+
   test("exact method on an array<int> column (token-array equality)") {
     // the north-rule per-row invariant IS token-array equality — exact
     // duplication gates directly on the tokens column (arrays group-by
