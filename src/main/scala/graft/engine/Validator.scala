@@ -171,17 +171,26 @@ object Validator {
       f"method=${r.method.getOrElse("exact")};clusters=$clusters;share=$share%.6f")
   }
 
-  /** One row per NON-CANONICAL duplicate member of rule `r`:
-    * (partition, rule, key, canonical) — the violations-contract form of
-    * [[duplicateStats]] (same mining, rows retained). Returned PERSISTED
-    * and materialized; the caller owns the unpersist. Stats derive from
-    * this frame (count = members, countDistinct(canonical) = clusters), so
-    * collecting violation examples never mines twice. */
-  private def duplicateViolationRows(table: DataFrame, keyCol: String,
-      pCol: String, r: RuleSpec): DataFrame = {
+  /** Verdict plus (optionally) member EXAMPLE rows
+    * (partition, rule, key, canonical) for one duplicate rule, mining once.
+    *
+    * The verdict counts ALWAYS come from the grouped/cluster statistics —
+    * never from the example rows: the per-row join forms can undercount
+    * (exact path: a duplicated or null KEY makes `key =!= min(key)` drop
+    * real members via ties/3VL) or overcount (clustered path: the id join
+    * multiplies rows per duplicated key). Examples are triage aids; the
+    * stats are the contract, and they match [[duplicateStats]] exactly on
+    * every input. Returned frame is persisted + materialized; the caller
+    * owns the unpersist. */
+  private def duplicateOutput(table: DataFrame, keyCol: String, pCol: String,
+      r: RuleSpec, totalRows: => Long, wantRows: Boolean)
+      : (RuleResult, Option[DataFrame]) = {
+    if (!wantRows)
+      return (duplicateRuleResult(table, keyCol, r, totalRows), None)
+    val t1 = System.nanoTime()
     val c = r.column.getOrElse(
       throw new IllegalArgumentException(s"duplicate rule ${r.name}: no column"))
-    val out = r.method.getOrElse("exact") match {
+    r.method.getOrElse("exact") match {
       case "exact" =>
         val rows = table.filter(col(c).isNotNull)
           .select(col(keyCol).as("key"), col(pCol).as("partition"),
@@ -189,13 +198,18 @@ object Validator {
         val groups = rows.groupBy("__h1", "__h2")
           .agg(min(col("key")).as("canonical"), count(lit(1)).as("__n"))
           .filter(col("__n") > 1)
-        // group rows co-locate in this join, but every joined row IS output
-        // (each becomes a violation example) — capping to maxViolationExamples
-        // happens downstream via the shared two-phase sampler
-        rows.join(groups, Seq("__h1", "__h2"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val stat = groups.agg(count(lit(1)).as("c"),
+          coalesce(sum(col("__n") - 1), lit(0L)).as("m")).head()
+        val vf = rows.join(groups, Seq("__h1", "__h2"))
           .filter(col("key") =!= col("canonical"))
           .select(col("partition"), lit(r.name).as("rule"), col("key"),
             col("canonical"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        vf.count()
+        groups.unpersist()
+        (duplicateVerdict(r, stat.getLong(0), stat.getLong(1), totalRows, t1),
+          Some(vf))
       case m =>
         val pairs =
           if (m == "minhash")
@@ -206,17 +220,21 @@ object Validator {
         val clusters = graft.operators.Dedup.dupClusters(pairs)
         val drop = clusters.filter(col("id") =!= col("cluster_id"))
           .select(col("id").as("__dup_id"), col("cluster_id").as("canonical"))
-        val vf = table.join(drop, table(keyCol) === drop("__dup_id"))
-          .select(col(pCol).as("partition"), lit(r.name).as("rule"),
-            col(keyCol).as("key"), col("canonical"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val stat = drop.agg(count(lit(1)).as("m"),
+          countDistinct(col("canonical")).as("c")).head()
+        // narrow projection BEFORE the join: avoids shuffling the payload
+        // columns and any name collision with the table's own columns
+        val slim = table.select(col(keyCol).as("key"), col(pCol).as("partition"))
+        val vf = slim.join(drop, slim("key") === drop("__dup_id"))
+          .select(col("partition"), lit(r.name).as("rule"), col("key"),
+            col("canonical"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         vf.count() // materialize BEFORE releasing the mining caches
-        clusters.unpersist(); pairs.unpersist()
-        return vf
+        drop.unpersist(); clusters.unpersist(); pairs.unpersist()
+        (duplicateVerdict(r, stat.getLong(1), stat.getLong(0), totalRows, t1),
+          Some(vf))
     }
-    val vf = out.persist(StorageLevel.MEMORY_AND_DISK)
-    vf.count()
-    vf
   }
 
   private def quarantineImpl(
@@ -317,7 +335,18 @@ object Validator {
     }
     lazy val dupTotalRows = table.count() // one count shared by all dup rules
     dupRules.filterNot(r => doneGlobal.contains(("*", r.name))).foreach { r =>
-      val rr = duplicateRuleResult(table, keyCol, r, dupTotalRows)
+      val (rr, vfOpt) = duplicateOutput(table, keyCol, pCol, r, dupTotalRows,
+        wantRows = collectViolations && violationsOut.isDefined)
+      // member examples are durable BEFORE the manifest row (same crash
+      // consistency as sub-run violations), under a global pseudo-partition
+      // dir — duplicate rules have no home partition
+      vfOpt.foreach { vf =>
+        try violationsOut.foreach { o =>
+          val safe = r.name.replaceAll("[^A-Za-z0-9_-]", "_")
+          vf.write.mode("overwrite")
+            .parquet(s"$o/part=_global_-$safe-${partitionTag(r.name)}")
+        } finally vf.unpersist()
+      }
       Manifest.append(spark, manifestPath, Seq(Manifest.Entry(
         runId, rr.partition, rr.rule, rr.verdict, rr.rowCount,
         rr.violationCount, rr.contentHash, rr.wallMs, rr.detail)))
@@ -553,17 +582,8 @@ object Validator {
     val duplicateFutures = cfg.rules.filter(_.kind == RuleKind.Duplicate)
       .map { r =>
         r -> Future {
-          if (collectViolations) {
-            // mine ONCE: the member rows feed the violations frame and the
-            // verdict stats derive from the same persisted frame
-            val t1 = System.nanoTime()
-            val vf = duplicateViolationRows(table, keyCol, pCol, r)
-            val agg = vf.agg(count(lit(1)).as("m"),
-              countDistinct(col("canonical")).as("c")).head()
-            (duplicateVerdict(r, agg.getLong(1), agg.getLong(0),
-              dupTotalRows, t1), Some(vf))
-          } else
-            (duplicateRuleResult(table, keyCol, r, dupTotalRows), None)
+          duplicateOutput(table, keyCol, pCol, r, dupTotalRows,
+            wantRows = collectViolations)
         }
       }
 
@@ -671,36 +691,47 @@ object Validator {
     // fed the verdict aggregation (otherwise unpersisting below would make
     // the caller's later action re-scan the raw table)
     // await the duplicate futures here: their member frames (when
-    // violations are collected) union into violDF below
-    val duplicateOutputs = duplicateFutures.map { case (_, fut) =>
-      Await.result(fut, Duration.Inf)
-    }
+    // violations are collected) union into violDF below. Any failure on
+    // the consume path must release already-materialized member frames —
+    // a long-lived session would otherwise accumulate orphaned caches.
+    def releaseCompletedDupFrames(): Unit =
+      duplicateFutures.foreach(_._2.value.foreach(_.foreach {
+        case (_, vfo) => vfo.foreach(_.unpersist())
+      }))
+    val duplicateOutputs =
+      try duplicateFutures.map { case (_, fut) => Await.result(fut, Duration.Inf) }
+      catch { case e: Throwable => releaseCompletedDupFrames(); throw e }
     val duplicateResults = duplicateOutputs.map(_._1)
     val dupViolFrames = duplicateOutputs.flatMap(_._2)
 
     val violDF: DataFrame =
       if (collectViolations && (rowRules.nonEmpty || dupViolFrames.nonEmpty)) {
-        val rowViol =
-          if (rowRules.nonEmpty)
-            Seq(Checks.violations(flagged, rowRules, keyCol, pCol,
-              maxViolationExamples))
-          else Nil
-        // duplicate members join the same (partition, rule, key) contract,
-        // under the same deterministic example cap
-        val dupViol = dupViolFrames.map { f =>
-          val g = f.select(col("partition"), col("rule"), col("key"))
-          maxViolationExamples
-            .map(n => Checks.capViolationExamples(g, n)).getOrElse(g)
-        }
-        val v = (rowViol ++ dupViol).reduce(_ unionByName _)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        v.count()
-        dupViolFrames.foreach(_.unpersist()) // v is materialized above
-        // write BEFORE the manifest append below: once a partition is marked
-        // complete its violations must already be durable (crash-resume
-        // consistency — a resumed run never revisits completed partitions)
-        violationsOut.foreach(o => v.write.mode("overwrite").parquet(o))
-        v
+        try {
+          val rowViol =
+            if (rowRules.nonEmpty)
+              Seq(Checks.violations(flagged, rowRules, keyCol, pCol,
+                maxViolationExamples))
+            else Nil
+          // duplicate members join the same (partition, rule, key) contract
+          // under the same deterministic example cap, KEEPING the canonical
+          // linkage the mining already computed (null for row rules) — a
+          // triager must not re-mine the table to learn what key=104
+          // duplicates
+          val dupViol = dupViolFrames.map { f =>
+            maxViolationExamples
+              .map(n => Checks.capViolationExamples(f, n)).getOrElse(f)
+          }
+          val v = (rowViol ++ dupViol)
+            .reduce(_.unionByName(_, allowMissingColumns = true))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          v.count()
+          // write BEFORE the manifest append below: once a partition is
+          // marked complete its violations must already be durable
+          // (crash-resume — a resumed run never revisits completed
+          // partitions)
+          violationsOut.foreach(o => v.write.mode("overwrite").parquet(o))
+          v
+        } finally dupViolFrames.foreach(_.unpersist())
       } else {
         dupViolFrames.foreach(_.unpersist())
         spark.emptyDataFrame

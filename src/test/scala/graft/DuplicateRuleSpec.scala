@@ -117,6 +117,9 @@ class DuplicateRuleSpec extends SparkTestBase {
     assert(dupViol.map(_.getAs[Long]("key")).sorted.toSeq ==
       Seq(100L, 101L, 102L, 103L, 104L))
     assert(dupViol.forall(_.getAs[String]("partition") == "web"))
+    // the canonical linkage rides along (copy of id i duplicates id i)
+    assert(dupViol.map(r => r.getAs[Long]("key") -> r.getAs[Long]("canonical"))
+      .toMap == Map(100L -> 0L, 101L -> 1L, 102L -> 2L, 103L -> 3L, 104L -> 4L))
     rep.violations.unpersist()
     // the example cap bounds the surfaced rows, never the verdict count
     val capped = Validator.run(spark, t,
@@ -136,6 +139,40 @@ class DuplicateRuleSpec extends SparkTestBase {
     assert(mh.results.filter(_.rule == "dup_gate").head.violationCount
       == mhKeys.size)
     mh.violations.unpersist()
+  }
+
+  test("verdict identical with and without violations under duplicated keys") {
+    // two rows share BOTH key and content: members=1 either way — the
+    // verdict must come from the group stats, not from the example-row
+    // join (whose key =!= min(key) tie-drop would undercount to 0)
+    val t = Seq(
+      (7L, "same text content here", "web"),
+      (7L, "same text content here", "web"),
+      (8L, "entirely different body", "web"),
+      (9L, "yet another document xx", "books"))
+      .toDF("doc_id", "text", "source")
+    for (cv <- Seq(false, true)) {
+      val rep = Validator.run(spark, t,
+        RuleConfig.loadYaml(yaml("exact", 0.1)), "doc_id", s"dup-key-$cv",
+        collectViolations = cv)
+      val r = rep.results.filter(_.rule == "dup_gate").head
+      assert(r.violationCount == 1L && r.verdict == "fail", s"cv=$cv: $r")
+      if (cv) rep.violations.unpersist()
+    }
+  }
+
+  test("per-partition mode writes global duplicate member examples durably") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dup-ppv").toString
+    Validator.runPerPartition(spark, fixture,
+      RuleConfig.loadYaml(yaml("exact", 0.01)), "doc_id", "dup-ppv",
+      s"$dir/m", collectViolations = true, violationsOut = Some(s"$dir/v"))
+    val dupDir = new java.io.File(s"$dir/v").listFiles()
+      .find(_.getName.startsWith("part=_global_"))
+    assert(dupDir.isDefined, "expected a global duplicate-examples dir")
+    val rows = spark.read.parquet(dupDir.get.toString)
+    assert(rows.select("key").as[Long].collect().sorted.toSeq ==
+      Seq(100L, 101L, 102L, 103L, 104L))
+    assert(rows.columns.contains("canonical"))
   }
 
   test("exact method on an array<int> column (token-array equality)") {
