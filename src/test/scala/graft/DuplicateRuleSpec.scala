@@ -205,6 +205,15 @@ class DuplicateRuleSpec extends SparkTestBase {
     assert(r.verdict == "fail" && r.violationCount == 5L, r)
   }
 
+  test("strict mode fail-fasts on a duplicate-rule failure") {
+    val ex = intercept[Validator.ValidationFailed] {
+      Validator.run(spark, fixture,
+        RuleConfig.loadYaml(yaml("exact", 0.01)), "doc_id", "dup-strict",
+        collectViolations = true, strict = true)
+    }
+    assert(ex.failed.exists(r => r.rule == "dup_gate" && r.partition == "*"))
+  }
+
   test("config validation rejects bad method / threshold / max_share") {
     intercept[ConfigError] { RuleConfig.loadYaml(yaml("fuzzy", 0.01)) }
     intercept[ConfigError] { RuleConfig.loadYaml(yaml("minhash", 0.01, Some(1.5))) }
