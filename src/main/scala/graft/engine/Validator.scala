@@ -51,6 +51,13 @@ object Validator {
   private[graft] def partitionTag(p: String): String =
     f"${graft.functions.expr.Mix.splitmix64(p.hashCode.toLong) >>> 32}%08x"
 
+  /** Injective violations sub-dir name: sanitized label + content tag —
+    * sanitization alone is not injective ('2024/01' and '2024_01' both map
+    * to '2024_01'). ONE definition for sub-run and global dirs, so the
+    * layout convention cannot drift between the two writers. */
+  private[engine] def violationDir(label: String): String =
+    s"part=${label.replaceAll("[^A-Za-z0-9_-]", "_")}-${partitionTag(label)}"
+
   /** Quarantine split: route rows failing ANY row-level rule of the suite
     * to a quarantine sink and passing rows to the clean sink, in ONE flag
     * scan of the input (the same codegen'd projection the validator runs —
@@ -201,6 +208,12 @@ object Validator {
           .persist(StorageLevel.MEMORY_AND_DISK)
         val stat = groups.agg(count(lit(1)).as("c"),
           coalesce(sum(col("__n") - 1), lit(0L)).as("m")).head()
+        if (stat.getLong(1) == 0L) {
+          // healthy table: skip the example join entirely — it would scan
+          // and re-hash the whole table again just to produce zero rows
+          groups.unpersist()
+          return (duplicateVerdict(r, 0L, 0L, totalRows, t1), None)
+        }
         val vf = rows.join(groups, Seq("__h1", "__h2"))
           .filter(col("key") =!= col("canonical"))
           .select(col("partition"), lit(r.name).as("rule"), col("key"),
@@ -223,6 +236,10 @@ object Validator {
           .persist(StorageLevel.MEMORY_AND_DISK)
         val stat = drop.agg(count(lit(1)).as("m"),
           countDistinct(col("canonical")).as("c")).head()
+        if (stat.getLong(0) == 0L) {
+          drop.unpersist(); clusters.unpersist(); pairs.unpersist()
+          return (duplicateVerdict(r, 0L, 0L, totalRows, t1), None)
+        }
         // narrow projection BEFORE the join: avoids shuffling the payload
         // columns and any name collision with the table's own columns
         val slim = table.select(col(keyCol).as("key"), col(pCol).as("partition"))
@@ -341,11 +358,10 @@ object Validator {
       // consistency as sub-run violations), under a global pseudo-partition
       // dir — duplicate rules have no home partition
       vfOpt.foreach { vf =>
-        try violationsOut.foreach { o =>
-          val safe = r.name.replaceAll("[^A-Za-z0-9_-]", "_")
+        try violationsOut.foreach(o =>
           vf.write.mode("overwrite")
-            .parquet(s"$o/part=_global_-$safe-${partitionTag(r.name)}")
-        } finally vf.unpersist()
+            .parquet(s"$o/${violationDir(s"_global_-${r.name}")}"))
+        finally vf.unpersist()
       }
       Manifest.append(spark, manifestPath, Seq(Manifest.Entry(
         runId, rr.partition, rr.rule, rr.verdict, rr.rowCount,
@@ -403,12 +419,10 @@ object Validator {
         maxViolationExamples = maxViolationExamples,
         baselineHistograms = subHists,
         snapshotOut = snapshotOut,
-        // sanitized name + short content hash: sanitization alone is not
-        // injective ('2024/01' and '2024_01' both map to '2024_01'), and
-        // mode("overwrite") inside run() would silently clobber the first
-        // partition's durable violations
-        violationsOut = violationsOut.map(o =>
-          s"$o/part=${p.replaceAll("[^A-Za-z0-9_-]", "_")}-${partitionTag(p)}"),
+        // injective sub-dir per partition (mode("overwrite") inside run()
+        // would otherwise silently clobber the first partition's durable
+        // violations on a sanitization collision)
+        violationsOut = violationsOut.map(o => s"$o/${violationDir(p)}"),
         // this sub-run's partition set was pruned from the ONE manifest read
         // above; run() must not re-read the manifest (O(partitions) reads of
         // a growing small-file table) or re-prune (the sub-table IS one
@@ -586,6 +600,18 @@ object Validator {
             wantRows = collectViolations)
         }
       }
+    // On ANY failure between here and the violations build, the persisted
+    // member frames must not outlive the run: onComplete releases frames
+    // from futures completed now AND from futures still in flight at
+    // failure time (their frames unpersist when they eventually
+    // materialize). Every await below this point is guarded with it.
+    def releaseDupFramesOnFailure(): Unit =
+      duplicateFutures.foreach { case (_, fut) =>
+        fut.onComplete {
+          case scala.util.Success((_, vfo)) => vfo.foreach(_.unpersist())
+          case _ => ()
+        }
+      }
 
     // ---- referential vs a dictionary TABLE, exact path (no fpp): one
     // anti-join per rule, submitted concurrently like uniqueness; the Bloom
@@ -651,6 +677,7 @@ object Validator {
       }
 
     val (rowResults: Seq[RuleResult], statsResults: Seq[RuleResult]) =
+      try {
       if (rowRules.isEmpty && statsRules.isEmpty) (Nil, Nil) else {
       // stats as BUILT-IN declarative aggregates (not the typed Aggregator):
       // a UDAF in the agg would force ObjectHashAggregateExec and kick the
@@ -686,43 +713,44 @@ object Validator {
       }
       (rowRes, statsRes)
     }
+      } catch { case e: Throwable => releaseDupFramesOnFailure(); throw e }
 
     // materialize the violation rows from the SAME persisted flag pass that
     // fed the verdict aggregation (otherwise unpersisting below would make
     // the caller's later action re-scan the raw table)
     // await the duplicate futures here: their member frames (when
-    // violations are collected) union into violDF below. Any failure on
-    // the consume path must release already-materialized member frames —
-    // a long-lived session would otherwise accumulate orphaned caches.
-    def releaseCompletedDupFrames(): Unit =
-      duplicateFutures.foreach(_._2.value.foreach(_.foreach {
-        case (_, vfo) => vfo.foreach(_.unpersist())
-      }))
+    // violations are collected) union into violDF below
     val duplicateOutputs =
       try duplicateFutures.map { case (_, fut) => Await.result(fut, Duration.Inf) }
-      catch { case e: Throwable => releaseCompletedDupFrames(); throw e }
+      catch { case e: Throwable => releaseDupFramesOnFailure(); throw e }
     val duplicateResults = duplicateOutputs.map(_._1)
     val dupViolFrames = duplicateOutputs.flatMap(_._2)
 
     val violDF: DataFrame =
       if (collectViolations && (rowRules.nonEmpty || dupViolFrames.nonEmpty)) {
         try {
+          // ONE schema for every violations producer and every sub-dir of a
+          // violationsOut tree: (partition, rule, key, canonical) — row
+          // rules carry a typed null canonical (a mixed-schema tree would
+          // make spark.read of the root nondeterministically drop the
+          // column, depending on which footer gets sampled)
+          val keyType = table.schema(table.schema.fieldIndex(keyCol)).dataType
           val rowViol =
             if (rowRules.nonEmpty)
               Seq(Checks.violations(flagged, rowRules, keyCol, pCol,
-                maxViolationExamples))
+                maxViolationExamples)
+                .withColumn("canonical", lit(null).cast(keyType)))
             else Nil
-          // duplicate members join the same (partition, rule, key) contract
-          // under the same deterministic example cap, KEEPING the canonical
-          // linkage the mining already computed (null for row rules) — a
-          // triager must not re-mine the table to learn what key=104
-          // duplicates
+          // duplicate members join the same contract under the same
+          // deterministic example cap, KEEPING the canonical linkage the
+          // mining already computed — a triager must not re-mine the table
+          // to learn what key=104 duplicates
           val dupViol = dupViolFrames.map { f =>
             maxViolationExamples
               .map(n => Checks.capViolationExamples(f, n)).getOrElse(f)
           }
           val v = (rowViol ++ dupViol)
-            .reduce(_.unionByName(_, allowMissingColumns = true))
+            .reduce(_.unionByName(_))
             .persist(StorageLevel.MEMORY_AND_DISK)
           v.count()
           // write BEFORE the manifest append below: once a partition is
