@@ -51,6 +51,14 @@ object Validator {
   private[graft] def partitionTag(p: String): String =
     f"${graft.functions.expr.Mix.splitmix64(p.hashCode.toLong) >>> 32}%08x"
 
+  /** Snapshot-side partition sentinel: drift snapshots store "" as
+    * "<empty>" (Drift.snapshot — a Hive layout writes "" as
+    * __HIVE_DEFAULT_PARTITION__ and reads it back NULL), while manifest /
+    * validator partition labels keep the raw "". Every filter of a snapshot
+    * FRAME by a validator-side partition string must translate through
+    * this, or ""-valued partitions silently lose their baseline slice. */
+  private def snapSentinel(p: String): String = if (p.isEmpty) "<empty>" else p
+
   /** Injective violations sub-dir name: sanitized label + content tag —
     * sanitization alone is not injective ('2024/01' and '2024_01' both map
     * to '2024_01'). ONE definition for sub-run and global dirs, so the
@@ -153,11 +161,12 @@ object Validator {
           else
             graft.operators.Dedup.simhashNearDupPairs(table, c, keyCol)
         val clusters = graft.operators.Dedup.dupClusters(pairs)
-        val row = clusters.filter(col("id") =!= col("cluster_id"))
-          .agg(countDistinct(col("cluster_id")).as("clusters"),
-            count(lit(1)).as("members")).head()
-        clusters.unpersist(); pairs.unpersist()
-        (row.getLong(0), row.getLong(1))
+        try {
+          val row = clusters.filter(col("id") =!= col("cluster_id"))
+            .agg(countDistinct(col("cluster_id")).as("clusters"),
+              count(lit(1)).as("members")).head()
+          (row.getLong(0), row.getLong(1))
+        } finally { clusters.unpersist(); pairs.unpersist() }
     }
   }
 
@@ -206,23 +215,26 @@ object Validator {
           .agg(min(col("key")).as("canonical"), count(lit(1)).as("__n"))
           .filter(col("__n") > 1)
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val stat = groups.agg(count(lit(1)).as("c"),
-          coalesce(sum(col("__n") - 1), lit(0L)).as("m")).head()
-        if (stat.getLong(1) == 0L) {
-          // healthy table: skip the example join entirely — it would scan
-          // and re-hash the whole table again just to produce zero rows
-          groups.unpersist()
-          return (duplicateVerdict(r, 0L, 0L, totalRows, t1), None)
-        }
-        val vf = rows.join(groups, Seq("__h1", "__h2"))
-          .filter(col("key") =!= col("canonical"))
-          .select(col("partition"), lit(r.name).as("rule"), col("key"),
-            col("canonical"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        vf.count()
-        groups.unpersist()
-        (duplicateVerdict(r, stat.getLong(0), stat.getLong(1), totalRows, t1),
-          Some(vf))
+        // try/finally: if the stat head() or the example materialization
+        // throws, the persisted groups frame must not leak (the run-level
+        // onComplete guard releases only the RETURNED vf, not intermediates)
+        try {
+          val stat = groups.agg(count(lit(1)).as("c"),
+            coalesce(sum(col("__n") - 1), lit(0L)).as("m")).head()
+          if (stat.getLong(1) == 0L) {
+            // healthy table: skip the example join entirely — it would scan
+            // and re-hash the whole table again just to produce zero rows
+            return (duplicateVerdict(r, 0L, 0L, totalRows, t1), None)
+          }
+          val vf = rows.join(groups, Seq("__h1", "__h2"))
+            .filter(col("key") =!= col("canonical"))
+            .select(col("partition"), lit(r.name).as("rule"), col("key"),
+              col("canonical"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          vf.count()
+          (duplicateVerdict(r, stat.getLong(0), stat.getLong(1), totalRows, t1),
+            Some(vf))
+        } finally groups.unpersist()
       case m =>
         val pairs =
           if (m == "minhash")
@@ -231,26 +243,33 @@ object Validator {
           else
             graft.operators.Dedup.simhashNearDupPairs(table, c, keyCol)
         val clusters = graft.operators.Dedup.dupClusters(pairs)
-        val drop = clusters.filter(col("id") =!= col("cluster_id"))
-          .select(col("id").as("__dup_id"), col("cluster_id").as("canonical"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val stat = drop.agg(count(lit(1)).as("m"),
-          countDistinct(col("canonical")).as("c")).head()
-        if (stat.getLong(0) == 0L) {
-          drop.unpersist(); clusters.unpersist(); pairs.unpersist()
-          return (duplicateVerdict(r, 0L, 0L, totalRows, t1), None)
+        // try/finally: the example join or either action can throw — drop,
+        // clusters, and pairs must be unpersisted on EVERY exit path, not
+        // just the straight-line one (the run-level onComplete guard only
+        // releases the returned vf)
+        var drop: DataFrame = null
+        try {
+          drop = clusters.filter(col("id") =!= col("cluster_id"))
+            .select(col("id").as("__dup_id"), col("cluster_id").as("canonical"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          val stat = drop.agg(count(lit(1)).as("m"),
+            countDistinct(col("canonical")).as("c")).head()
+          if (stat.getLong(0) == 0L)
+            return (duplicateVerdict(r, 0L, 0L, totalRows, t1), None)
+          // narrow projection BEFORE the join: avoids shuffling the payload
+          // columns and any name collision with the table's own columns
+          val slim = table.select(col(keyCol).as("key"), col(pCol).as("partition"))
+          val vf = slim.join(drop, slim("key") === drop("__dup_id"))
+            .select(col("partition"), lit(r.name).as("rule"), col("key"),
+              col("canonical"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          vf.count() // materialize BEFORE releasing the mining caches
+          (duplicateVerdict(r, stat.getLong(1), stat.getLong(0), totalRows, t1),
+            Some(vf))
+        } finally {
+          if (drop != null) drop.unpersist()
+          clusters.unpersist(); pairs.unpersist()
         }
-        // narrow projection BEFORE the join: avoids shuffling the payload
-        // columns and any name collision with the table's own columns
-        val slim = table.select(col(keyCol).as("key"), col(pCol).as("partition"))
-        val vf = slim.join(drop, slim("key") === drop("__dup_id"))
-          .select(col("partition"), lit(r.name).as("rule"), col("key"),
-            col("canonical"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        vf.count() // materialize BEFORE releasing the mining caches
-        drop.unpersist(); clusters.unpersist(); pairs.unpersist()
-        (duplicateVerdict(r, stat.getLong(1), stat.getLong(0), totalRows, t1),
-          Some(vf))
     }
   }
 
@@ -358,8 +377,13 @@ object Validator {
       // consistency as sub-run violations), under a global pseudo-partition
       // dir — duplicate rules have no home partition
       vfOpt.foreach { vf =>
+        // same deterministic example cap as run()'s dupViol path: at high
+        // duplication share the full non-canonical member set is a
+        // table-scale frame, not an "examples" file
+        val capped = maxViolationExamples
+          .map(n => Checks.capViolationExamples(vf, n)).getOrElse(vf)
         try violationsOut.foreach(o =>
-          vf.write.mode("overwrite")
+          capped.write.mode("overwrite")
             .parquet(s"$o/${violationDir(s"_global_-${r.name}")}"))
         finally vf.unpersist()
       }
@@ -409,9 +433,12 @@ object Validator {
       }
       // the sub-run compares only its own partition — hand it exactly that
       // slice of each pre-read snapshot (an unscoped snapshot would make
-      // every OTHER partition look "vanished" and fail)
+      // every OTHER partition look "vanished" and fail). Snapshot rows
+      // store "" under the "<empty>" sentinel (Drift.snapshot — the Hive
+      // layout can't round-trip ""), so translate before slicing or an
+      // ""-valued partition gets an empty baseline and a spurious FAIL.
       val subHists = snapshotHists.map(_.map { case (name, h) =>
-        name -> h.filter(col("partition") === p)
+        name -> h.filter(col("partition") === snapSentinel(p))
       })
       val rep = run(spark, subTable, subCfg, keyCol, runId,
         manifestPath = Some(manifestPath), baseline = subBaseline,
@@ -842,9 +869,13 @@ object Validator {
             val h = Drift.readSnapshot(spark, s"$p/${r.name}", r.column.get,
               loB, hiB, r.bins)
             // same prune as prunedBaseline, on the snapshot's own string
-            // partition column ("<null>" is a real string there — no 3VL)
+            // partition column ("<null>" is a real string there — no 3VL).
+            // doneParts holds RAW manifest strings ("" stays ""), snapshot
+            // rows hold the "<empty>" sentinel — translate or an ""-valued
+            // completed partition survives the prune and reads as vanished.
             if (doneParts.isEmpty) h
-            else h.filter(!col("partition").isin(doneParts.toSeq: _*))
+            else h.filter(!col("partition").isin(
+              doneParts.toSeq.map(snapSentinel): _*))
           })
           .orElse(prunedBaseline.map(b =>
             Drift.histogram(b, r.column.get, pCol, loB, hiB, r.bins)))
@@ -875,7 +906,11 @@ object Validator {
             .filter(_ => doneParts.nonEmpty)
             .map(p => Drift.readSnapshot(spark, s"$p/${r.name}",
                 r.column.get, loB, hiB, r.bins)
-              .filter(col("partition").isin(doneParts.toSeq: _*))
+              // sentinel-translated for the same reason as the prune above:
+              // an ""-valued completed partition must carry forward, not
+              // silently drop out of the published snapshot
+              .filter(col("partition").isin(
+                doneParts.toSeq.map(snapSentinel): _*))
               .withColumn("value_col", lit(r.column.get))
               .withColumn("lo", lit(loB))
               .withColumn("hi", lit(hiB))

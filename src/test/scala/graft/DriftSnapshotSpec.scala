@@ -110,6 +110,38 @@ class DriftSnapshotSpec extends SparkTestBase {
     assert(verdicts.forall(_.pass), verdicts)
   }
 
+  test("\"\"-valued partition gates, prunes, and carries through snapshots") {
+    // snapshots store "" under the "<empty>" sentinel while the validator's
+    // own partition labels keep the raw "" — every snapshot-frame filter
+    // must translate (ADVICE r4): without it the "" sub-run gets an empty
+    // baseline slice (spurious vanished-FAIL) and a resumed run drops ""
+    // from the carried-forward snapshot
+    val dir = java.nio.file.Files.createTempDirectory("graft-snap-e2").toString
+    import spark.implicits._
+    val df = (1 to 400).map(i => (s"d$i", i % 100 + 1,
+      if (i % 2 == 0) "" else "web")).toDF("doc_id", "n_tok", "source")
+    Validator.run(spark, df, cfg, "doc_id", "se-r1",
+      collectViolations = false, snapshotOut = Some(s"$dir/s1"))
+    // per-partition loop: the "" sub-run must find its "<empty>" slice
+    val reports = Validator.runPerPartition(spark, df, cfg, "doc_id",
+      "se-r2", s"$dir/m2", collectViolations = false,
+      baselineSnapshot = Some(s"$dir/s1"), snapshotOut = Some(s"$dir/s2"))
+    val drift = reports.flatMap(_.results).filter(_.rule == "ntok_drift")
+    assert(drift.forall(_.verdict == "pass"), drift)
+    // whole-table resume with "" complete: pruned from the compare, but its
+    // snapshot rows carry forward into the published baseline
+    val rep = Validator.run(spark, df, cfg, "doc_id", "se-r3",
+      collectViolations = false, resumeDone = Some(Set("")),
+      baselineSnapshot = Some(s"$dir/s1"), snapshotOut = Some(s"$dir/s3"))
+    val d3 = rep.results.filter(_.rule == "ntok_drift")
+    assert(d3.map(_.partition) == Seq("web") && d3.forall(_.verdict == "pass"),
+      d3)
+    val s3 = Drift.readSnapshot(spark, s"$dir/s3/ntok_drift",
+      "n_tok", 0.0, 512.0, 8)
+    assert(s3.select("partition").distinct().collect().map(_.getString(0)).toSet
+      == Set("<empty>", "web"))
+  }
+
   test("per-partition snapshot loop: sub-runs gate on and publish own slices") {
     val dir = java.nio.file.Files.createTempDirectory("graft-snapp").toString
     val t1 = SeqTableGen.generate(spark, 4000)
