@@ -859,6 +859,56 @@ object OracleSql {
         | CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM s2 GROUP BY split""".stripMargin,
 
+    // same staged pipeline replay as pipe_curation2 (the checkpointed run
+    // computes the identical composition), plus the two resume invariants
+    // pinned as literals: the resumed run's final output must hash equal to
+    // the uninterrupted run's, and exactly 3 stages (quality, contam,
+    // pairs — the ones completed before the simulated crash) are skipped
+    "pipe_curation_ckpt" ->
+      """WITH RECURSIVE
+        |norm AS (SELECT doc_id, text, source, n_chars,
+        |    list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |      x -> x <> '') AS words
+        |  FROM documents WHERE doc_id >= 10),
+        |q AS (SELECT doc_id, text, source, n_chars FROM norm WHERE len(words) >= 5),
+        |d2 AS (SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(0, greatest(len(ws) - 13, 0) + 1),
+        |      i -> array_to_string(ws[i + 1 : i + 13], ' ')), s -> s <> '')) AS shs
+        |  FROM d2),
+        |benchg AS (SELECT DISTINCT unnest(shs) AS g FROM sh WHERE doc_id < 10),
+        |contam AS (SELECT DISTINCT c.doc_id
+        |  FROM (SELECT doc_id, unnest(shs) AS g FROM sh WHERE doc_id >= 10) c
+        |  JOIN benchg USING (g)),
+        |decon AS (SELECT * FROM q WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |ranked AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM decon),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ranked a JOIN ranked b ON b.source = a.source AND b.rn = a.rn + 1
+        |  WHERE a.rn % 5 <> 0),
+        |edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT u AS node FROM edges),
+        |walk(node, reach) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach),
+        |cc AS (SELECT node AS doc_id, min(reach) AS cid FROM walk GROUP BY node),
+        |dropids AS (SELECT doc_id FROM cc WHERE doc_id <> cid),
+        |resolved AS (SELECT * FROM decon
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM dropids)),
+        |s2 AS (SELECT *, CASE WHEN b < 9000 THEN 'train'
+        |                      WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |       % 10000 AS b FROM resolved))
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        | TRUE AS resumed_matches, CAST(3 AS INTEGER) AS resumed_skips
+        |FROM s2 GROUP BY split""".stripMargin,
+
     // deterministic md5 split: DuckDB recomputes the identical hash bucket
     // (CAST('0x'||hex AS BIGINT) == Spark conv(...,16,10) — both positive,
     // so % == pmod)

@@ -1,0 +1,47 @@
+package graft.datagen
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic text-corpus generator for curation-run evidence and
+  * benchmarks: (doc_id, text, source, n_chars) with planted structure —
+  * every `dupEvery`-th doc verbatim-copies its predecessor (exact/near-dup
+  * fodder for the miners), every 37th doc is too short to pass a
+  * min-tokens quality gate. All text derives from md5 chains of the id, so
+  * distinct docs share shingles only by chance (no accidental corpus-wide
+  * near-duplication) and re-generation is bit-identical.
+  *
+  * Usage: runMain graft.datagen.DocGen --out <dir> --rows N
+  *          [--sources 20] [--dup-every 100]
+  */
+object DocGen {
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val out = opts.getOrElse("out", sys.error("--out required"))
+    val rows = opts.getOrElse("rows", sys.error("--rows required")).toLong
+    val sources = opts.get("sources").map(_.toInt).getOrElse(20)
+    val dupEvery = opts.get("dup-every").map(_.toInt).getOrElse(100)
+    val spark = SparkSession.builder()
+      .appName("graft-docgen")
+      .config("spark.sql.shuffle.partitions", "32")
+      .master(sys.props.getOrElse("spark.master", "local[*]")).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // ~10 md5 words (~330 chars) per doc; the duplicate of doc k re-derives
+    // doc k's words from k directly — no self-join needed to plant copies
+    def words(idExpr: String) =
+      s"concat_ws(' ', transform(sequence(1, 10), " +
+        s"j -> md5(cast(($idExpr) * 31 + j as string))))"
+    val base = s"case when id % 37 = 0 then 'too short now' " +
+      s"when id % $dupEvery = ${dupEvery - 1} and id > 0 " +
+      s"then ${words("id - 1")} else ${words("id")} end"
+    spark.range(rows).selectExpr(
+        "id as doc_id",
+        s"$base as text",
+        s"concat('src_', cast(id % $sources as string)) as source")
+      .selectExpr("doc_id", "text", "source", "length(text) as n_chars")
+      .write.mode("overwrite").parquet(out)
+    println(s"wrote $rows docs to $out")
+    spark.stop()
+  }
+}

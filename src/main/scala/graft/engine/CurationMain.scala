@@ -1,0 +1,78 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit entry point for stage-checkpointed curation runs:
+  *
+  *   graft.engine.CurationMain --docs <parquet dir> --out <dir>
+  *     --manifest <dir> --run-id <id>
+  *     [--bench <parquet dir>]            decontamination eval set
+  *     [--method exact|minhash|simhash]   near-dup miner (default minhash)
+  *     [--min-tokens 5] [--threshold 0.8]
+  *     [--train-frac 0.9] [--val-frac 0.05]
+  *     [--text-col text] [--id-col doc_id]
+  *     [--stop-after <stage>]             deterministic partial run (tests)
+  *     [--checkpoint-dir <dir>]           reliable CC checkpoints
+  *     [--compact true]                   fold manifest small-files after
+  *
+  * Re-invoking with the same --run-id resumes at the first incomplete
+  * stage; completed stages are skipped (their durable artifacts are read
+  * back). Prints one line per stage and a summary; exit 0 on completion.
+  */
+object CurationMain {
+  def main(args: Array[String]): Unit = {
+    val opts = {
+      def parse(rest: List[String], acc: Map[String, String]): Map[String, String] =
+        rest match {
+          case Nil => acc
+          case flag :: value :: tail if flag.startsWith("--") && !value.startsWith("--") =>
+            parse(tail, acc + (flag.drop(2) -> value))
+          case flag :: tail if flag.startsWith("--") =>
+            sys.error(s"flag $flag requires a value" +
+              tail.headOption.fold("")(n => s" (got '$n')"))
+          case stray :: _ =>
+            sys.error(s"unexpected positional argument '$stray'")
+        }
+      parse(args.toList, Map.empty)
+    }
+    val builder = SparkSession.builder()
+      .appName("graft-curation")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+    val spark = (opts.get("master") match {
+      case Some(m) => builder.master(m)
+      case None if sys.props.contains("spark.master") => builder
+      case None => builder.master("local[*]")
+    }).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // reliable checkpoints for the CC rounds inside the clusters stage —
+    // the production shape (localCheckpoint loses blocks with executors)
+    opts.get("checkpoint-dir").foreach(spark.sparkContext.setCheckpointDir)
+
+    val cfg = CurationRun.CurationConfig(
+      textCol = opts.getOrElse("text-col", "text"),
+      idCol = opts.getOrElse("id-col", "doc_id"),
+      minTokens = opts.get("min-tokens").map(_.toInt).getOrElse(5),
+      method = opts.getOrElse("method", "minhash"),
+      threshold = opts.get("threshold").map(_.toDouble).getOrElse(0.8),
+      trainFrac = opts.get("train-frac").map(_.toDouble).getOrElse(0.9),
+      valFrac = opts.get("val-frac").map(_.toDouble).getOrElse(0.05))
+    val docs = spark.read.parquet(opts("docs"))
+    val bench = opts.get("bench").map(spark.read.parquet(_))
+    val manifest = opts("manifest")
+    val runId = opts.getOrElse("run-id", "curation-default")
+
+    val results = CurationRun.run(spark, docs, bench, cfg, runId,
+      opts("out"), manifest, stopAfter = opts.get("stop-after"))
+    if (opts.get("compact").exists(_.equalsIgnoreCase("true")))
+      graft.lineage.Manifest.compact(spark, manifest)
+    results.foreach { r =>
+      println(f"stage=${r.stage}%-10s rows=${r.rows}%-10d " +
+        f"hash=${r.contentHash}%-20d wall=${r.wallMs}%-8d executed=${r.executed}")
+    }
+    val resumedSkips = results.count(!_.executed)
+    println(s"curation run=$runId stages=${results.size}" +
+      s"/${CurationRun.Stages.size} resumed_skips=$resumedSkips")
+    spark.stop()
+  }
+}

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.engine.CurationRun
+import graft.engine.CurationRun.CurationConfig
+import graft.lineage.Manifest
+
+/** Stage-checkpointed curation runs: durable per-stage artifacts under a
+  * run-id + manifest contract; resume skips completed stages and produces
+  * byte-identical (hash-exact) final output. */
+class CurationRunSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Corpus with planted structure: doc 1 fails quality (4 tokens), docs
+    * 2/3 are verbatim duplicates, doc 4 contains the benchmark's 13-gram,
+    * docs 5-9 are clean and distinct. */
+  private def fixture: (DataFrame, DataFrame) = {
+    val contamText = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 " +
+      "plus some trailing context words here")
+    val docs = Seq(
+      (1L, "too short to pass", "a", 17L),
+      (2L, "the quick brown fox jumps over the lazy dog tonight", "a", 51L),
+      (3L, "the quick brown fox jumps over the lazy dog tonight", "a", 51L),
+      (4L, contamText, "b", contamText.length.toLong),
+      (5L, "five distinct tokens make this document pass quality", "b", 52L),
+      (6L, "another perfectly ordinary document with enough words", "b", 53L),
+      (7L, "completely different content lives in this one here", "c", 51L),
+      (8L, "yet more unique prose that survives every stage fine", "c", 52L),
+      (9L, "final clean document with plenty of distinct words", "c", 50L)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    val bench = Seq((100L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13"))
+      .toDF("doc_id", "text")
+    (docs, bench)
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("straight-through run: five stages, correct decisions at each") {
+    val (docs, bench) = fixture
+    val dir = tmp("graft-cur1")
+    val rs = CurationRun.run(spark, docs, Some(bench),
+      CurationConfig(method = "exact"), "r1", s"$dir/out", s"$dir/m")
+    assert(rs.map(_.stage) == CurationRun.Stages)
+    assert(rs.forall(_.executed))
+    // quality keep-list excludes doc 1
+    val keep = spark.read.parquet(CurationRun.stageDir(s"$dir/out", "r1", "quality"))
+      .as[Long].collect().toSet
+    assert(keep == Set(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    // contam catches exactly doc 4
+    val contam = spark.read.parquet(CurationRun.stageDir(s"$dir/out", "r1", "contam"))
+      .as[Long].collect().toSet
+    assert(contam == Set(4L))
+    // exact-method pairs: (2,3) as (canonical, member)
+    val pairs = spark.read.parquet(CurationRun.stageDir(s"$dir/out", "r1", "pairs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)))
+    // drop list keeps the canonical linkage
+    val drop = spark.read.parquet(CurationRun.stageDir(s"$dir/out", "r1", "clusters"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(drop == Set((3L, 2L)))
+    // final: survivors 2,5,6,7,8,9 with a split column
+    val fin = CurationRun.finalOutput(spark, s"$dir/out", "r1")
+    assert(fin.select("doc_id").as[Long].collect().toSet
+      == Set(2L, 5L, 6L, 7L, 8L, 9L))
+    assert(fin.columns.contains("split"))
+    // manifest holds one committed row per stage under partition "*"
+    val m = Manifest.completed(spark, s"$dir/m", "r1")
+    assert(m == CurationRun.Stages.map(("*", _)).toSet)
+  }
+
+  test("resume skips completed stages; final output is hash-exact") {
+    val (docs, bench) = fixture
+    val dir = tmp("graft-cur2")
+    val cfg = CurationConfig(method = "exact")
+    // uninterrupted reference run
+    CurationRun.run(spark, docs, Some(bench), cfg, "ra", s"$dir/out", s"$dir/m")
+    // crash after the pairs stage commit; resume to completion
+    val partial = CurationRun.run(spark, docs, Some(bench), cfg, "rb",
+      s"$dir/out", s"$dir/m", stopAfter = Some("pairs"))
+    assert(partial.map(_.stage) == Seq("quality", "contam", "pairs"))
+    val resumed = CurationRun.run(spark, docs, Some(bench), cfg, "rb",
+      s"$dir/out", s"$dir/m")
+    assert(resumed.map(r => r.stage -> r.executed) == Seq(
+      "quality" -> false, "contam" -> false, "pairs" -> false,
+      "clusters" -> true, "final" -> true))
+    // resume-skipped stages report the ORIGINAL run's numbers
+    assert(resumed.take(3).map(r => (r.rows, r.contentHash))
+      == partial.map(r => (r.rows, r.contentHash)))
+    val hA = Manifest.contentHash(CurationRun.finalOutput(spark, s"$dir/out", "ra"))
+    val hB = Manifest.contentHash(CurationRun.finalOutput(spark, s"$dir/out", "rb"))
+    assert(hA == hB && hA != 0L)
+    // idempotent re-invocation: everything already complete, nothing re-runs
+    val again = CurationRun.run(spark, docs, Some(bench), cfg, "rb",
+      s"$dir/out", s"$dir/m")
+    assert(again.forall(!_.executed))
+  }
+
+  test("mid-stage crash: partial artifact without manifest row is redone") {
+    val (docs, bench) = fixture
+    val dir = tmp("graft-cur3")
+    val cfg = CurationConfig(method = "exact")
+    val partial = CurationRun.run(spark, docs, Some(bench), cfg, "rc",
+      s"$dir/out", s"$dir/m", stopAfter = Some("contam"))
+    // simulate a crash MID-pairs-stage: a partial (garbage) artifact dir
+    // exists but no manifest row — the commit point was never reached
+    Seq((999L, 998L)).toDF("id_a", "id_b").write
+      .parquet(CurationRun.stageDir(s"$dir/out", "rc", "pairs"))
+    val resumed = CurationRun.run(spark, docs, Some(bench), cfg, "rc",
+      s"$dir/out", s"$dir/m")
+    assert(resumed.find(_.stage == "pairs").exists(_.executed))
+    // the garbage artifact was overwritten with the real mining result
+    val pairs = spark.read.parquet(CurationRun.stageDir(s"$dir/out", "rc", "pairs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((2L, 3L)))
+    val hA = Manifest.contentHash(CurationRun.finalOutput(spark, s"$dir/out", "rc"))
+    val dirRef = tmp("graft-cur3ref")
+    CurationRun.run(spark, docs, Some(bench), cfg, "ref",
+      s"$dirRef/out", s"$dirRef/m")
+    assert(hA == Manifest.contentHash(
+      CurationRun.finalOutput(spark, s"$dirRef/out", "ref")))
+  }
+
+  test("minhash method and no-bench contract") {
+    val (docs, _) = fixture
+    val dir = tmp("graft-cur4")
+    // near-dup variant of doc 2 with one word changed; minhash at a low
+    // threshold must pair them (char-shingle similarity is high)
+    val nearDup = Seq((10L,
+      "the quick brown fox jumps over the lazy dog today", "a", 49L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val rs = CurationRun.run(spark, docs.unionByName(nearDup), None,
+      CurationConfig(method = "minhash", threshold = 0.6), "rm",
+      s"$dir/out", s"$dir/m")
+    assert(rs.map(_.stage) == CurationRun.Stages)
+    // no bench ⇒ empty contam artifact, stage still committed
+    assert(rs.find(_.stage == "contam").exists(r => r.rows == 0L && r.executed))
+    val drop = spark.read.parquet(CurationRun.stageDir(s"$dir/out", "rm", "clusters"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 2,3 verbatim and 10 near-dup all cluster to canonical 2
+    assert(drop == Set((3L, 2L), (10L, 2L)))
+    val fin = CurationRun.finalOutput(spark, s"$dir/out", "rm")
+    assert(!fin.select("doc_id").as[Long].collect().toSet.exists(Set(3L, 10L)))
+  }
+
+  test("stopAfter validates and unknown method is rejected") {
+    intercept[IllegalArgumentException] {
+      CurationConfig(method = "fuzzy")
+    }
+    val (docs, bench) = fixture
+    intercept[IllegalArgumentException] {
+      CurationRun.run(spark, docs, Some(bench), CurationConfig(), "rx",
+        tmp("graft-cur5"), tmp("graft-cur5m"), stopAfter = Some("nope"))
+    }
+  }
+}
