@@ -665,6 +665,65 @@ object OracleSql {
         |FROM cand
         |WHERE inter / CAST(sz_a + sz_b - inter AS DOUBLE) >= 0.3""".stripMargin,
 
+    // exact-verify parity: chain-pair candidates re-scored with the SAME
+    // word-5-gram Jaccard construction as dd_jaccard_pairs (inter from a
+    // per-pair set intersection; union = sz_a + sz_b − inter; empty∪empty
+    // counts as identical, matching the engine's ANSI-safe guard)
+    "dd_verify_pairs" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM ranked a JOIN ranked b
+        |    ON b.source = a.source AND b.rn = a.rn + 1
+        |  WHERE a.rn % 5 <> 0),
+        |d2 AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    list_transform(range(0, greatest(len(ws) - 5, 0) + 1),
+        |      i -> array_to_string(ws[i + 1 : i + 5], ' ')),
+        |    s -> s <> '')) AS shs
+        |  FROM d2),
+        |j AS (
+        |  SELECT c.id_a, c.id_b,
+        |    len(list_filter(sa.shs, x -> list_contains(sb.shs, x))) AS inter,
+        |    len(sa.shs) AS sz_a, len(sb.shs) AS sz_b
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.id_a
+        |  JOIN sh sb ON sb.doc_id = c.id_b)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN sz_a + sz_b - inter = 0 THEN 1.0
+        |    ELSE inter / CAST(sz_a + sz_b - inter AS DOUBLE) END, 6) AS jac
+        |FROM j""".stripMargin,
+
+    // verdict-flip literals (err_fail_fast convention — the minhash
+    // estimate is engine-side): unverified counts the straddle pair
+    // (est 0.7344 >= 0.70) and fails; verified re-checks exactly
+    // (0.6779 < 0.70), drops it, and passes
+    "v_duplicate_verify" ->
+      """SELECT * FROM (VALUES
+        |  ('dups_unverified', 'fail', CAST(1 AS BIGINT)),
+        |  ('dups_verified', 'pass', CAST(0 AS BIGINT)))
+        |AS t(rule, verdict, members)""".stripMargin,
+
+    // tuned-geometry duplicate rule REPLAYED from the same range() fixture:
+    // 4 verbatim groups x 10 docs; members = rows − distinct texts = 36,
+    // share 0.9 > max_share 0.1 ⇒ fail (verbatim copies estimate 1.0 under
+    // any k/bands geometry, so exact text grouping replays the verdict)
+    "v_duplicate_geom" ->
+      """WITH f AS (
+        |  SELECT i AS doc_id, 'block ' || md5(CAST(i % 4 AS VARCHAR)) AS text
+        |  FROM range(40) t(i)),
+        |stat AS (SELECT count(*) AS n, count(DISTINCT text) AS grp FROM f)
+        |SELECT CASE WHEN (n - grp) / CAST(n AS DOUBLE) > 0.1
+        |         THEN 'fail' ELSE 'pass' END AS verdict,
+        |  CAST(n - grp AS BIGINT) AS members
+        |FROM stat""".stripMargin,
+
     // same shingle construction as dd_jaccard_pairs at n=13; benchmark =
     // docs 0-9, corpus = rest + planted verbatim benchmark copies
     "t_contamination" ->

@@ -82,6 +82,13 @@ object SparkEntry {
   private val dupRuleVerdict =
     new java.util.concurrent.atomic.AtomicReference[(String, (String, String, Long))](null)
 
+  /** Once-per-JVM caches for the verified/tuned duplicate-rule queries —
+    * each runs full mining passes; keyed by source dir like the rest. */
+  private val dupVerifyVerdicts =
+    new java.util.concurrent.atomic.AtomicReference[(String, Seq[(String, String, Long)])](null)
+  private val dupGeomVerdict =
+    new java.util.concurrent.atomic.AtomicReference[(String, (String, Long))](null)
+
   /** Once-per-JVM caches of the two ANN check verdicts — both run whole
     * k-NN passes and persist intermediates; computing once per source dir
     * (then returning a local frame) honors the miners' caller-unpersist
@@ -775,6 +782,105 @@ object SparkEntry {
       Seq((part, verdict, members)).toDF("part", "verdict", "members")
     }),
 
+    // `verify: exact` flips the verdict where the ESTIMATE is wrong: a
+    // planted pair whose minhash estimated Jaccard (0.7344, k=64 seed 42 —
+    // deterministic) sits ABOVE the 0.70 threshold while its exact char-5
+    // Jaccard (0.6779) sits BELOW. The unverified rule counts the pair and
+    // fails; the verified rule mines loose (0.55), re-checks exactly, drops
+    // it, and passes. The oracle pins both verdicts as literals
+    // (est values are engine-side; the err_fail_fast convention).
+    "v_duplicate_verify" -> ((s, d) => {
+      import s.implicits._
+      val rows =
+        Option(dupVerifyVerdicts.get()).filter(_._1 == d).map(_._2).getOrElse {
+          val baseWords = (1 to 24).map(i => s"alpha$i beta$i").mkString(" ")
+          val ws = baseWords.split(" ")
+          val variant = (ws.dropRight(8) ++ (1 to 8).map(j =>
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(s"v8-$j").take(6)))
+            .mkString(" ")
+          val filler = (10L to 29L).map(i => (i, (1 to 12).map(j =>
+            org.apache.commons.codec.digest.DigestUtils.md5Hex(s"f$i-$j").take(8))
+            .mkString(" "), "s"))
+          val docs = (Seq((1L, baseWords, "s"), (2L, variant, "s")) ++ filler)
+            .toDF("doc_id", "text", "source")
+          val cfg = graft.config.RuleConfig.loadYaml(
+            """table:
+              |  name: fixture
+              |  partition_column: source
+              |  columns:
+              |    doc_id: {type: bigint, nullable: false}
+              |    text: {type: string, nullable: true}
+              |    source: {type: string, nullable: true}
+              |rules:
+              |  - name: dups_unverified
+              |    description: near-dup share on the raw estimate
+              |    kind: duplicate
+              |    column: text
+              |    method: minhash
+              |    threshold: 0.7
+              |    max_share: 0.0
+              |  - name: dups_verified
+              |    description: near-dup share on exact-verified candidates
+              |    kind: duplicate
+              |    column: text
+              |    method: minhash
+              |    threshold: 0.7
+              |    verify: exact
+              |    max_share: 0.0
+              |""".stripMargin)
+          val rep = graft.engine.Validator.run(s, docs, cfg, "doc_id",
+            "dup-verify-q", collectViolations = false)
+          val v = rep.results.filter(_.rule.startsWith("dups_"))
+            .map(r => (r.rule, r.verdict, r.violationCount))
+            .sortBy(_._1)
+          dupVerifyVerdicts.set((d, v)); v
+        }
+      rows.toDF("rule", "verdict", "members")
+    }),
+
+    // YAML-exposed near-dup geometry, oracle-REPLAYED (not pinned): a
+    // range-built fixture of 4 verbatim-duplicate groups × 10 docs mined
+    // with non-default minhash geometry (k=128, bands=32, max_bucket=500).
+    // Verbatim copies estimate 1.0 under ANY geometry, so DuckDB replays
+    // the member count and share verdict from the same range() fixture by
+    // exact text grouping.
+    "v_duplicate_geom" -> ((s, d) => {
+      import s.implicits._
+      val (verdict, members) =
+        Option(dupGeomVerdict.get()).filter(_._1 == d).map(_._2).getOrElse {
+          val docs = s.range(40).select(col("id").as("doc_id"),
+            concat(lit("block "), md5(pmod(col("id"), lit(4)).cast("string")))
+              .as("text"),
+            lit("g").as("source"))
+          val cfg = graft.config.RuleConfig.loadYaml(
+            """table:
+              |  name: fixture
+              |  partition_column: source
+              |  columns:
+              |    doc_id: {type: bigint, nullable: false}
+              |    text: {type: string, nullable: true}
+              |    source: {type: string, nullable: true}
+              |rules:
+              |  - name: dup_geom
+              |    description: near-dup share under tuned geometry
+              |    kind: duplicate
+              |    column: text
+              |    method: minhash
+              |    threshold: 0.9
+              |    max_share: 0.1
+              |    k: 128
+              |    bands: 32
+              |    max_bucket: 500
+              |""".stripMargin)
+          val rep = graft.engine.Validator.run(s, docs, cfg, "doc_id",
+            "dup-geom-q", collectViolations = false)
+          val r = rep.results.filter(_.rule == "dup_geom").head
+          val v = (r.verdict, r.violationCount)
+          dupGeomVerdict.set((d, v)); v
+        }
+      Seq((verdict, members)).toDF("verdict", "members")
+    }),
+
     "v_histogram" -> ((s, d) =>
       graft.checks.Drift.histogram(t(s, d, "documents"), "n_chars", "source",
         0.0, 600.0, 10)
@@ -890,6 +996,19 @@ object SparkEntry {
       Dedup.jaccardPairs(t(s, d, "documents"), "text", "doc_id", n = 5,
         threshold = 0.3).select(col("id_a"), col("id_b"),
         round(col("jaccard"), 6).as("jac"))),
+
+    // exact-verify stage over a GIVEN candidate list: the deterministic
+    // chain pairs play the LSH candidates; verifyPairs computes each pair's
+    // exact word-5-gram Jaccard by id join (no inverted index — candidates
+    // are known). The oracle recomputes every pair's Jaccard from the same
+    // shingle construction — the same |A∩B|/(|A|+|B|−|A∩B|) jaccardPairs
+    // uses, so verified values match the audit miner's hash-exactly.
+    "dd_verify_pairs" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.verifyPairs(docs, chainPairs(docs), "text", "doc_id",
+          n = 5, words = true)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
+    }),
 
     "dd_minhash_lsh" -> ((s, d) => // rows-only: xxhash64 not in oracle engine
       Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",

@@ -74,7 +74,19 @@ final case class RuleSpec(
     // tolerated). GLOBAL like uniqueness: duplicate content spans
     // partitions, so verdicts record under "*".
     method: Option[String] = None,
-    threshold: Option[Double] = None) {
+    threshold: Option[Double] = None,
+    // duplicate rule, near-dup tuning (YAML-exposed so recall/cost is a
+    // config decision, not a code change): `verify: exact` re-checks
+    // minhash candidates with exact char-n-gram Jaccard before counting
+    // them (candidates are mined at a loosened estimate threshold, then
+    // decided on the exact similarity); `k`/`bands` are the minhash
+    // signature geometry, `max_hamming`/`bands` the simhash banding,
+    // `max_bucket` the shared pathological-bucket cap.
+    verify: Option[String] = None,
+    k: Option[Int] = None,
+    bands: Option[Int] = None,
+    maxHamming: Option[Int] = None,
+    maxBucket: Option[Int] = None) {
   /** Fail-fast spec validation (reference models/features.py:14,20-30). */
   def validate(knownColumns: Set[String]): Unit = {
     if (description.length < 5)
@@ -113,6 +125,44 @@ final case class RuleSpec(
           throw ConfigError(s"rule '$name': threshold must be in (0, 1]"))
         maxShare.foreach(s => if (s < 0.0 || s >= 1.0)
           throw ConfigError(s"rule '$name': max_share must be in [0, 1)"))
+        // near-dup geometry validates at LOAD, not mining time: a bad
+        // band/signature combination must not surface as a mid-run require
+        // after hours of upstream work (the miners' own requires stay as
+        // the last line of defense for programmatic callers)
+        val m = method.getOrElse("exact")
+        verify.foreach { v =>
+          if (v != "exact")
+            throw ConfigError(s"rule '$name': verify must be 'exact' (got '$v')")
+          if (m != "minhash") throw ConfigError(
+            s"rule '$name': verify applies to method: minhash only " +
+              "(exact already is exact; simhash banding computes true distance)")
+        }
+        def pos(f: String, v: Option[Int]): Unit = v.foreach(x =>
+          if (x <= 0) throw ConfigError(s"rule '$name': $f must be positive"))
+        pos("k", k); pos("bands", bands); pos("max_bucket", maxBucket)
+        if (k.isDefined && m != "minhash")
+          throw ConfigError(s"rule '$name': k applies to method: minhash only")
+        if (maxHamming.isDefined && m != "simhash")
+          throw ConfigError(
+            s"rule '$name': max_hamming applies to method: simhash only")
+        if (bands.isDefined && m == "exact")
+          throw ConfigError(s"rule '$name': bands needs a near-dup method")
+        if (m == "minhash") {
+          val kk = k.getOrElse(64); val bb = bands.getOrElse(16)
+          if (kk % bb != 0) throw ConfigError(
+            s"rule '$name': bands ($bb) must divide k ($kk)")
+        }
+        if (m == "simhash") {
+          val mh = maxHamming.getOrElse(3); val bb = bands.getOrElse(4)
+          if (mh < 0 || mh > 63) throw ConfigError(
+            s"rule '$name': max_hamming must be in [0, 63]")
+          if (bb < mh + 1) throw ConfigError(
+            s"rule '$name': bands ($bb) must be >= max_hamming + 1 (${mh + 1})" +
+              " — the pigeonhole guarantee needs one untouched band")
+          if (bb > 64) throw ConfigError(s"rule '$name': bands must be <= 64")
+        }
+        maxBucket.foreach(x => if (x < 2)
+          throw ConfigError(s"rule '$name': max_bucket must be >= 2"))
       case _ => ()
     }
   }
@@ -190,7 +240,12 @@ object RuleConfig {
         topK = optInt(r, "top_k").getOrElse(3),
         maxShare = optDouble(r, "max_share"),
         method = optStr(r, "method"),
-        threshold = optDouble(r, "threshold"))
+        threshold = optDouble(r, "threshold"),
+        verify = optStr(r, "verify"),
+        k = optInt(r, "k"),
+        bands = optInt(r, "bands"),
+        maxHamming = optInt(r, "max_hamming"),
+        maxBucket = optInt(r, "max_bucket"))
     }
     val cfg = SuiteConfig(tName, pCol, cols, rules)
     // fail-fast validation pass (pydantic analogue)

@@ -154,12 +154,7 @@ object Validator {
           .head()
         (row.getLong(0), row.getLong(1))
       case m =>
-        val pairs =
-          if (m == "minhash")
-            graft.operators.Dedup.minhashLshPairs(table, c, keyCol,
-              estThreshold = r.threshold.getOrElse(0.8))
-          else
-            graft.operators.Dedup.simhashNearDupPairs(table, c, keyCol)
+        val pairs = mineDuplicatePairs(table, c, keyCol, r, m)
         val clusters = graft.operators.Dedup.dupClusters(pairs)
         try {
           val row = clusters.filter(col("id") =!= col("cluster_id"))
@@ -168,6 +163,30 @@ object Validator {
           (row.getLong(0), row.getLong(1))
         } finally { clusters.unpersist(); pairs.unpersist() }
     }
+  }
+
+  /** Near-dup pair mining for a duplicate rule, shared by the stats-only
+    * and stats+examples paths: YAML geometry (k/bands/max_hamming/
+    * max_bucket) threads into the miners, and `verify: exact` swaps the
+    * minhash path for the mine-loose-then-exact-verify fusion — the rule's
+    * verdict then counts members by TRUE Jaccard, not the estimate.
+    * Returned frame is persisted (the miners' caller-unpersist contract). */
+  private def mineDuplicatePairs(table: DataFrame, c: String, keyCol: String,
+      r: RuleSpec, m: String): DataFrame = {
+    val maxBucket = r.maxBucket.getOrElse(2000)
+    if (m == "minhash") {
+      val thr = r.threshold.getOrElse(0.8)
+      val kk = r.k.getOrElse(64); val bb = r.bands.getOrElse(16)
+      if (r.verify.contains("exact"))
+        graft.operators.Dedup.minhashVerifiedPairs(table, c, keyCol,
+          k = kk, bands = bb, threshold = thr, maxBucket = maxBucket)
+      else
+        graft.operators.Dedup.minhashLshPairs(table, c, keyCol,
+          k = kk, bands = bb, estThreshold = thr, maxBucket = maxBucket)
+    } else
+      graft.operators.Dedup.simhashNearDupPairs(table, c, keyCol,
+        maxHamming = r.maxHamming.getOrElse(3), bands = r.bands.getOrElse(4),
+        maxBucket = maxBucket)
   }
 
   private def duplicateRuleResult(table: DataFrame, keyCol: String,
@@ -184,7 +203,9 @@ object Validator {
     val wall = (System.nanoTime() - t1) / 1000000
     RuleResult("*", r.name, if (fail) "fail" else "pass", 0L, members, 0L,
       wall,
-      f"method=${r.method.getOrElse("exact")};clusters=$clusters;share=$share%.6f")
+      f"method=${r.method.getOrElse("exact")}" +
+        r.verify.fold("")(v => s";verify=$v") +
+        f";clusters=$clusters;share=$share%.6f")
   }
 
   /** Verdict plus (optionally) member EXAMPLE rows
@@ -236,12 +257,7 @@ object Validator {
             Some(vf))
         } finally groups.unpersist()
       case m =>
-        val pairs =
-          if (m == "minhash")
-            graft.operators.Dedup.minhashLshPairs(table, c, keyCol,
-              estThreshold = r.threshold.getOrElse(0.8))
-          else
-            graft.operators.Dedup.simhashNearDupPairs(table, c, keyCol)
+        val pairs = mineDuplicatePairs(table, c, keyCol, r, m)
         val clusters = graft.operators.Dedup.dupClusters(pairs)
         // try/finally: the example join or either action can throw — drop,
         // clusters, and pairs must be unpersisted on EVERY exit path, not

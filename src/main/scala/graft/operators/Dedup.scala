@@ -139,6 +139,68 @@ object Dedup {
     out
   }
 
+  /** EXACT n-gram Jaccard for a GIVEN candidate-pair list — the
+    * verification stage production near-dedup runs on LSH candidates
+    * before dropping data: estimates gate cheaply, exact similarity
+    * decides. Cost shape: shingles are built ONLY for documents appearing
+    * in some pair (semi-join prune), then each pair's two shingle sets
+    * meet by id join — O(|pairs| × shingles/doc), independent of corpus
+    * size, and never an inverted index (the candidates are already known).
+    *
+    * Same value as [[jaccardPairs]] on the same ids: both compute
+    * |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets (the dd_verify_pairs
+    * oracle pins this hash-exactly). Two empty shingle sets (both texts
+    * shorter than n) count as identical (1.0) — the ANSI-safe guard, since
+    * a 0/0 double division THROWS under Spark 4 defaults. */
+  def verifyPairs(docs: DataFrame, pairs: DataFrame, textCol: String,
+      idCol: String, n: Int = 5, words: Boolean = false,
+      aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val shingleFn =
+      if (words) wordShingles(col(textCol), n) else shingles(col(textCol), n)
+    val ids = pairs.select(col(aCol).as("id"))
+      .unionByName(pairs.select(col(bCol).as("id"))).distinct()
+    // shingle only the pair participants; at corpus scale the candidate set
+    // is a vanishing fraction of the table and AQE broadcasts the id list
+    val sh = docs.join(ids, docs(idCol) === ids("id"), "left_semi")
+      .select(col(idCol).as("id"), shingleFn.as("sh"))
+    val inter = size(array_intersect(col("__sh_a"), col("__sh_b")))
+    val union = size(col("__sh_a")) + size(col("__sh_b")) - inter
+    pairs.select(col(aCol), col(bCol))
+      .join(sh.select(col("id").as(aCol), col("sh").as("__sh_a")), Seq(aCol))
+      .join(sh.select(col("id").as(bCol), col("sh").as("__sh_b")), Seq(bCol))
+      .select(col(aCol), col(bCol),
+        when(union === 0, lit(1.0))
+          .otherwise(inter.cast("double") / union.cast("double")).as("jaccard"))
+  }
+
+  /** MinHash-LSH mining + EXACT verification fused: candidates are mined
+    * at a LOOSENED estimate threshold (the k-sample estimator's σ =
+    * sqrt(t(1−t))/sqrt(k) ≈ 0.05 at k=64, so `margin` = 0.15 ≈ 3σ — an
+    * under-estimated true near-dup still surfaces as a candidate), then
+    * each candidate is DECIDED on its exact char-n-gram Jaccard. Production
+    * near-dedup drops data on the verified value, never the estimate —
+    * [[minhashLshPairs]] alone can both over-drop (estimate above, truth
+    * below) and under-drop at the threshold boundary.
+    *
+    * Cost: one extra narrow pass over the CANDIDATES only (O(|candidates| ×
+    * shingles/doc) — the corpus is touched just to shingle pair members).
+    * Same caller-unpersist contract as the miners; returns
+    * (id_a, id_b, jaccard) with jaccard now EXACT. */
+  def minhashVerifiedPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 5, k: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8, seed: Long = 42L,
+      maxBucket: Int = 2000, margin: Double = 0.15): DataFrame = {
+    val cand = minhashLshPairs(docs, textCol, idCol, n, k, bands,
+      estThreshold = math.max(0.0, threshold - margin), seed, maxBucket)
+    val verified = verifyPairs(docs, cand.select("id_a", "id_b"),
+        textCol, idCol, n)
+      .filter(col("jaccard") >= threshold)
+    val out = verified.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cand.unpersist()
+    out
+  }
+
   // ---------- benchmark contamination ----------
 
   /** Token n-gram shingles over an `array<int>` column (distinct), rendered

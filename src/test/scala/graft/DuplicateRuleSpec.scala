@@ -219,4 +219,131 @@ class DuplicateRuleSpec extends SparkTestBase {
     intercept[ConfigError] { RuleConfig.loadYaml(yaml("minhash", 0.01, Some(1.5))) }
     intercept[ConfigError] { RuleConfig.loadYaml(yaml("exact", 1.0)) }
   }
+
+  private def geomYaml(method: String, extra: String) =
+    s"""table:
+       |  name: docs
+       |  partition_column: source
+       |  columns:
+       |    doc_id: {type: bigint, nullable: false}
+       |    text: {type: string, nullable: true}
+       |    source: {type: string, nullable: false}
+       |rules:
+       |  - name: dup_gate
+       |    description: duplication share bounded
+       |    kind: duplicate
+       |    column: text
+       |    method: $method
+       |    max_share: 0.01
+       |$extra
+       |""".stripMargin
+
+  test("config validation rejects invalid near-dup geometry at LOAD") {
+    // bands must divide k
+    intercept[ConfigError] {
+      RuleConfig.loadYaml(geomYaml("minhash", "    k: 64\n    bands: 12"))
+    }
+    // pigeonhole: bands >= max_hamming + 1
+    intercept[ConfigError] {
+      RuleConfig.loadYaml(geomYaml("simhash", "    max_hamming: 4\n    bands: 4"))
+    }
+    // geometry fields tied to their method
+    intercept[ConfigError] {
+      RuleConfig.loadYaml(geomYaml("simhash", "    k: 64"))
+    }
+    intercept[ConfigError] {
+      RuleConfig.loadYaml(geomYaml("minhash", "    max_hamming: 3"))
+    }
+    intercept[ConfigError] {
+      RuleConfig.loadYaml(geomYaml("exact", "    bands: 4"))
+    }
+    intercept[ConfigError] {
+      RuleConfig.loadYaml(geomYaml("minhash", "    max_bucket: 1"))
+    }
+    // verify only exists as 'exact', and only for minhash
+    intercept[ConfigError] {
+      RuleConfig.loadYaml(geomYaml("minhash", "    verify: fuzzy"))
+    }
+    intercept[ConfigError] {
+      RuleConfig.loadYaml(geomYaml("simhash", "    verify: exact"))
+    }
+    // valid tuned geometries load
+    RuleConfig.loadYaml(geomYaml("minhash",
+      "    k: 128\n    bands: 32\n    max_bucket: 500\n    verify: exact\n    threshold: 0.9"))
+    RuleConfig.loadYaml(geomYaml("simhash", "    max_hamming: 2\n    bands: 8"))
+  }
+
+  test("tuned geometry threads into the miners (k=128/bands=32; simhash hamming)") {
+    val rep = Validator.run(spark, fixture,
+      RuleConfig.loadYaml(geomYaml("minhash",
+        "    k: 128\n    bands: 32\n    threshold: 0.9\n    max_bucket: 500")),
+      "doc_id", "dup-g1", collectViolations = false)
+    val r = rep.results.filter(_.rule == "dup_gate").head
+    assert(r.verdict == "fail" && r.violationCount == 5L, r)
+    val rep2 = Validator.run(spark, fixture,
+      RuleConfig.loadYaml(geomYaml("simhash",
+        "    max_hamming: 1\n    bands: 8")),
+      "doc_id", "dup-g2", collectViolations = false)
+    val r2 = rep2.results.filter(_.rule == "dup_gate").head
+    assert(r2.verdict == "fail" && r2.violationCount >= 5L, r2)
+  }
+
+  test("verify: exact flips the verdict where the estimate is wrong") {
+    // deterministic straddle pair (probed once, stable forever under seed
+    // 42): est Jaccard 0.7344 >= 0.70 > exact 0.6779 — the unverified rule
+    // counts it, the verified rule re-checks exactly and drops it
+    val baseWords = (1 to 24).map(i => s"alpha$i beta$i").mkString(" ")
+    val ws = baseWords.split(" ")
+    val variant = (ws.dropRight(8) ++ (1 to 8).map(j =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"v8-$j").take(6)))
+      .mkString(" ")
+    val filler = (10L to 29L).map(i => (i, (1 to 12).map(j =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"f$i-$j").take(8))
+      .mkString(" "), "s"))
+    val docs = (Seq((1L, baseWords, "s"), (2L, variant, "s")) ++ filler)
+      .toDF("doc_id", "text", "source")
+    def run(extra: String) = Validator.run(spark, docs,
+      RuleConfig.loadYaml(geomYaml("minhash",
+        s"    threshold: 0.7\n$extra").replace("max_share: 0.01", "max_share: 0.0")),
+      "doc_id", s"dup-v${extra.length}", collectViolations = false)
+      .results.filter(_.rule == "dup_gate").head
+    val unverified = run("")
+    assert(unverified.verdict == "fail" && unverified.violationCount == 1L,
+      unverified)
+    val verified = run("    verify: exact")
+    assert(verified.verdict == "pass" && verified.violationCount == 0L,
+      verified)
+    assert(verified.detail.contains("verify=exact"))
+    // and verification does NOT lose true near-dups: verbatim copies pass
+    // the exact re-check (jaccard 1.0) — same counts as unverified mining
+    val rep = Validator.run(spark, fixture,
+      RuleConfig.loadYaml(geomYaml("minhash",
+        "    threshold: 0.8\n    verify: exact")),
+      "doc_id", "dup-v3", collectViolations = false)
+    val r = rep.results.filter(_.rule == "dup_gate").head
+    assert(r.verdict == "fail" && r.violationCount == 5L, r)
+  }
+
+  test("verifyPairs matches jaccardPairs hash-exactly on the same ids") {
+    import graft.operators.Dedup
+    val docs = spark.range(60).select(col("id").as("doc_id"),
+      concat(lit("shared words one two three four five six "),
+        when(pmod(col("id"), lit(3)) === 0, lit("seven eight nine ten"))
+          .otherwise(md5(col("id").cast("string")))).as("text"))
+    val mined = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3,
+      threshold = 0.2, words = true)
+    val verified = Dedup.verifyPairs(docs,
+      mined.select("id_a", "id_b"), "text", "doc_id", n = 3, words = true)
+    val joined = mined.select(col("id_a"), col("id_b"),
+        col("jaccard").as("j_mined"))
+      .join(verified.withColumnRenamed("jaccard", "j_verified"),
+        Seq("id_a", "id_b"), "full_outer")
+    val rows = joined.collect()
+    assert(rows.nonEmpty)
+    // every mined pair re-scores to the IDENTICAL double (same integer
+    // numerator/denominator) — full outer join would surface any miss
+    assert(rows.forall(r => !r.isNullAt(2) && !r.isNullAt(3) &&
+      r.getDouble(2) == r.getDouble(3)), rows.mkString("\n"))
+    mined.unpersist()
+  }
 }
