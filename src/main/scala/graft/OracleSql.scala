@@ -441,6 +441,31 @@ object OracleSql {
         | CAST(5 + (i * 3) % 21 AS INT) AS height
         |FROM range(0, 24) t(i)""".stripMargin,
 
+    // WAV fixture arithmetic replay: rates cycle 8000/16000/22050/44100,
+    // channels alternate 1/2, frames = 1000 + 37i, duration truncates to
+    // whole ms (engine: Long division) — the RIFF parse itself is
+    // engine-side
+    "mm_audio_decode" ->
+      """WITH p AS (
+        |  SELECT i,
+        |    CASE i % 4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |      WHEN 2 THEN 22050 ELSE 44100 END AS rate,
+        |    1 + (i % 2) AS ch, 1000 + i * 37 AS ns
+        |  FROM range(0, 16) t(i))
+        |SELECT CAST(i AS BIGINT) AS id, CAST(rate AS INT) AS sample_rate,
+        |  CAST(ch AS INT) AS channels, CAST(ns AS INT) AS n_frames,
+        |  CAST((ns * 1000) // rate AS BIGINT) AS duration_ms
+        |FROM p""".stripMargin,
+
+    // MP4 fixture arithmetic replay: tkhd 16.16 dims and mvhd duration at
+    // timescale 1000 — the box walk is engine-side
+    "mm_video_decode" ->
+      """SELECT CAST(i AS BIGINT) AS id,
+        | CAST(160 + (i * 16) % 480 AS INT) AS width,
+        | CAST(120 + (i * 9) % 360 AS INT) AS height,
+        | CAST(500 + i * 250 AS BIGINT) AS duration_ms
+        |FROM range(0, 16) t(i)""".stripMargin,
+
     // duplicate-aware quarantine: replay the full routing — recursive-CTE
     // transitive closure of the chain pairs gives each node's cluster min;
     // non-canonical members are quarantined with duplicate_of = the min,

@@ -1521,6 +1521,45 @@ object SparkEntry {
           col("meta.height").as("height"))
     }),
 
+    // REAL audio metadata (WAV/RIFF byte parse), oracle-exact: driver-built
+    // canonical PCM WAV fixtures with arithmetic parameters — the batched
+    // decode must recover sample rate, channels, PCM frame count, and
+    // duration from the actual container bytes (the oracle replays only the
+    // arithmetic; the RIFF chunk walk is entirely engine-side)
+    "mm_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val rows = (0 until 16).map { i =>
+        val rate = Seq(8000, 16000, 22050, 44100)(i % 4)
+        val channels = 1 + (i % 2)
+        val nSamples = 1000 + i * 37
+        (i.toLong, Multimodal.encodeWav(rate, channels, nSamples), "audio")
+      }
+      Multimodal.decodeBatched(rows.toDF("doc_id", "payload", "mtype"),
+          "payload", "mtype", "doc_id")
+        .select(col("id"), col("meta.sample_rate").as("sample_rate"),
+          col("meta.channels").as("channels"),
+          col("meta.n_frames").as("n_frames"),
+          col("meta.duration_ms").as("duration_ms"))
+    }),
+
+    // REAL video metadata (MP4/ISO-BMFF box parse), oracle-exact: minimal
+    // ftyp+moov(mvhd+trak/tkhd) fixtures — width/height from the 16.16
+    // fixed-point tkhd fields, duration from mvhd timescale arithmetic
+    "mm_video_decode" -> ((s, d) => {
+      import s.implicits._
+      val rows = (0 until 16).map { i =>
+        val w = 160 + (i * 16) % 480
+        val h = 120 + (i * 9) % 360
+        val durMs = 500L + i * 250L
+        (i.toLong, Multimodal.encodeMp4(w, h, durMs), "video")
+      }
+      Multimodal.decodeBatched(rows.toDF("doc_id", "payload", "mtype"),
+          "payload", "mtype", "doc_id")
+        .select(col("id"), col("meta.width").as("width"),
+          col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
+    }),
+
     "mm_batch" -> ((s, d) => { // rows-only: mapPartitions batch plumbing
       val docs = t(s, d, "documents").select(col("doc_id"),
         col("text").cast("binary").as("payload"),

@@ -9,27 +9,38 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL: the JDK ships PNG/GIF/BMP/JPEG readers
   * (`javax.imageio`), so [[decodeBatched]] reads true width/height from the
-  * bytes — no external codecs needed. Payloads ImageIO cannot parse (and
-  * all AUDIO/VIDEO, whose codecs the JDK does not ship) degrade to the
-  * deterministic hash-derived [[fakeDecode]] so one corrupt record in a
-  * 10^12-row table never fails a task; the surrounding plumbing — schema,
-  * batch iteration shape, partitioning, explode of sampled frames — is the
-  * production shape either way (a codec library call drops into the same
-  * `mapPartitions` batch loop).
+  * bytes — no external codecs needed. AUDIO and VIDEO *metadata* is also
+  * REAL where the container allows a zero-dependency parse: WAV/RIFF
+  * fmt+data chunks give sample rate / channels / PCM frame count
+  * ([[decodeWav]]), and MP4/ISO-BMFF `mvhd`/`tkhd` boxes give duration and
+  * track dimensions ([[decodeMp4]]) — plain byte-walks over length-prefixed
+  * structures, the same trick ImageIO plays for image headers. Payload
+  * DECODE (PCM → samples, H.264 → frames) still needs codecs the JDK does
+  * not ship; unparseable containers degrade to the deterministic
+  * hash-derived [[fakeDecode]] so one corrupt record in a 10^12-row table
+  * never fails a task. The surrounding plumbing — schema, batch iteration
+  * shape, partitioning, explode of sampled frames — is the production shape
+  * either way (a codec library call drops into the same `mapPartitions`
+  * batch loop).
   */
 object Multimodal {
 
-  /** Typed metadata produced by decode. */
+  /** Typed metadata produced by decode. `channels` is audio-only;
+    * `duration_ms` is audio (PCM frames / rate) or video (mvhd duration on
+    * its own timescale); both 0 where inapplicable. */
   val MediaMetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("n_frames", IntegerType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = false),
-    StructField("byte_len", LongType, nullable = false)))
+    StructField("byte_len", LongType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false)))
 
   final case class MediaMeta(media_type: String, width: Int, height: Int,
-      n_frames: Int, sample_rate: Int, byte_len: Long)
+      n_frames: Int, sample_rate: Int, byte_len: Long,
+      channels: Int = 0, duration_ms: Long = 0L)
 
   /** Real image decode via the JDK's own readers (PNG/GIF/BMP/JPEG ship
     * with `javax.imageio` — zero external dependencies). None when the
@@ -69,6 +80,169 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---------- WAV/RIFF (audio metadata, zero-dependency byte parse) ------
+
+  /** Real WAV metadata from RIFF container bytes: walk the word-aligned
+    * chunk list, read the `fmt ` chunk (channels, sample rate, block align)
+    * and the `data` chunk size (PCM frame count = size / blockAlign;
+    * duration = frames / rate). None for anything that is not a parseable
+    * RIFF/WAVE — callers degrade instead of failing the task. */
+  def decodeWav(payload: Array[Byte]): Option[MediaMeta] = {
+    if (payload == null || payload.length < 36) return None
+    def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
+    def u16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    try {
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var rate = 0; var channels = 0; var blockAlign = 0; var dataLen = -1L
+      while (off + 8 <= payload.length) {
+        val id = tag(off)
+        val sz = u32(off + 4)
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= payload.length) {
+          channels = u16(off + 10)
+          rate = u32(off + 12).toInt
+          blockAlign = u16(off + 20)
+        } else if (id == "data") {
+          // a streamed/truncated writer may declare more data than present;
+          // trust the bytes actually there (conservative frame count)
+          dataLen = math.min(sz, (payload.length - off - 8).toLong)
+        }
+        // chunks are 2-byte aligned; a corrupt size must still terminate
+        val step = 8L + sz + (sz & 1L)
+        if (step <= 0) return None
+        off = (off + step).min(Int.MaxValue.toLong).toInt
+      }
+      if (rate <= 0 || channels <= 0) None
+      else {
+        val frames =
+          if (dataLen >= 0 && blockAlign > 0) dataLen / blockAlign else 0L
+        Some(MediaMeta("audio", 0, 0, frames.toInt, rate,
+          payload.length.toLong, channels, frames * 1000L / rate))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic WAV fixture encoder: canonical 44-byte PCM header +
+    * `nSamples` frames of 16-bit samples derived from the frame index. */
+  def encodeWav(sampleRate: Int, channels: Int, nSamples: Int): Array[Byte] = {
+    val dataLen = nSamples * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2) // byte rate
+      .putShort((channels * 2).toShort) // block align
+      .putShort(16) // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples * channels) { bb.putShort(((i * 31) & 0x7fff).toShort); i += 1 }
+    bb.array()
+  }
+
+  // ---------- MP4 / ISO-BMFF (video metadata, zero-dependency parse) -----
+
+  /** Real MP4 metadata from ISO-BMFF box bytes: walk the top-level
+    * size-prefixed box list into `moov`, read `mvhd` (timescale + duration
+    * → milliseconds) and the first `trak/tkhd` (16.16 fixed-point width and
+    * height). Version 0 and 1 boxes both handled. None for anything that
+    * is not parseable ISO-BMFF. */
+  def decodeMp4(payload: Array[Byte]): Option[MediaMeta] = {
+    if (payload == null || payload.length < 16) return None
+    def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
+    def u32(o: Int): Long =
+      ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+        ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+    def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
+    // find a child box by type within [from, to); returns (payloadOff, end)
+    def findBox(from: Int, to: Int, boxType: String): Option[(Int, Int)] = {
+      var off = from
+      while (off + 8 <= to) {
+        val sz = u32(off)
+        if (sz < 8 || off + sz > to) return None
+        if (tag(off + 4) == boxType) return Some((off + 8, (off + sz).toInt))
+        off += sz.toInt
+      }
+      None
+    }
+    try {
+      // sanity: the FIRST box must be a well-formed known top-level type
+      // (ftyp usually) — arbitrary binary that happens to u32-parse is not
+      val first = u32(0)
+      if (first < 8 || first > payload.length || !tag(4).forall(c => c >= ' ' && c <= '~'))
+        return None
+      findBox(0, payload.length, "moov").flatMap { case (mvFrom, mvTo) =>
+        val dur = findBox(mvFrom, mvTo, "mvhd").flatMap { case (o, _) =>
+          payload(o) match { // version byte
+            case 0 =>
+              val timescale = u32(o + 12); val duration = u32(o + 16)
+              if (timescale > 0) Some(duration * 1000L / timescale) else None
+            case 1 =>
+              val timescale = u32(o + 20); val duration = u64(o + 24)
+              if (timescale > 0) Some(duration * 1000L / timescale) else None
+            case _ => None
+          }
+        }
+        val dims = findBox(mvFrom, mvTo, "trak").flatMap { case (tFrom, tTo) =>
+          findBox(tFrom, tTo, "tkhd").map { case (o, _) =>
+            // width/height are the LAST 8 bytes of tkhd in both versions
+            // (v0 body 84 B, v1 body 96 B — ISO 14496-12 §8.3.2): 16.16
+            // fixed point
+            val bodyLen = if (payload(o) == 1) 96 else 84
+            ((u32(o + bodyLen - 8) >> 16).toInt, (u32(o + bodyLen - 4) >> 16).toInt)
+          }
+        }
+        dur.map { d =>
+          val (w, h) = dims.getOrElse((0, 0))
+          MediaMeta("video", w, h, 0, 0, payload.length.toLong, 0, d)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic MP4 fixture encoder: minimal ftyp + moov(mvhd(timescale
+    * 1000, duration ms) + trak(tkhd(w, h))) — valid ISO-BMFF box structure
+    * with no media data (metadata-only, like a faststart header). */
+  def encodeMp4(w: Int, h: Int, durationMs: Long): Array[Byte] = {
+    def box(boxType: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length).put(boxType.getBytes("US-ASCII")).put(body)
+      bb.array()
+    }
+    val ftyp = box("ftyp", "isom   isomiso2".getBytes("US-ASCII"))
+    val mvhdBody = java.nio.ByteBuffer.allocate(100)
+    mvhdBody.putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // ctime, mtime
+      .putInt(1000) // timescale: 1 unit = 1 ms
+      .putInt(durationMs.toInt)
+      .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume
+      .putLong(0L) // reserved
+    // unity matrix
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(mvhdBody.putInt)
+    mvhdBody.position(96).putInt(2) // next track id (predefined skipped above)
+    val tkhdBody = java.nio.ByteBuffer.allocate(84)
+    tkhdBody.putInt(7) // version 0 + flags (enabled|in-movie|in-preview)
+      .putInt(0).putInt(0) // ctime, mtime
+      .putInt(1) // track id
+      .putInt(0) // reserved
+      .putInt(durationMs.toInt)
+      .putLong(0L) // reserved
+      .putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt, volume, rsvd
+    Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+      .foreach(tkhdBody.putInt)
+    tkhdBody.putInt(w << 16).putInt(h << 16)
+    val moov = box("moov",
+      box("mvhd", mvhdBody.array()) ++ box("trak", box("tkhd", tkhdBody.array())))
+    ftyp ++ moov
+  }
+
   /** DETERMINISTIC FAKE decode — the degrade path for unparseable images
     * and the stand-in for audio/video (the JDK ships no codecs for those).
     * Derives plausible metadata purely from payload bytes. */
@@ -78,10 +252,13 @@ object Multimodal {
       case "image" => MediaMeta("image",
         64 + (h % 1857).toInt, 64 + ((h / 7) % 1017).toInt, 1, 0, payload.length)
       case "audio" => MediaMeta("audio", 0, 0,
-        1, Seq(16000, 22050, 44100)((h % 3).toInt), payload.length)
-      case "video" => MediaMeta("video",
-        320 + (h % 1601).toInt, 240 + ((h / 11) % 841).toInt,
-        25 * (1 + (h % 120)).toInt, 0, payload.length)
+        1, Seq(16000, 22050, 44100)((h % 3).toInt), payload.length,
+        channels = 1 + (h % 2).toInt, duration_ms = 1000 + (h % 59000))
+      case "video" =>
+        val frames = 25 * (1 + (h % 120)).toInt
+        MediaMeta("video",
+          320 + (h % 1601).toInt, 240 + ((h / 11) % 841).toInt,
+          frames, 0, payload.length, duration_ms = frames * 40L) // 25 fps
       case other => MediaMeta(other, 0, 0, 0, 0, payload.length)
     }
   }
@@ -108,15 +285,18 @@ object Multimodal {
             val payload =
               if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
             val mtype = if (r.isNullAt(2)) "unknown" else r.getString(2)
-            // images decode for real (JDK ImageIO); unparseable bytes and
-            // audio/video degrade to the deterministic fake
-            val m =
-              if (mtype == "image")
-                decodeImage(payload).getOrElse(fakeDecode(payload, mtype))
-              else fakeDecode(payload, mtype)
+            // images decode for real (JDK ImageIO), audio/video container
+            // METADATA parses for real (WAV/RIFF chunks, MP4 boxes);
+            // unparseable bytes degrade to the deterministic fake
+            val m = (mtype match {
+              case "image" => decodeImage(payload)
+              case "audio" => decodeWav(payload)
+              case "video" => decodeMp4(payload)
+              case _ => None
+            }).getOrElse(fakeDecode(payload, mtype))
             Row(if (r.isNullAt(0)) null else r.getLong(0),
               Row(m.media_type, m.width, m.height, m.n_frames, m.sample_rate,
-                m.byte_len))
+                m.byte_len, m.channels, m.duration_ms))
           }
         }
       }
@@ -141,7 +321,13 @@ object Multimodal {
       when(mediaType === "audio",
         element_at(typedlit(Seq(16000, 22050, 44100)), (pmod(h, lit(3)) + 1).cast("int")))
         .otherwise(lit(0)).as("sample_rate"),
-      length(payload).cast("long").as("byte_len"))
+      length(payload).cast("long").as("byte_len"),
+      when(mediaType === "audio", (lit(1) + pmod(h, lit(2))).cast("int"))
+        .otherwise(lit(0)).as("channels"),
+      when(mediaType === "audio", (lit(1000) + pmod(h, lit(59000))).cast("long"))
+        .when(mediaType === "video",
+          (lit(25) * (lit(1) + pmod(h, lit(120))) * 40).cast("long"))
+        .otherwise(lit(0L)).as("duration_ms"))
   }
 
   /** Resize plan: scale metadata to fit within (maxW, maxH) preserving
@@ -157,7 +343,9 @@ object Multimodal {
       floor(h * scale).cast("int").as("height"),
       meta.getField("n_frames").as("n_frames"),
       meta.getField("sample_rate").as("sample_rate"),
-      meta.getField("byte_len").as("byte_len"))
+      meta.getField("byte_len").as("byte_len"),
+      meta.getField("channels").as("channels"),
+      meta.getField("duration_ms").as("duration_ms"))
   }
 
   /** Uniform frame sampling: every k-th frame index up to n_frames —

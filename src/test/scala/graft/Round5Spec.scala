@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Round-5 additions: real audio/video container-metadata parsing. */
+class Round5Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("WAV decode is real: RIFF round-trips rate/channels/frames/duration") {
+    for ((rate, ch, ns) <- Seq((8000, 1, 1234), (44100, 2, 44100), (22050, 1, 11025))) {
+      val bytes = Multimodal.encodeWav(rate, ch, ns)
+      val m = Multimodal.decodeWav(bytes)
+      assert(m.contains(Multimodal.MediaMeta("audio", 0, 0, ns, rate,
+        bytes.length.toLong, ch, ns.toLong * 1000L / rate)),
+        s"rate=$rate ch=$ch ns=$ns got $m")
+    }
+    // truncated data chunk: frame count trusts the bytes actually present
+    val full = Multimodal.encodeWav(16000, 1, 1000)
+    val truncated = full.take(44 + 500 * 2)
+    assert(Multimodal.decodeWav(truncated).exists(_.n_frames == 500))
+    // garbage / empty / null are "not a WAV", never an exception
+    assert(Multimodal.decodeWav("RIFFgarbage".getBytes).isEmpty)
+    assert(Multimodal.decodeWav("not audio at all, just text bytes".getBytes).isEmpty)
+    assert(Multimodal.decodeWav(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeWav(null).isEmpty)
+  }
+
+  test("MP4 decode is real: ISO-BMFF round-trips dims/duration") {
+    for ((w, h, d) <- Seq((640, 480, 12000L), (1920, 1080, 500L), (320, 240, 1L))) {
+      val bytes = Multimodal.encodeMp4(w, h, d)
+      val m = Multimodal.decodeMp4(bytes)
+      assert(m.contains(Multimodal.MediaMeta("video", w, h, 0, 0,
+        bytes.length.toLong, 0, d)), s"w=$w h=$h d=$d got $m")
+    }
+    assert(Multimodal.decodeMp4("definitely not an mp4 container here".getBytes).isEmpty)
+    assert(Multimodal.decodeMp4(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.decodeMp4(null).isEmpty)
+  }
+
+  test("batched decode routes audio/video through the real parsers with fake fallback") {
+    val wav = Multimodal.encodeWav(22050, 2, 2000)
+    val mp4 = Multimodal.encodeMp4(800, 600, 3000L)
+    val df = Seq(
+      (1L, wav, "audio"),
+      (2L, mp4, "video"),
+      (3L, "corrupt audio bytes".getBytes, "audio"),
+      (4L, "corrupt video bytes".getBytes, "video")
+    ).toDF("doc_id", "payload", "mtype")
+    val out = Multimodal.decodeBatched(df, "payload", "mtype", "doc_id")
+      .select(col("id"), col("meta.sample_rate"), col("meta.channels"),
+        col("meta.width"), col("meta.duration_ms")).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((22050, 2, 0, 2000L * 1000 / 22050)))
+    assert(out(2L) == ((0, 0, 800, 3000L)))
+    // corrupt payloads fall back to the deterministic fake (in-range, alive)
+    assert(Seq(16000, 22050, 44100).contains(out(3L)._1))
+    assert(out(4L)._3 >= 320, "corrupt video must fall back to fake dims")
+  }
+}
