@@ -76,9 +76,32 @@ object AnnRecallBench {
           f"candidates~$nprobe%d/${1 << planes} wall=$wall%.1fs")
         (planes, nprobe, recall)
       }
-      val json = results.map { case (p, np, r) =>
-        s"""{"planes":$p,"nprobe":$np,"recall_at_10":${math.round(r * 1000) / 1000.0}}"""
-      }.mkString("[", ",", "]")
+      // learned-centroid IVF at the SAME cell count as planes=8 (256 cells):
+      // equal nprobe ⇒ equal nominal scanned fraction, so any recall gap is
+      // the density alignment k-means buys over geometry-luck hyperplanes
+      val tTrain = System.nanoTime()
+      val centroids = Similarity.trainIvfCentroids(emb, "v", "id",
+        nCells = 256, iters = 8)
+      val trainWall = (System.nanoTime() - tTrain) / 1e9
+      println(f"kmeans train: 256 cells, 8 iters, $trainWall%.1fs")
+      val kmResults = Seq(1, 2, 4).map { nprobe =>
+        val t0 = System.nanoTime()
+        val got = Similarity.kmeansTopKMulti(emb, queries, "v", "id", k,
+          centroids, nprobe)
+        val hits = got.select("query_id", "corpus_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).count(gt.contains)
+        got.unpersist()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val recall = hits.toDouble / gt.size
+        println(f"kmeans cells=256 nprobe=$nprobe%d recall@10=$recall%.3f " +
+          f"candidates~$nprobe%d/256 wall=$wall%.1fs")
+        (nprobe, recall)
+      }
+      val json = (results.map { case (p, np, r) =>
+        s"""{"kind":"hyperplane","planes":$p,"nprobe":$np,"recall_at_10":${math.round(r * 1000) / 1000.0}}"""
+      } ++ kmResults.map { case (np, r) =>
+        s"""{"kind":"kmeans","cells":256,"nprobe":$np,"recall_at_10":${math.round(r * 1000) / 1000.0}}"""
+      }).mkString("[", ",", "]")
       println(s"""{"bench":"ann_recall","n":$n,"dim":$dim,"k":$k,"nq":$nq,"points":$json}""")
     } finally spark.stop()
   }

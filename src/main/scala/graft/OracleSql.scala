@@ -818,6 +818,12 @@ object OracleSql {
         |  SELECT w.node, e.v FROM walk w JOIN edges e ON e.u = w.reach)
         |SELECT node AS id, min(reach) AS cluster_id FROM walk GROUP BY node""".stripMargin,
 
+    // invariant verdicts computed engine-side (k-means training is not
+    // SQL-replayable); the oracle pins all four as TRUE
+    "ann_kmeans_check" ->
+      """SELECT TRUE AS full_probe_exact, TRUE AS recall_monotone,
+        | TRUE AS centroids_roundtrip, TRUE AS pruned_probe_ok""".stripMargin,
+
     "ann_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
         |qn AS (SELECT sqrt(sum(CAST(qv[g.i] AS DOUBLE) * CAST(qv[g.i] AS DOUBLE))) AS qnorm

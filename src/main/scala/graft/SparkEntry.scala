@@ -98,6 +98,11 @@ object SparkEntry {
   private val ivfBatchVerdict =
     new java.util.concurrent.atomic.AtomicReference[(String, (Boolean, Boolean, Boolean))](null)
 
+  /** Same cache, for the learned-centroid IVF check (trains k-means and
+    * writes an index — strictly once per source dir). */
+  private val kmeansCheckVerdict =
+    new java.util.concurrent.atomic.AtomicReference[(String, (Boolean, Boolean, Boolean, Boolean))](null)
+
   /** Once-per-JVM cache of the stage-checkpointed curation evidence, keyed
     * by source dir: (final split aggregate of the RESUMED run, resumed
     * output hash == uninterrupted output hash, resume-skipped stage count).
@@ -1369,6 +1374,85 @@ object SparkEntry {
           ivfBatchVerdict.set((d, res)); res
         }
       Seq(v).toDF("parity_ok", "files_pruned", "has_rows")
+    }),
+
+    // learned-centroid IVF, self-verifying: (1) probing ALL cells must
+    // reproduce exact brute-force top-k (ids and cosines — the candidate
+    // union is the whole corpus, so any mismatch is an assignment/ranking
+    // bug), (2) ground-truth overlap is monotone in nprobe (candidates(1)
+    // ⊆ candidates(4), and topk(S) ∩ topk(T) = topk(T) ∩ S for S ⊆ T),
+    // (3) the written Hive layout round-trips its centroid table and the
+    // single-query probe scans FEWER files than the full index (partition
+    // pruning on learned cells)
+    "ann_kmeans_check" -> ((s, d) => {
+      import s.implicits._
+      val v = Option(kmeansCheckVerdict.get()).filter(_._1 == d).map(_._2)
+        .getOrElse {
+          val emb = t(s, d, "embeddings")
+          val nCells = 16
+          val k = 5
+          val centroids = Similarity.trainIvfCentroids(emb, "embedding",
+            "vec_id", nCells = nCells, iters = 4)
+          val q0df = emb.filter(col("vec_id") === 0)
+          val q0 = q0df.select(col("embedding")).head()
+            .getSeq[Float](0).map(_.toDouble)
+          // (1) full probe == exact brute force (self excluded both sides)
+          val full = Similarity.kmeansTopKMulti(emb, q0df, "embedding",
+            "vec_id", k, centroids, nprobe = nCells)
+          val brute = Similarity.bruteForceTopK(
+            emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", q0, k)
+            .withColumn("b_rank", row_number().over(
+              Window.orderBy(col("cos").desc, col("vec_id").asc)))
+          val exactOk = full.select(col("corpus_id"), col("cos").as("f_cos"),
+              col("rank"))
+            .join(brute.select(col("vec_id"), col("cos").as("b_cos"),
+              col("b_rank")), col("rank") === col("b_rank"), "full")
+            .agg(coalesce(every(coalesce(col("corpus_id") === col("vec_id") &&
+              abs(col("f_cos") - col("b_cos")) < 1e-9, lit(false))),
+              lit(false))).head().getBoolean(0)
+          full.unpersist()
+          // (2) ground-truth overlap monotone in nprobe over 10 queries
+          val queries = emb.filter(col("vec_id") < 10)
+          val gt = Similarity.kmeansTopKMulti(emb, queries, "embedding",
+            "vec_id", k, centroids, nprobe = nCells)
+          val gtSet = gt.select("query_id", "corpus_id").collect()
+            .map(r => (r.getLong(0), r.getLong(1))).toSet
+          gt.unpersist()
+          val overlaps = Seq(1, 4).map { np =>
+            val got = Similarity.kmeansTopKMulti(emb, queries, "embedding",
+              "vec_id", k, centroids, nprobe = np)
+            val o = got.select("query_id", "corpus_id").collect()
+              .map(r => (r.getLong(0), r.getLong(1))).count(gtSet.contains)
+            got.unpersist(); o
+          }
+          val monotoneOk = overlaps(0) <= overlaps(1)
+          // (3) written layout: centroid round-trip + pruned probe parity
+          val path = java.nio.file.Files.createTempDirectory("graft-kivf")
+            .toString + "/kivf"
+          Similarity.writeIvfKmeans(emb, "embedding", centroids, path)
+          val roundtripOk = Similarity.readIvfCentroids(s, path) == centroids
+          val probed = Similarity.probeIvfKmeans(s, path, "embedding",
+            "vec_id", q0, k, centroids, nprobe = 2)
+          // in-memory reference over the same 2 cells: brute force
+          // restricted to the probe cells (probeIvfKmeans includes self)
+          val cells = Similarity.nearestCells(q0, centroids, 2)
+          val ref = Similarity.bruteForceTopK(
+            emb.filter(Similarity.nearestCellCol(col("embedding"), centroids)
+              .isin(cells: _*)), "embedding", "vec_id", q0, k)
+          val parityOk = probed.collect().map(r => (r.getLong(0),
+            math.round(r.getDouble(1) * 1e9))).sameElements(
+            ref.collect().map(r => (r.getLong(0),
+              math.round(r.getDouble(1) * 1e9))))
+          val idx = s.read.parquet(path)
+          val nTotal = idx.select(input_file_name()).distinct().count()
+          val nProbed = idx.filter(col("bucket").isin(cells: _*))
+            .select(input_file_name()).distinct().count()
+          val res = (exactOk, monotoneOk, roundtripOk,
+            parityOk && nProbed < nTotal)
+          kmeansCheckVerdict.set((d, res)); res
+        }
+      Seq(v).toDF("full_probe_exact", "recall_monotone", "centroids_roundtrip",
+        "pruned_probe_ok")
     }),
 
     // oracle-backed ANN evidence: per-query ranks must be consecutive from 1

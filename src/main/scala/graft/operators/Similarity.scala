@@ -265,6 +265,184 @@ object Similarity {
     out
   }
 
+  // ---------- learned-centroid IVF (k-means cells) ----------
+  //
+  // Hyperplane cells are train-free but UNBALANCED on clustered data (real
+  // embeddings): a dense region splits across arbitrary plane boundaries
+  // while empty regions waste cells, so recall per scanned fraction is
+  // bounded by geometry luck. k-means centroids learn the density: cells
+  // align with the actual clusters, so the same nprobe/nCells scanned
+  // fraction captures more true neighbors (AnnRecallBench measures the
+  // gap). Assignment is cosine (vectors score by dot against NORMALIZED
+  // centroids — scale-invariant, matching the cosine metric probes rank by).
+
+  /** Normalize centroids to unit length (zero centroids pass through). */
+  private def normalizedCentroids(cs: Seq[Seq[Double]]): Seq[Seq[Double]] =
+    cs.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+
+  /** Nearest-centroid cell index as a pure Column: argmax over cells of
+    * dot(vec, normalized centroid). Strict `>` in the fold keeps the FIRST
+    * maximal cell — deterministic ties at any parallelism. */
+  def nearestCellCol(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+    val cLit = typedlit(normalizedCentroids(centroids))
+    val scored = transform(sequence(lit(0), lit(centroids.size - 1)), ci =>
+      struct(
+        aggregate(zip_with(vec, element_at(cLit, ci + 1),
+          (x, c) => x.cast("double") * c), lit(0.0), (a, v) => a + v).as("s"),
+        ci.cast("int").as("i")))
+    aggregate(scored,
+      struct(lit(Double.MinValue).as("s"), lit(-1).as("i")),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+      .getField("i")
+  }
+
+  /** Train `nCells` centroids with Lloyd's iterations over a deterministic
+    * hash-sample of the corpus. Scale shape: the driver holds nCells × dim
+    * doubles (a few MB at most); each iteration is ONE scan of the sample
+    * feeding a map-side-combinable (cell, dim) average — the kbinsKmeans
+    * loop shape lifted to vectors. Training needs a sketch of the density,
+    * not the corpus: `samplePpm` bounds the scan (1e6 = use everything).
+    * Init = the nCells sample vectors with smallest seeded hash
+    * (deterministic, spread by hash uniformity). Empty cells keep their
+    * previous centroid. */
+  def trainIvfCentroids(emb: DataFrame, vecCol: String, idCol: String,
+      nCells: Int, iters: Int = 8, samplePpm: Int = 1000000,
+      seed: Long = 42L): Seq[Seq[Double]] = {
+    val sample0 =
+      if (samplePpm >= 1000000) emb
+      else emb.filter(
+        pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L)) < samplePpm)
+    val sample = sample0
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Seq[Seq[Double]] = sample
+        .orderBy(xxhash64(col("id"), lit(seed + 1)).asc, col("id").asc)
+        .limit(nCells)
+        .select("v").collect().map(_.getSeq[Double](0).toSeq).toSeq
+      require(centroids.nonEmpty, "trainIvfCentroids: empty training sample")
+      for (_ <- 0 until iters) {
+        val sums = sample
+          .select(nearestCellCol(col("v"), centroids).as("cell"), col("v"))
+          .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+          .collect()
+        val byCell = sums.groupBy(_.getInt(0))
+        centroids = centroids.zipWithIndex.map { case (old, ci) =>
+          byCell.get(ci).fold(old) { rows =>
+            val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
+            old.indices.map(p => dims.getOrElse(p, 0.0))
+          }
+        }
+      }
+      centroids
+    } finally sample.unpersist()
+  }
+
+  /** The query's `nprobe` nearest cells, driver-side (pure math over the
+    * tiny centroid table — no Spark job, unlike the hyperplane probe which
+    * needs the seeded expression). Desc by dot, ties to the lower index. */
+  def nearestCells(query: Seq[Double], centroids: Seq[Seq[Double]],
+      nprobe: Int): Seq[Int] = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nearestCells: nprobe must be in [1, nCells] (got $nprobe)")
+    normalizedCentroids(centroids).zipWithIndex
+      .map { case (c, i) => (c.zip(query).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nprobe).map(_._2)
+  }
+
+  /** Batch probe-set column: each query's `nprobe` nearest cells as an
+    * array — sort the scored cells by (-dot, index) lexicographically and
+    * slice, the learned-cell analogue of [[multiProbeCodesCol]]. */
+  def nearestCellsCol(vec: Column, centroids: Seq[Seq[Double]],
+      nprobe: Int): Column = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nearestCellsCol: nprobe must be in [1, nCells] (got $nprobe)")
+    val cLit = typedlit(normalizedCentroids(centroids))
+    val scored = transform(sequence(lit(0), lit(centroids.size - 1)), ci =>
+      struct(
+        (-aggregate(zip_with(vec, element_at(cLit, ci + 1),
+          (x, c) => x.cast("double") * c), lit(0.0), (a, v) => a + v)).as("s"),
+        ci.cast("int").as("i")))
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
+  }
+
+  /** Write the learned-cell IVF layout: one Hive partition per k-means
+    * cell, with the centroid table stored UNDER the index (underscore-
+    * prefixed ⇒ invisible to the data scan) so probes need no side channel. */
+  def writeIvfKmeans(emb: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Double]], path: String): Unit = {
+    emb.withColumn("bucket", nearestCellCol(col(vecCol), centroids))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    centroids.zipWithIndex
+      .flatMap { case (c, ci) => c.zipWithIndex.map { case (x, p) => (ci, p, x) } }
+      .toDF("cell", "pos", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_centroids")
+  }
+
+  /** Read back the centroid table written by [[writeIvfKmeans]]. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Double]] = {
+    val rows = spark.read.parquet(s"$path/_centroids")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toSeq)
+  }
+
+  /** Probe the learned-cell index: top-k by cosine over the query's
+    * `nprobe` nearest cells. The `isin` is a partition filter on the Hive
+    * layout — same pruned-directory read as [[probeIvfMulti]], but against
+    * density-balanced cells. */
+  def probeIvfKmeans(spark: org.apache.spark.sql.SparkSession, path: String,
+      vecCol: String, idCol: String, query: Seq[Double], k: Int,
+      centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    val cells = nearestCells(query, centroids, nprobe)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(cells: _*))
+      .select(col(idCol), cosineTo(col(vecCol), query).as("cos"))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batch k-NN over learned cells (in-memory form, for recall runs and
+    * corpus-vs-corpus joins): same ids-only bucket join + capped cells as
+    * [[lshTopKMulti]], with k-means assignment instead of hyperplanes. */
+  def kmeansTopKMulti(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, centroids: Seq[Seq[Double]], nprobe: Int,
+      maxBucket: Int = 100000): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      nearestCellCol(col(vecCol), centroids).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      nearestCellsCol(col(vecCol), centroids, nprobe).as("probes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cIds = Dedup.capBuckets(
+      c.select(col("bucket"), col("corpus_id")), "bucket", maxBucket)
+    val cand = q.select(col("query_id"), explode(col("probes")).as("bucket"))
+      .join(cIds, Seq("bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("corpus_id").asc)
+    val out = cand
+      .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
+      .join(c.select(col("corpus_id"), col("cv")), Seq("corpus_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos", "rank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    c.unpersist(); q.unpersist()
+    out
+  }
+
   /** Probe the written IVF index: top-k by cosine WITHIN the query's cell.
     * The `bucket === code` filter is a partition filter on the Hive layout,
     * so the scan reads only the probed cell's directory — at 10^12 vectors

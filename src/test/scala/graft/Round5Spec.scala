@@ -38,6 +38,52 @@ class Round5Spec extends SparkTestBase {
     assert(Multimodal.decodeMp4(null).isEmpty)
   }
 
+  test("kmeans IVF: column assignment matches driver-side nearest cells") {
+    import graft.operators.Similarity
+    val emb = spark.range(200).select(col("id"),
+      AnnRecallBench.clusteredVec(col("id"), 16, 8, 0.1).as("v"))
+      .persist()
+    val centroids = Similarity.trainIvfCentroids(emb, "v", "id",
+      nCells = 8, iters = 4)
+    assert(centroids.size == 8 && centroids.forall(_.size == 16))
+    // training is deterministic
+    assert(Similarity.trainIvfCentroids(emb, "v", "id", nCells = 8, iters = 4)
+      == centroids)
+    val rows = emb.select(col("id"),
+      Similarity.nearestCellCol(col("v"), centroids).as("cell"),
+      Similarity.nearestCellsCol(col("v"), centroids, 3).as("cells3"),
+      col("v")).collect()
+    rows.foreach { r =>
+      val vec = r.getSeq[Float](3).map(_.toDouble)
+      val want = Similarity.nearestCells(vec, centroids, 3)
+      assert(r.getInt(1) == want.head, s"id=${r.getLong(0)} cell")
+      assert(r.getSeq[Int](2) == want, s"id=${r.getLong(0)} probe set")
+    }
+    emb.unpersist()
+  }
+
+  test("kmeans IVF: probing every cell reproduces exact brute force") {
+    import graft.operators.Similarity
+    val emb = spark.range(300).select(col("id"),
+      AnnRecallBench.clusteredVec(col("id"), 16, 8, 0.15).as("v"))
+      .persist()
+    val centroids = Similarity.trainIvfCentroids(emb, "v", "id",
+      nCells = 8, iters = 3)
+    val queries = emb.filter(col("id") < 5)
+    val full = Similarity.kmeansTopKMulti(emb, queries, "v", "id", 5,
+      centroids, nprobe = 8)
+    val gotQ0 = full.filter(col("query_id") === 0)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+    val q0 = queries.filter(col("id") === 0)
+      .select("v").head().getSeq[Float](0).map(_.toDouble)
+    val want = Similarity.bruteForceTopK(emb.filter(col("id") =!= 0),
+      "v", "id", q0, 5).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e9)))
+    assert(gotQ0.sameElements(want))
+    full.unpersist(); emb.unpersist()
+  }
+
   test("batched decode routes audio/video through the real parsers with fake fallback") {
     val wav = Multimodal.encodeWav(22050, 2, 2000)
     val mp4 = Multimodal.encodeMp4(800, 600, 3000L)
