@@ -145,6 +145,66 @@ object StreamOps {
       .dropDuplicatesWithinWatermark("__content_hash")
       .drop("__event_ts", "__content_hash")
 
+  /** Incremental `duplicate` rule (exact method) — the batch rule's
+    * n − distinct counting as a streaming verdict: per event-time window,
+    * `n` rows with non-null content, `members` = rows whose content hash
+    * was already seen within the watermark, share-gated like the batch
+    * verdict (`Validator.duplicateStats` exact path computes the SAME
+    * Σ(n_g − 1) = total − distinct over its input).
+    *
+    * Shape: ONE pass, two branches of the same watermarked projection —
+    * the raw branch and its `dropDuplicatesWithinWatermark` survivors —
+    * unioned with a branch tag and folded by ONE windowed aggregation
+    * (members = n − survivors per window). Duplicate state lives in the
+    * dedup operator's store, evicted by the watermark: state scales with
+    * distinct content in the watermark, not rows.
+    *
+    * Semantics vs batch (documented trade): the dedup state spans windows
+    * within the watermark, so content repeated ACROSS windows counts its
+    * repeats as members of the later window — the batch rule run per
+    * window-slice would count only within-window repeats. For data inside
+    * one window the counts are identical (the parity the spec gates). */
+  def duplicateRuleStream(events: DataFrame, contentCol: String, tsCol: String,
+      window_ : String = "10 minutes", watermark: String = "30 minutes",
+      maxShare: Double = 0.0): DataFrame = {
+    val base = events
+      .filter(col(contentCol).isNotNull) // batch parity: null never groups
+      .withColumn("__event_ts", col(tsCol).cast("timestamp"))
+      .withColumn("__content_hash", md5(col(contentCol).cast("string")))
+      .select("__event_ts", "__content_hash")
+      .withWatermark("__event_ts", watermark)
+    val all = base.withColumn("__kind", lit("all"))
+    val uniq = base.dropDuplicatesWithinWatermark("__content_hash")
+      .withColumn("__kind", lit("uniq"))
+    all.unionByName(uniq)
+      .groupBy(window(col("__event_ts"), window_))
+      .agg(
+        sum(when(col("__kind") === "all", 1L).otherwise(0L)).as("n"),
+        sum(when(col("__kind") === "uniq", 1L).otherwise(0L)).as("uniq"))
+      .select(col("window"), col("n"), (col("n") - col("uniq")).as("members"))
+      .withColumn("share", when(col("n") === 0L, lit(0.0))
+        .otherwise(col("members").cast("double") / col("n")))
+      .withColumn("pass", col("share") <= maxShare)
+  }
+
+  /** foreachBatch sink for [[duplicateRuleStream]] output: one manifest
+    * entry per emitted window per micro-batch — the duplicate-rule analogue
+    * of [[driftManifestSink]] (lineage + metrics, not a resume frontier;
+    * rows are O(windows) per batch so the collect is bounded). */
+  def duplicateManifestSink(manifestPath: String, runId: String,
+      ruleName: String = "stream_duplicate"): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val entries = batch.collect().toSeq.map { row =>
+        val win = row.getStruct(row.fieldIndex("window"))
+        graft.lineage.Manifest.Entry(runId, s"${win.get(0)}", ruleName,
+          if (row.getBoolean(row.fieldIndex("pass"))) "pass" else "fail",
+          row.getLong(row.fieldIndex("n")),
+          row.getLong(row.fieldIndex("members")), 0L, 0L,
+          f"share=${row.getDouble(row.fieldIndex("share"))}%.6f;batch=$batchId")
+      }
+      graft.lineage.Manifest.append(batch.sparkSession, manifestPath, entries)
+  }
+
   /** Streaming quarantine feed: rows failing ANY row-level rule of the YAML
     * suite, tagged with the violated rule names — the live counterpart of
     * the batch `Validator.quarantineSplit` routing (same shared predicates,
