@@ -875,6 +875,39 @@ object OracleSql {
         |   w -> 1 + CAST(floor((length(w) - 1) / 6) AS INT))), 0) END AS INT) AS n_subwords
         |FROM documents""".stripMargin,
 
+    // greedy wordpiece over the planted vocab, hand-derived and pinned
+    // (the longest-match walk is engine-side; err_fail_fast convention)
+    "t_wordpiece" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'the quick brown fox jump ##s', CAST(6 AS INT)),
+        |  (CAST(1 AS BIGINT), 'un ##believ ##able jump ##ing', CAST(5 AS INT)),
+        |  (CAST(2 AS BIGINT), '[UNK] fox', CAST(2 AS INT)),
+        |  (CAST(3 AS BIGINT), 'abab ##ab abab ab', CAST(4 AS INT)),
+        |  (CAST(4 AS BIGINT), '', CAST(0 AS INT)))
+        |AS t(doc_id, toks, n_tok)""".stripMargin,
+
+    // real-token-count packing: the greedy count over 'ab'-pair words is
+    // t(k) = 1 for k=1 else 1 + (k−2)/2 + (k−2)%2 (abab head, ##abab
+    // middles, ##ab tail); running-offset packing replayed per stream
+    "seq_packing_subword" ->
+      """WITH p AS (
+        |  SELECT i AS doc_id, 's' || CAST(i % 4 AS VARCHAR) AS stream,
+        |    (i % 7) + 1 AS k, (i % 3) + 1 AS reps
+        |  FROM range(60) t(i)),
+        |w AS (SELECT doc_id, stream,
+        |    reps * (CASE WHEN k = 1 THEN 1
+        |      ELSE 1 + (k - 2) // 2 + (k - 2) % 2 END) AS n_tok
+        |  FROM p),
+        |o AS (SELECT doc_id, stream, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY stream ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) - n_tok
+        |      AS BIGINT) AS tok_start
+        |  FROM w)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id, stream,
+        |  CAST(n_tok AS INT) AS n_tok_real, tok_start,
+        |  CAST(tok_start // 7 AS BIGINT) AS pack_id
+        |FROM o""".stripMargin,
+
     // the full curation pipeline replayed in SQL: quality gate (>=5 words
     // over normalized text), exact dedup (min doc_id per md5 of text),
     // md5-bucket split, concat-and-chunk packing of the train stream

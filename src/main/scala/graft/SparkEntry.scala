@@ -1533,6 +1533,46 @@ object SparkEntry {
       TextOps.tokenCount(col("text")).as("n_ws_tokens"),
       TextOps.subwordCountEstimate(col("text")).as("n_subwords"))),
 
+    // REAL wordpiece tokenization over a planted vocab: greedy longest
+    // match with ## continuations and [UNK] fallback — every expected
+    // token sequence hand-derived and pinned as oracle literals
+    // (err_fail_fast convention; the greedy walk is engine-side)
+    "t_wordpiece" -> ((s, d) => {
+      import s.implicits._
+      val vocab = Seq("the", "quick", "brown", "fox", "jump", "##s", "##ing",
+        "un", "##believ", "##able", "ab", "abab", "##ab", "##abab")
+      val docs = Seq(
+        (0L, "The quick  brown fox jumps"), // case+whitespace normalize
+        (1L, "unbelievable jumping"),
+        (2L, "xyz fox"), // unmatched word -> [UNK]
+        (3L, "ababab abab ab"), // longest-match beats repeated short match
+        (4L, "")).toDF("doc_id", "text")
+      docs.select(col("doc_id"),
+        concat_ws(" ", TextOps.wordpieceTokens(col("text"), vocab)).as("toks"),
+        TextOps.wordpieceCount(col("text"), vocab).as("n_tok"))
+    }),
+
+    // sequence packing driven by REAL wordpiece counts: docs built from
+    // 'ab'-pair words so the exact greedy token count is arithmetically
+    // derivable — t(k pairs) = 1 for k=1 else 1 + (k−2)/2 + (k−2)%2 (one
+    // 'abab' head, then '##abab' pairs, then a '##ab' tail) — and the
+    // oracle replays count arithmetic + running-offset packing in SQL
+    "seq_packing_subword" -> ((s, d) => {
+      val vocab = Seq("ab", "abab", "##ab", "##abab")
+      val docs = s.range(60).select(col("id").as("doc_id"),
+        concat_ws(" ", array_repeat(
+          call_function("repeat", lit("ab"),
+            (pmod(col("id"), lit(7)) + 1).cast("int")),
+          (pmod(col("id"), lit(3)) + 1).cast("int"))).as("text"),
+        concat(lit("s"), pmod(col("id"), lit(4))).as("stream"))
+      val weighted = docs.withColumn("n_tok_real",
+        TextOps.wordpieceCount(col("text"), vocab))
+      graft.operators.Packing.packSequences(weighted, "stream", "doc_id",
+          "n_tok_real", 7L)
+        .select(col("doc_id"), col("stream"), col("n_tok_real"),
+          col("tok_start"), col("pack_id"))
+    }),
+
     // repetition signals (duplicate-line/word fraction family of web-scale
     // quality filters): pure codegen'd expressions, zero shuffle
     "t_repetition" -> ((s, d) => t(s, d, "documents").select(

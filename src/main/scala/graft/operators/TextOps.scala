@@ -62,6 +62,25 @@ object TextOps {
       lit(0),
       (acc, wrd) => acc + lit(1) + floor((length(wrd) - 1) / 6).cast("int"))
 
+  /** REAL subword tokenization: greedy longest-match wordpiece over an
+    * actual vocabulary (BERT semantics — continuation pieces carry "##",
+    * unmatched words emit [UNK]), applied to normalized text. The exact
+    * count [[subwordCountEstimate]] only approximates; use this to drive
+    * honest token-budget packing. The vocab ships with the serialized
+    * expression (task broadcast); see WordpieceExprs. */
+  def wordpieceTokens(c: Column, vocab: Seq[String]): Column =
+    graft.functions.expr.WordpieceExprs.wordpieceTokens(Dedup.normText(c), vocab)
+
+  /** Exact wordpiece token count — the real-vocab weight for packing. */
+  def wordpieceCount(c: Column, vocab: Seq[String]): Column =
+    size(wordpieceTokens(c, vocab))
+
+  /** Load a one-piece-per-line vocabulary file (the standard vocab.txt
+    * shape). Driver-side read of a small file; the pieces then ride the
+    * tokenizer expression to executors. */
+  def loadVocab(spark: org.apache.spark.sql.SparkSession, path: String): Seq[String] =
+    spark.read.textFile(path).collect().toSeq.map(_.trim).filter(_.nonEmpty)
+
   /** Quality features: length, punctuation ratio, stopword ratio, mean word
     * length — the standard heuristic-filter inputs. */
   def punctCount(c: Column): Column =

@@ -38,6 +38,41 @@ class Round5Spec extends SparkTestBase {
     assert(Multimodal.decodeMp4(null).isEmpty)
   }
 
+  test("wordpiece: greedy longest match, ## continuations, [UNK], vocab file") {
+    import graft.operators.TextOps
+    val vocab = Seq("play", "##ing", "##ed", "##er", "un", "##play", "re")
+    val df = Seq(
+      (1L, "playing played"),
+      (2L, "unplaying"),
+      (3L, "replayer"),
+      (4L, "zzz playing"),
+      (5L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = df.select(col("id"),
+      TextOps.wordpieceTokens(col("text"), vocab).as("t")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(got(1L) == Seq("play", "##ing", "play", "##ed"))
+    assert(got(2L) == Seq("un", "##play", "##ing"))
+    assert(got(3L) == Seq("re", "##play", "##er"))
+    assert(got(4L) == Seq("[UNK]", "play", "##ing"))
+    assert(got(5L) == null) // null text -> null tokens (unary propagation)
+    // counts drive packing: exact, not the /6-chunk estimate
+    val n = df.filter(col("id") === 2)
+      .select(TextOps.wordpieceCount(col("text"), vocab)).head().getInt(0)
+    assert(n == 3)
+    // vocab file round-trip (one piece per line)
+    val vf = java.nio.file.Files.createTempDirectory("graft-vocab")
+      .resolve("vocab.txt")
+    java.nio.file.Files.write(vf,
+      ("play\n##ing\n\n  un  \n".getBytes("UTF-8")))
+    assert(TextOps.loadVocab(spark, vf.toString) == Seq("play", "##ing", "un"))
+    // a word longer than maxWordChars degrades to [UNK], never quadratic
+    val long = "a" * 500
+    val lt = Seq((1L, long)).toDF("id", "text")
+      .select(TextOps.wordpieceTokens(col("text"), vocab)).head().getSeq[String](0)
+    assert(lt == Seq("[UNK]"))
+  }
+
   test("kmeans IVF: column assignment matches driver-side nearest cells") {
     import graft.operators.Similarity
     val emb = spark.range(200).select(col("id"),
