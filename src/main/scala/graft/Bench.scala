@@ -82,13 +82,19 @@ object Bench {
     // warm-up (JIT, codegen, parquet footer cache)
     SparkEntry.queries("q1_agg")(spark, sfDir).count()
 
-    // three runs per query, min reported: the first pays codegen/JIT and any
-    // run may land in a host contention window; min is the capability number
+    // min-of-N per query: the first run pays codegen/JIT and any run may
+    // land in a host contention window; min is the capability number. The
+    // pure-scan queries (memory-bandwidth-bound, so MOST exposed to the
+    // sandbox's sporadic cross-VM bandwidth contention — BENCH_r04 showed
+    // ±10% swings on untouched plans) get 5 reps; everything else 3.
+    val reps: Map[String, Int] = Map(
+      "m_elementwise" -> 5, "a_group_scatter" -> 5, "q1_agg" -> 5)
     headliners.foreach(n => require(SparkEntry.queries.contains(n),
       s"headliner '$n' missing from SparkEntry.queries (renamed?)"))
     val results: Seq[(String, Double)] = headliners.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
-        name -> (try (1 to 3).map(_ => time(exec(fn(spark, sfDir)))).min
+        name -> (try (1 to reps.getOrElse(name, 3))
+                   .map(_ => time(exec(fn(spark, sfDir)))).min
                  catch { case _: Throwable => -1.0 })
       }
     }

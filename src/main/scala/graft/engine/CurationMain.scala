@@ -9,6 +9,10 @@ import org.apache.spark.sql.SparkSession
   *     [--bench <parquet dir>]            decontamination eval set
   *     [--method exact|minhash|simhash]   near-dup miner (default minhash)
   *     [--min-tokens 5] [--threshold 0.8]
+  *     [--rules <suite.yaml>]             YAML row rules as the quality gate
+  *     [--pack-budget N]                  stage-6 token packing of train
+  *     [--vocab <vocab.txt>]              exact wordpiece pack weights
+  *     [--stream-col source]
   *     [--train-frac 0.9] [--val-frac 0.05]
   *     [--text-col text] [--id-col doc_id]
   *     [--stop-after <stage>]             deterministic partial run (tests)
@@ -56,7 +60,16 @@ object CurationMain {
       method = opts.getOrElse("method", "minhash"),
       threshold = opts.get("threshold").map(_.toDouble).getOrElse(0.8),
       trainFrac = opts.get("train-frac").map(_.toDouble).getOrElse(0.9),
-      valFrac = opts.get("val-frac").map(_.toDouble).getOrElse(0.05))
+      valFrac = opts.get("val-frac").map(_.toDouble).getOrElse(0.05),
+      // --rules: YAML suite as the quality gate (validator's predicates)
+      qualityRules = opts.get("rules")
+        .map(graft.config.RuleConfig.loadYamlFile),
+      // --pack-budget + optional --vocab: stage-6 token packing, weighed
+      // by exact wordpiece counts when a vocab file is given
+      packBudget = opts.get("pack-budget").map(_.toLong),
+      streamCol = opts.getOrElse("stream-col", "source"),
+      vocab = opts.get("vocab")
+        .map(p => graft.operators.TextOps.loadVocab(spark, p)))
     val docs = spark.read.parquet(opts("docs"))
     val bench = opts.get("bench").map(spark.read.parquet(_))
     val manifest = opts("manifest")
@@ -72,7 +85,7 @@ object CurationMain {
     }
     val resumedSkips = results.count(!_.executed)
     println(s"curation run=$runId stages=${results.size}" +
-      s"/${CurationRun.Stages.size} resumed_skips=$resumedSkips")
+      s"/${CurationRun.stagesFor(cfg).size} resumed_skips=$resumedSkips")
     spark.stop()
   }
 }

@@ -37,8 +37,13 @@ import graft.operators.{Dedup, Sampling, TextOps}
   */
 object CurationRun {
 
-  /** Stage order. Each consumes only durable artifacts of earlier stages. */
+  /** Base stage order. Each consumes only durable artifacts of earlier
+    * stages. A configured `packBudget` appends the optional `pack` stage. */
   val Stages: Seq[String] = Seq("quality", "contam", "pairs", "clusters", "final")
+
+  /** The effective stage list for a config (pack only when requested). */
+  def stagesFor(cfg: CurationConfig): Seq[String] =
+    if (cfg.packBudget.isDefined) Stages :+ "pack" else Stages
 
   final case class StageResult(
       stage: String, rows: Long, contentHash: Long, wallMs: Long,
@@ -56,9 +61,23 @@ object CurationRun {
       method: String = "minhash", // exact | minhash | simhash
       threshold: Double = 0.8, // minhash estimated-Jaccard gate
       trainFrac: Double = 0.9,
-      valFrac: Double = 0.05) {
+      valFrac: Double = 0.05,
+      /** quality gate from a YAML rule suite instead of the min-tokens
+        * default: rows passing ALL row-level rules survive — the SAME
+        * Checks predicates the validator and quarantine router evaluate,
+        * so curation and validation cannot drift apart. */
+      qualityRules: Option[graft.config.SuiteConfig] = None,
+      /** enable the optional `pack` stage: token-budget packing of the
+        * train split (running-offset concat-and-chunk per stream). */
+      packBudget: Option[Long] = None,
+      /** stream column for packing (packs never span streams). */
+      streamCol: String = "source",
+      /** wordpiece vocabulary: when set, packing weighs documents by the
+        * EXACT greedy token count instead of `n_chars` — honest budgets. */
+      vocab: Option[Seq[String]] = None) {
     require(Set("exact", "minhash", "simhash")(method),
       s"unknown curation dedup method '$method'")
+    require(packBudget.forall(_ > 0), "packBudget must be positive")
   }
 
   def stageDir(outDir: String, runId: String, stage: String): String =
@@ -87,8 +106,9 @@ object CurationRun {
       manifestPath: String,
       stopAfter: Option[String] = None,
       minePairs: Option[DataFrame => DataFrame] = None): Seq[StageResult] = {
-    require(stopAfter.forall(Stages.contains),
-      s"stopAfter must be one of ${Stages.mkString(",")}")
+    val stages = stagesFor(cfg)
+    require(stopAfter.forall(stages.contains),
+      s"stopAfter must be one of ${stages.mkString(",")}")
     val idc = cfg.idCol
     // ONE manifest read for the whole run (the validator's discipline):
     // completed stages + their recorded numbers come from the same scan
@@ -130,12 +150,27 @@ object CurationRun {
       spark.read.parquet(dir)
     }
     def reached(name: String): Boolean =
-      !stopAfter.exists(s => Stages.indexOf(s) < Stages.indexOf(name))
+      !stopAfter.exists(s => stages.indexOf(s) < stages.indexOf(name))
 
-    // ---- stage 1: quality keep-list (ids only) ----
+    // ---- stage 1: quality keep-list (ids only). With a YAML suite the
+    // gate is the validator's OWN row-rule projection (shared Checks
+    // predicates — one source of truth for "row passes"); otherwise the
+    // min-tokens default. ----
     val keep = stage("quality") {
-      (docs.filter(TextOps.tokenCount(col(cfg.textCol)) >= cfg.minTokens)
-        .select(col(idc)), Nil)
+      (cfg.qualityRules match {
+        case Some(suite) =>
+          val rcfg = graft.checks.Checks.resolveDictRules(spark, suite)
+          val (flagged, rowRules) =
+            graft.checks.Checks.withFlags(docs, rcfg.rules)
+          require(rowRules.nonEmpty,
+            "curation qualityRules needs at least one row-level rule")
+          val okAll = rowRules
+            .map(r => col(graft.checks.Checks.flagCol(r.name))).reduce(_ && _)
+          flagged.filter(okAll).select(col(idc))
+        case None =>
+          docs.filter(TextOps.tokenCount(col(cfg.textCol)) >= cfg.minTokens)
+            .select(col(idc))
+      }, Nil)
     }
     if (!reached("contam")) return results.toSeq
 
@@ -197,10 +232,29 @@ object CurationRun {
 
     // ---- stage 5: final materialization — the ONE corpus-scale write:
     // survivors + deterministic split ----
-    stage("final") {
+    val fin = stage("final") {
       (corpusQC.join(dropList.select(col(idc)), Seq(idc), "left_anti")
         .withColumn("split",
           Sampling.splitColumn(col(idc), cfg.trainFrac, cfg.valFrac)), Nil)
+    }
+    if (!reached("pack") || cfg.packBudget.isEmpty) return results.toSeq
+
+    // ---- stage 6 (optional): token-budget packing of the train split.
+    // Weight = EXACT wordpiece count when a vocab is configured (honest
+    // budgets), else n_chars. Artifact is the narrow pack assignment
+    // (id, weight, tok_start, pack_id) — the packed corpus itself is a
+    // join away, same as every other decision artifact. ----
+    stage("pack") {
+      val weighted = cfg.vocab match {
+        case Some(v) => fin.withColumn("__w",
+          TextOps.wordpieceCount(col(cfg.textCol), v).cast("long"))
+        case None => fin.withColumn("__w", col("n_chars").cast("long"))
+      }
+      (graft.operators.Packing.packSequences(
+          weighted.filter(col("split") === "train"),
+          cfg.streamCol, idc, "__w", cfg.packBudget.get)
+        .select(col(idc), col("__w").as("weight"), col("tok_start"),
+          col("pack_id")), Nil)
     }
     results.toSeq
   }

@@ -144,6 +144,65 @@ class CurationRunSpec extends SparkTestBase {
     assert(!fin.select("doc_id").as[Long].collect().toSet.exists(Set(3L, 10L)))
   }
 
+  test("YAML quality gate + pack stage: validator predicates, real-count packing, resume") {
+    val (docs0, bench) = fixture
+    val docs = docs0.withColumn("source",
+      when(col("doc_id") % 2 === 0, "even").otherwise("odd"))
+    val suite = graft.config.RuleConfig.loadYaml(
+      """table:
+        |  name: docs
+        |  partition_column: source
+        |  columns:
+        |    doc_id: {type: bigint, nullable: false}
+        |    text: {type: string, nullable: true}
+        |    source: {type: string, nullable: false}
+        |    n_chars: {type: bigint, nullable: true}
+        |rules:
+        |  - name: long_enough
+        |    description: n_chars at least 40
+        |    kind: range
+        |    column: n_chars
+        |    min: 40
+        |""".stripMargin)
+    val vocab = Seq("the", "quick", "brown", "fox", "jump", "##s", "over",
+      "lazy", "dog", "tonight", "five", "distinct", "tokens", "make",
+      "this", "document", "pass", "quality")
+    val cfg = CurationConfig(method = "exact", qualityRules = Some(suite),
+      packBudget = Some(5L), vocab = Some(vocab), trainFrac = 1.0,
+      valFrac = 0.0)
+    val dir = tmp("graft-cur-pack")
+    val rs = CurationRun.run(spark, docs, Some(bench), cfg, "rp",
+      s"$dir/out", s"$dir/m")
+    assert(rs.map(_.stage) == CurationRun.Stages :+ "pack")
+    // the YAML gate (n_chars >= 40) drops doc 1 (17 chars) — the same
+    // decision the validator/quarantine would make
+    val keep = spark.read.parquet(CurationRun.stageDir(s"$dir/out", "rp", "quality"))
+      .as[Long].collect().toSet
+    assert(keep == Set(2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L))
+    // pack weights are EXACT wordpiece counts: doc 2 tokenizes fully
+    // ("the quick brown fox jump ##s over the lazy dog tonight" = 11)
+    val pack = spark.read.parquet(CurationRun.stageDir(s"$dir/out", "rp", "pack"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(pack(2L)._1 == 11L, s"doc 2 weight ${pack(2L)}")
+    // doc 5's words are all in vocab (6 tokens); unmatched words [UNK]
+    assert(pack.contains(5L) && pack.keySet.subsetOf(Set(2L, 5L, 6L, 7L, 8L, 9L)))
+    // packing is per-stream with running offsets from the real weights
+    assert(pack(2L)._2 == 0L && pack(2L)._3 == 0L) // first in 'even'
+    // resume across the pack stage: stop after final, resume runs ONLY pack
+    val dir2 = tmp("graft-cur-pack2")
+    CurationRun.run(spark, docs, Some(bench), cfg, "rq", s"$dir2/out",
+      s"$dir2/m", stopAfter = Some("final"))
+    val resumed = CurationRun.run(spark, docs, Some(bench), cfg, "rq",
+      s"$dir2/out", s"$dir2/m")
+    assert(resumed.map(r => r.stage -> r.executed).toMap.apply("pack"))
+    assert(resumed.count(_.executed) == 1)
+    val h1 = Manifest.contentHash(
+      spark.read.parquet(CurationRun.stageDir(s"$dir/out", "rp", "pack")))
+    val h2 = Manifest.contentHash(
+      spark.read.parquet(CurationRun.stageDir(s"$dir2/out", "rq", "pack")))
+    assert(h1 == h2 && h1 != 0L)
+  }
+
   test("stopAfter validates and unknown method is rejected") {
     intercept[IllegalArgumentException] {
       CurationConfig(method = "fuzzy")
