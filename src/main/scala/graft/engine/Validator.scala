@@ -171,8 +171,18 @@ object Validator {
     * minhash path for the mine-loose-then-exact-verify fusion — the rule's
     * verdict then counts members by TRUE Jaccard, not the estimate.
     * Returned frame is persisted (the miners' caller-unpersist contract). */
-  private def mineDuplicatePairs(table: DataFrame, c: String, keyCol: String,
+  private def mineDuplicatePairs(table0: DataFrame, c: String, keyCol: String,
       r: RuleSpec, m: String): DataFrame = {
+    // north-rule table shape: the duplicate column may be the TOKEN ARRAY.
+    // The near-dup fingerprints (char minhash / word simhash) take strings,
+    // so render arrays to a canonical space-joined form first — token
+    // windows then shingle like words, and the rendering is deterministic.
+    // (The exact method hashes the raw column and needs no rendering.)
+    val table = table0.schema(table0.schema.fieldIndex(c)).dataType match {
+      case _: org.apache.spark.sql.types.ArrayType =>
+        table0.withColumn(c, array_join(col(c).cast("array<string>"), " "))
+      case _ => table0
+    }
     val maxBucket = r.maxBucket.getOrElse(2000)
     if (m == "minhash") {
       val thr = r.threshold.getOrElse(0.8)

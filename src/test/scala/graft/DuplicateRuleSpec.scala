@@ -324,6 +324,44 @@ class DuplicateRuleSpec extends SparkTestBase {
     assert(r.verdict == "fail" && r.violationCount == 5L, r)
   }
 
+  test("minhash/simhash duplicate rule works on a TOKEN-ARRAY column") {
+    // the north-rule table shape: near-dup mining over array<int> tokens —
+    // arrays render to canonical space-joined strings before fingerprinting
+    val base = spark.range(60).select(col("id").as("doc_id"),
+      transform(sequence(lit(0), lit(30)),
+        i => ((col("id") % 6) * 100 + i).cast("int")).as("tokens"),
+      lit("s").as("source"))
+    val copies = base.filter(col("doc_id") < 4)
+      .withColumn("doc_id", col("doc_id") + 100)
+    val t = base.unionByName(copies)
+    def yamlTok(method: String) =
+      s"""table:
+         |  name: seqs
+         |  partition_column: source
+         |  columns:
+         |    doc_id: {type: bigint, nullable: false}
+         |    tokens: {type: "array<int>", nullable: true}
+         |    source: {type: string, nullable: false}
+         |rules:
+         |  - name: tok_dups
+         |    description: duplicate token sequences bounded
+         |    kind: duplicate
+         |    column: tokens
+         |    method: $method
+         |    threshold: 0.9
+         |    max_share: 0.0
+         |""".stripMargin
+    for (method <- Seq("minhash", "simhash")) {
+      val rep = Validator.run(spark, t, RuleConfig.loadYaml(yamlTok(method)),
+        "doc_id", s"dup-tok-$method", collectViolations = false)
+      val r = rep.results.filter(_.rule == "tok_dups").head
+      // ids 0-5 share token content with ids 6-59 in 6 identical groups of
+      // 10 (+4 planted copies): every verbatim group collapses to one
+      // canonical -> 64 - 6 = 58 non-canonical members
+      assert(r.verdict == "fail" && r.violationCount == 58L, s"$method: $r")
+    }
+  }
+
   test("verifyPairs matches jaccardPairs hash-exactly on the same ids") {
     import graft.operators.Dedup
     val docs = spark.range(60).select(col("id").as("doc_id"),
