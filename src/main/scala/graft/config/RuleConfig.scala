@@ -139,7 +139,7 @@ final case class RuleSpec(
         }
         def pos(f: String, v: Option[Int]): Unit = v.foreach(x =>
           if (x <= 0) throw ConfigError(s"rule '$name': $f must be positive"))
-        pos("k", k); pos("bands", bands); pos("max_bucket", maxBucket)
+        pos("k", k); pos("bands", bands)
         if (k.isDefined && m != "minhash")
           throw ConfigError(s"rule '$name': k applies to method: minhash only")
         if (maxHamming.isDefined && m != "simhash")
@@ -160,6 +160,10 @@ final case class RuleSpec(
             s"rule '$name': bands ($bb) must be >= max_hamming + 1 (${mh + 1})" +
               " — the pigeonhole guarantee needs one untouched band")
           if (bb > 64) throw ConfigError(s"rule '$name': bands must be <= 64")
+          // the 64-bit fingerprint splits into EQUAL bands (Dedup.bandsOf) —
+          // reject non-divisors here, not hours into the mining job
+          if (64 % bb != 0) throw ConfigError(
+            s"rule '$name': bands ($bb) must divide 64")
         }
         maxBucket.foreach(x => if (x < 2)
           throw ConfigError(s"rule '$name': max_bucket must be >= 2"))

@@ -5,10 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Deterministic text-corpus generator for curation-run evidence and
   * benchmarks: (doc_id, text, source, n_chars) with planted structure —
   * every `dupEvery`-th doc verbatim-copies its predecessor (exact/near-dup
-  * fodder for the miners), every 37th doc is too short to pass a
-  * min-tokens quality gate. All text derives from md5 chains of the id, so
-  * distinct docs share shingles only by chance (no accidental corpus-wide
-  * near-duplication) and re-generation is bit-identical.
+  * fodder for the miners; the copy is skipped when either side of the pair
+  * falls on the short-doc schedule, so every planted pair really IS a
+  * duplicate), every 37th doc is too short to pass a min-tokens quality
+  * gate. Short docs share ONE fixed text by design — they are quality-fail
+  * fodder the gate removes BEFORE mining, so they never reach the
+  * duplicate miners; all long-doc text derives from md5 chains of the id,
+  * so distinct long docs share shingles only by chance and re-generation
+  * is bit-identical.
   *
   * Usage: runMain graft.datagen.DocGen --out <dir> --rows N
   *          [--sources 20] [--dup-every 100]
@@ -32,8 +36,12 @@ object DocGen {
     def words(idExpr: String) =
       s"concat_ws(' ', transform(sequence(1, 10), " +
         s"j -> md5(cast(($idExpr) * 31 + j as string))))"
+    // the dup branch requires the PREDECESSOR off the short schedule too:
+    // copying a short predecessor's id-derived words would plant a pair
+    // that duplicates nothing (the predecessor displays the short text)
     val base = s"case when id % 37 = 0 then 'too short now' " +
       s"when id % $dupEvery = ${dupEvery - 1} and id > 0 " +
+      s"and (id - 1) % 37 != 0 " +
       s"then ${words("id - 1")} else ${words("id")} end"
     spark.range(rows).selectExpr(
         "id as doc_id",

@@ -160,17 +160,20 @@ object Multimodal {
       ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
         ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
     def u64(o: Int): Long = (u32(o) << 32) | u32(o + 4)
-    // find a child box by type within [from, to); returns (payloadOff, end)
-    def findBox(from: Int, to: Int, boxType: String): Option[(Int, Int)] = {
+    // find child boxes by type within [from, to); each as (payloadOff, end)
+    def findBoxes(from: Int, to: Int, boxType: String): Seq[(Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       var off = from
       while (off + 8 <= to) {
         val sz = u32(off)
-        if (sz < 8 || off + sz > to) return None
-        if (tag(off + 4) == boxType) return Some((off + 8, (off + sz).toInt))
+        if (sz < 8 || off + sz > to) return out.toSeq
+        if (tag(off + 4) == boxType) out += ((off + 8, (off + sz).toInt))
         off += sz.toInt
       }
-      None
+      out.toSeq
     }
+    def findBox(from: Int, to: Int, boxType: String): Option[(Int, Int)] =
+      findBoxes(from, to, boxType).headOption
     try {
       // sanity: the FIRST box must be a well-formed known top-level type
       // (ftyp usually) — arbitrary binary that happens to u32-parse is not
@@ -189,7 +192,10 @@ object Multimodal {
             case _ => None
           }
         }
-        val dims = findBox(mvFrom, mvTo, "trak").flatMap { case (tFrom, tTo) =>
+        // scan ALL traks and take the first with non-zero dimensions: real
+        // muxers often order [audio, video], and an audio tkhd carries 0x0
+        // — stopping at the first trak would report 0x0 for a valid video
+        val dims = findBoxes(mvFrom, mvTo, "trak").flatMap { case (tFrom, tTo) =>
           findBox(tFrom, tTo, "tkhd").map { case (o, _) =>
             // width/height are the LAST 8 bytes of tkhd in both versions
             // (v0 body 84 B, v1 body 96 B — ISO 14496-12 §8.3.2): 16.16
@@ -197,7 +203,7 @@ object Multimodal {
             val bodyLen = if (payload(o) == 1) 96 else 84
             ((u32(o + bodyLen - 8) >> 16).toInt, (u32(o + bodyLen - 4) >> 16).toInt)
           }
-        }
+        }.find { case (w, h) => w > 0 && h > 0 }
         dur.map { d =>
           val (w, h) = dims.getOrElse((0, 0))
           MediaMeta("video", w, h, 0, 0, payload.length.toLong, 0, d)

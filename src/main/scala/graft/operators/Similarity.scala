@@ -331,10 +331,19 @@ object Similarity {
           .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
           .collect()
         val byCell = sums.groupBy(_.getInt(0))
+        // quantize each new centroid to 1e-9: avg() merges per-partition
+        // partial sums in shuffle-fetch order, and double addition is
+        // non-associative, so unquantized centroids can differ in the last
+        // ulp across cluster sizes/fetch timings and flip boundary vectors
+        // between cells. Nanoscale rounding absorbs the ulp jitter (the
+        // residual risk is a true mean sitting exactly on a quantization
+        // edge — measure-zero against ulp-scale noise), keeping index
+        // layouts reproducible across parallelism like the seeded
+        // hyperplane path.
         centroids = centroids.zipWithIndex.map { case (old, ci) =>
           byCell.get(ci).fold(old) { rows =>
             val dims = rows.map(r => r.getInt(1) -> r.getDouble(2)).toMap
-            old.indices.map(p => dims.getOrElse(p, 0.0))
+            old.indices.map(p => math.rint(dims.getOrElse(p, 0.0) * 1e9) / 1e9)
           }
         }
       }

@@ -247,6 +247,11 @@ class DuplicateRuleSpec extends SparkTestBase {
     intercept[ConfigError] {
       RuleConfig.loadYaml(geomYaml("simhash", "    max_hamming: 4\n    bands: 4"))
     }
+    // the 64-bit fingerprint splits into equal bands: non-divisors reject
+    // at LOAD, not at Dedup.bandsOf's mining-time require
+    intercept[ConfigError] {
+      RuleConfig.loadYaml(geomYaml("simhash", "    max_hamming: 2\n    bands: 6"))
+    }
     // geometry fields tied to their method
     intercept[ConfigError] {
       RuleConfig.loadYaml(geomYaml("simhash", "    k: 64"))
