@@ -59,6 +59,8 @@ object CurationMain {
       minTokens = opts.get("min-tokens").map(_.toInt).getOrElse(5),
       method = opts.getOrElse("method", "minhash"),
       threshold = opts.get("threshold").map(_.toDouble).getOrElse(0.8),
+      // --verify exact: candidates decided on true Jaccard, not estimates
+      verifyExact = opts.get("verify").exists(_.equalsIgnoreCase("exact")),
       trainFrac = opts.get("train-frac").map(_.toDouble).getOrElse(0.9),
       valFrac = opts.get("val-frac").map(_.toDouble).getOrElse(0.05),
       // --rules: YAML suite as the quality gate (validator's predicates)

@@ -60,6 +60,10 @@ object CurationRun {
       contamNgram: Int = 13,
       method: String = "minhash", // exact | minhash | simhash
       threshold: Double = 0.8, // minhash estimated-Jaccard gate
+      /** minhash only: mine candidates loose, DECIDE each on exact
+        * char-5-gram Jaccard (Dedup.minhashVerifiedPairs) — data is then
+        * dropped on true similarity, never the estimate. */
+      verifyExact: Boolean = false,
       trainFrac: Double = 0.9,
       valFrac: Double = 0.05,
       /** quality gate from a YAML rule suite instead of the min-tokens
@@ -78,6 +82,8 @@ object CurationRun {
     require(Set("exact", "minhash", "simhash")(method),
       s"unknown curation dedup method '$method'")
     require(packBudget.forall(_ > 0), "packBudget must be positive")
+    require(!verifyExact || method == "minhash",
+      "verifyExact applies to method=minhash only")
   }
 
   def stageDir(outDir: String, runId: String, stage: String): String =
@@ -210,8 +216,12 @@ object CurationRun {
               .filter(col("id") =!= col("id_a"))
               .select(col("id_a"), col("id").as("id_b")), Nil)
           case "minhash" =>
-            val p = Dedup.minhashLshPairs(corpusQC, cfg.textCol, idc,
-              estThreshold = cfg.threshold)
+            val p =
+              if (cfg.verifyExact)
+                Dedup.minhashVerifiedPairs(corpusQC, cfg.textCol, idc,
+                  threshold = cfg.threshold)
+              else Dedup.minhashLshPairs(corpusQC, cfg.textCol, idc,
+                estThreshold = cfg.threshold)
             (p.select("id_a", "id_b"), Seq(p))
           case "simhash" =>
             val p = Dedup.simhashNearDupPairs(corpusQC, cfg.textCol, idc)

@@ -214,8 +214,11 @@ object Multimodal {
 
   /** Deterministic MP4 fixture encoder: minimal ftyp + moov(mvhd(timescale
     * 1000, duration ms) + trak(tkhd(w, h))) — valid ISO-BMFF box structure
-    * with no media data (metadata-only, like a faststart header). */
-  def encodeMp4(w: Int, h: Int, durationMs: Long): Array[Byte] = {
+    * with no media data (metadata-only, like a faststart header).
+    * `leadingAudioTrak` prepends a 0x0-dimension trak (the common
+    * [audio, video] muxer ordering) so tests cover the multi-trak scan. */
+  def encodeMp4(w: Int, h: Int, durationMs: Long,
+      leadingAudioTrak: Boolean = false): Array[Byte] = {
     def box(boxType: String, body: Array[Byte]): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(8 + body.length)
       bb.putInt(8 + body.length).put(boxType.getBytes("US-ASCII")).put(body)
@@ -244,8 +247,22 @@ object Multimodal {
     Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
       .foreach(tkhdBody.putInt)
     tkhdBody.putInt(w << 16).putInt(h << 16)
+    val audioTrak =
+      if (!leadingAudioTrak) Array.empty[Byte]
+      else {
+        // audio tkhd: identical layout, track id 2, zero width/height
+        val a = java.nio.ByteBuffer.allocate(84)
+        a.putInt(7).putInt(0).putInt(0).putInt(2).putInt(0)
+          .putInt(durationMs.toInt).putLong(0L)
+          .putShort(0).putShort(0).putShort(0x0100.toShort).putShort(0)
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(a.putInt)
+        a.putInt(0).putInt(0)
+        box("trak", box("tkhd", a.array()))
+      }
     val moov = box("moov",
-      box("mvhd", mvhdBody.array()) ++ box("trak", box("tkhd", tkhdBody.array())))
+      box("mvhd", mvhdBody.array()) ++ audioTrak ++
+        box("trak", box("tkhd", tkhdBody.array())))
     ftyp ++ moov
   }
 

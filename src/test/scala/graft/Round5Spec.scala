@@ -36,6 +36,12 @@ class Round5Spec extends SparkTestBase {
     assert(Multimodal.decodeMp4("definitely not an mp4 container here".getBytes).isEmpty)
     assert(Multimodal.decodeMp4(Array.empty[Byte]).isEmpty)
     assert(Multimodal.decodeMp4(null).isEmpty)
+    // common muxer ordering [audio, video]: the 0x0 audio tkhd must not
+    // shadow the video track's dimensions
+    val av = Multimodal.encodeMp4(640, 360, 8000L, leadingAudioTrak = true)
+    val m = Multimodal.decodeMp4(av)
+    assert(m.exists(x => x.width == 640 && x.height == 360 &&
+      x.duration_ms == 8000L), m)
   }
 
   test("wordpiece: greedy longest match, ## continuations, [UNK], vocab file") {
