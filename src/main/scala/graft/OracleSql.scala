@@ -725,6 +725,26 @@ object OracleSql {
         |    ELSE inter / CAST(sz_a + sz_b - inter AS DOUBLE) END, 6) AS jac
         |FROM j""".stripMargin,
 
+    // dependency resolution replayed in SQL: chars_ok's per-partition
+    // verdict (null n_chars passes, matching the engine's range
+    // semantics), then lang_present skips where its dep failed, else
+    // verdicts on its own nulls
+    "v_rule_deps" ->
+      """WITH av AS (
+        |  SELECT source, sum(CASE WHEN n_chars < 0 OR n_chars > 250
+        |    THEN 1 ELSE 0 END) AS v
+        |  FROM documents GROUP BY source),
+        |bv AS (
+        |  SELECT source, sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS v
+        |  FROM documents GROUP BY source)
+        |SELECT source AS part, 'chars_ok' AS rule,
+        |  CASE WHEN v > 0 THEN 'fail' ELSE 'pass' END AS verdict FROM av
+        |UNION ALL
+        |SELECT b.source, 'lang_present',
+        |  CASE WHEN a.v > 0 THEN 'skipped'
+        |       WHEN b.v > 0 THEN 'fail' ELSE 'pass' END
+        |FROM bv b JOIN av a USING (source)""".stripMargin,
+
     // verdict-flip literals (err_fail_fast convention — the minhash
     // estimate is engine-side): unverified counts the straddle pair
     // (est 0.7344 >= 0.70) and fails; verified re-checks exactly

@@ -89,6 +89,10 @@ object SparkEntry {
   private val dupGeomVerdict =
     new java.util.concurrent.atomic.AtomicReference[(String, (String, Long))](null)
 
+  /** Same cache, for the dependency-resolution verdict query. */
+  private val ruleDepVerdicts =
+    new java.util.concurrent.atomic.AtomicReference[(String, Seq[(String, String, String)])](null)
+
   /** Once-per-JVM caches of the two ANN check verdicts — both run whole
     * k-NN passes and persist intermediates; computing once per source dir
     * (then returning a local frame) honors the miners' caller-unpersist
@@ -785,6 +789,47 @@ object SparkEntry {
           dupRuleVerdict.set((d, v)); v
         }
       Seq((part, verdict, members)).toDF("part", "verdict", "members")
+    }),
+
+    // dependency-resolved rule verdicts (north_star): lang_present depends
+    // on chars_ok, so partitions where chars_ok FAILS report lang_present
+    // as `skipped` — the one-scan plan is kept and resolution happens at
+    // the verdict layer. The oracle replays both rules' verdicts AND the
+    // skip propagation per partition in SQL.
+    "v_rule_deps" -> ((s, d) => {
+      import s.implicits._
+      val rows =
+        Option(ruleDepVerdicts.get()).filter(_._1 == d).map(_._2).getOrElse {
+          val cfg = graft.config.RuleConfig.loadYaml(
+            """table:
+              |  name: documents
+              |  partition_column: source
+              |  columns:
+              |    doc_id: {type: bigint, nullable: false}
+              |    text: {type: string, nullable: true}
+              |    lang: {type: string, nullable: true}
+              |    source: {type: string, nullable: true}
+              |    n_chars: {type: bigint, nullable: true}
+              |rules:
+              |  - name: chars_ok
+              |    description: n_chars within [0, 250]
+              |    kind: range
+              |    column: n_chars
+              |    min: 0
+              |    max: 250
+              |  - name: lang_present
+              |    description: lang must not be null
+              |    kind: not_null
+              |    column: lang
+              |    dependencies: [chars_ok]
+              |""".stripMargin)
+          val rep = graft.engine.Validator.run(s, t(s, d, "documents"), cfg,
+            "doc_id", "dep-q", collectViolations = false)
+          val v = rep.results.map(r => (r.partition, r.rule, r.verdict))
+            .sortBy(r => (r._1, r._2))
+          ruleDepVerdicts.set((d, v)); v
+        }
+      rows.toDF("part", "rule", "verdict")
     }),
 
     // `verify: exact` flips the verdict where the ESTIMATE is wrong: a

@@ -952,8 +952,52 @@ object Validator {
       } finally curSnap.unpersist()
     }
 
-    val all = schemaResults ++ rowResults ++ uniqueResults ++ refJoinResults ++
+    val all0 = schemaResults ++ rowResults ++ uniqueResults ++ refJoinResults ++
       frequentResults ++ statsResults ++ duplicateResults ++ driftResults
+
+    // ---- dependency resolution (north_star: dependency-resolved rules) ----
+    // Rules still evaluate in ONE scan (the counters are already computed —
+    // serializing scans per topo level would cost plan quality for nothing);
+    // dependency semantics apply at the VERDICT layer, like the reference's
+    // compile order makes downstream steps meaningless once an upstream
+    // fails: a rule whose dependency failed (or was itself skipped) in a
+    // partition's scope reports `skipped` there, transitively in topo
+    // order. Scope: a "*" (global) dep verdict covers every partition; a
+    // "*"-scoped dependent is blocked by a dep failure in ANY partition.
+    // Violation EXAMPLE rows of skipped rules remain on disk (triage aids;
+    // verdicts are the contract — the duplicate-rule discipline).
+    val all = if (!cfg.rules.exists(_.dependencies.nonEmpty)) all0 else {
+      val topo = graft.config.RuleGraph.topoLevels(cfg.rules)
+        .toSeq.sortBy(_._1).flatMap(_._2.map(_.name))
+      val deps = cfg.rules.map(r => r.name -> r.dependencies).toMap
+      // (rule, partition) -> verdict, filled in topo order so skips chain
+      val state = scala.collection.mutable.Map.empty[(String, String), String]
+      val byRule = all0.groupBy(_.rule)
+      def blocked(dep: String, partition: String): Boolean = {
+        val rows = byRule.getOrElse(dep, Nil)
+        def bad(p: String) =
+          state.getOrElse((dep, p), "pass") match {
+            case "fail" | "skipped" => true; case _ => false
+          }
+        if (partition == "*") rows.exists(r => bad(r.partition))
+        else rows.exists(r =>
+          (r.partition == "*" || r.partition == partition) && bad(r.partition))
+      }
+      val resolved = scala.collection.mutable.Map.empty[(String, String), RuleResult]
+      topo.foreach { rn =>
+        byRule.getOrElse(rn, Nil).foreach { rr =>
+          val failedDeps = deps.getOrElse(rn, Nil)
+            .filter(d => blocked(d, rr.partition))
+          val out =
+            if (failedDeps.isEmpty) rr
+            else rr.copy(verdict = "skipped", violationCount = 0L,
+              detail = s"deps_failed=${failedDeps.mkString(",")}")
+          state((rn, rr.partition)) = out.verdict
+          resolved((rn, rr.partition)) = out
+        }
+      }
+      all0.map(rr => resolved.getOrElse((rr.rule, rr.partition), rr))
+    }
 
     // strict mode mirrors the reference's fail-fast exception (core.py:72-76):
     // any failing rule aborts with the rule log instead of emitting verdicts

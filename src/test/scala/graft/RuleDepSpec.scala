@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.config.RuleConfig
+import graft.engine.Validator
+
+/** Run-time dependency resolution (north_star: dependency-resolved
+  * validation rules): dependents of failed rules report `skipped` in the
+  * failing scope, transitively, without giving up the one-scan plan. */
+class RuleDepSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // partition "bad" plants range violations; "good" is clean; lang is
+  // null on one row in BOTH partitions
+  private def fixture = Seq(
+    (1L, 10L, "en", "good"), (2L, 20L, null, "good"), (3L, 30L, "en", "good"),
+    (4L, 900L, "en", "bad"), (5L, 20L, null, "bad"), (6L, 30L, "en", "bad")
+  ).toDF("doc_id", "n_chars", "lang", "source")
+
+  private def yaml(extra: String = "") = s"""table:
+    |  name: docs
+    |  partition_column: source
+    |  columns:
+    |    doc_id: {type: bigint, nullable: false}
+    |    n_chars: {type: bigint, nullable: true}
+    |    lang: {type: string, nullable: true}
+    |    source: {type: string, nullable: false}
+    |rules:
+    |  - name: chars_ok
+    |    description: n_chars within [0, 100]
+    |    kind: range
+    |    column: n_chars
+    |    min: 0
+    |    max: 100
+    |  - name: lang_present
+    |    description: lang must not be null
+    |    kind: not_null
+    |    column: lang
+    |    dependencies: [chars_ok]
+    |$extra
+    |""".stripMargin
+
+  test("dependent of a failed rule is skipped ONLY in the failing partition") {
+    val rep = Validator.run(spark, fixture, RuleConfig.loadYaml(yaml()),
+      "doc_id", "dep-1", collectViolations = false)
+    val v = rep.results.map(r => (r.rule, r.partition) -> r.verdict).toMap
+    assert(v(("chars_ok", "bad")) == "fail")
+    assert(v(("chars_ok", "good")) == "pass")
+    // lang IS null in both partitions, but in "bad" the dep failed first
+    assert(v(("lang_present", "bad")) == "skipped")
+    assert(v(("lang_present", "good")) == "fail")
+    val skipped = rep.results.find(r =>
+      r.rule == "lang_present" && r.partition == "bad").get
+    assert(skipped.violationCount == 0L &&
+      skipped.detail == "deps_failed=chars_ok")
+  }
+
+  test("skips chain transitively and strict mode ignores skipped") {
+    val cfg = RuleConfig.loadYaml(yaml(
+      """  - name: lang_known
+        |    description: lang in the known set
+        |    kind: expr
+        |    expr: lang IS NULL OR lang IN ('en', 'de')
+        |    dependencies: [lang_present]""".stripMargin))
+    val rep = Validator.run(spark, fixture, cfg, "doc_id", "dep-2",
+      collectViolations = false)
+    val v = rep.results.map(r => (r.rule, r.partition) -> r.verdict).toMap
+    // bad: chars_ok FAIL -> lang_present SKIPPED -> lang_known skipped
+    // TRANSITIVELY (its direct dep never failed — it was skipped); good:
+    // lang_present genuinely fails (null lang) -> lang_known skipped too
+    assert(v(("lang_present", "bad")) == "skipped")
+    assert(v(("lang_known", "bad")) == "skipped")
+    assert(v(("lang_present", "good")) == "fail")
+    assert(v(("lang_known", "good")) == "skipped")
+    // strict mode throws on the REAL failures, never on skipped rows
+    val ex = intercept[Validator.ValidationFailed] {
+      Validator.run(spark, fixture, cfg, "doc_id", "dep-3",
+        collectViolations = false, strict = true)
+    }
+    assert(ex.failed.forall(_.verdict == "fail"))
+    assert(!ex.failed.exists(_.verdict == "skipped"))
+  }
+
+  test("a global (*) dep failure blocks dependents in every partition") {
+    def cfgFor(dupCol: String) = RuleConfig.loadYaml(s"""table:
+      |  name: docs
+      |  partition_column: source
+      |  columns:
+      |    doc_id: {type: bigint, nullable: false}
+      |    n_chars: {type: bigint, nullable: true}
+      |    lang: {type: string, nullable: true}
+      |    source: {type: string, nullable: false}
+      |rules:
+      |  - name: no_dup_content
+      |    description: duplicate content bounded
+      |    kind: duplicate
+      |    column: $dupCol
+      |    method: exact
+      |    max_share: 0.0
+      |  - name: lang_present
+      |    description: lang must not be null
+      |    kind: not_null
+      |    column: lang
+      |    dependencies: [no_dup_content]
+      |""".stripMargin)
+    // n_chars repeats (20, 30 in both partitions) -> the GLOBAL "*"
+    // duplicate verdict fails -> the dependent skips in EVERY partition
+    val rep = Validator.run(spark, fixture, cfgFor("n_chars"), "doc_id",
+      "dep-4", collectViolations = false)
+    assert(rep.results.find(r => r.rule == "no_dup_content")
+      .exists(r => r.partition == "*" && r.verdict == "fail"))
+    val lang = rep.results.filter(_.rule == "lang_present")
+    assert(lang.size == 2 && lang.forall(_.verdict == "skipped"), lang)
+    // distinct doc_id -> global dep passes -> real verdicts come through
+    val rep2 = Validator.run(spark, fixture, cfgFor("doc_id"), "doc_id",
+      "dep-5", collectViolations = false)
+    assert(!rep2.results.exists(_.verdict == "skipped"))
+    assert(rep2.results.filter(_.rule == "lang_present")
+      .forall(_.verdict == "fail")) // lang null in both partitions
+  }
+}
