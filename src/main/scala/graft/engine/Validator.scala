@@ -377,11 +377,24 @@ object Validator {
     val dupRules = cfg.rules.filter(_.kind == RuleKind.Duplicate)
     val subCfg = cfg.copy(rules = cfg.rules.filterNot(r =>
       r.kind == RuleKind.Unique || r.kind == RuleKind.Duplicate))
-    // ONE manifest read for the whole call: both the global-uniqueness check
-    // and completedPartitions derive from it. At 10^4 partitions a re-read
-    // per sub-run would rescan an ever-growing small-file manifest N times
-    // (quadratic in partitions).
-    val doneGlobal = Manifest.completed(spark, manifestPath, runId)
+    // ONE manifest read for the whole call: the global-uniqueness check,
+    // completedPartitions, AND resumed hoisted verdicts all derive from it.
+    // At 10^4 partitions a re-read per sub-run would rescan an ever-growing
+    // small-file manifest N times (quadratic in partitions).
+    val doneWithVerdicts = Manifest.completedWithVerdicts(
+      spark, manifestPath, runId)
+    val doneGlobal = doneWithVerdicts.keySet
+    // hoisted global verdicts, threaded into every sub-run for dependency
+    // resolution (a sub-run rule may depend on a hoisted rule that is not
+    // in its own rule list): freshly-computed below, or recovered from the
+    // manifest on resume
+    val hoistedVerdicts = scala.collection.mutable.ArrayBuffer.empty[RuleResult]
+    (uniqueRules ++ dupRules)
+      .flatMap(r => doneWithVerdicts.get(("*", r.name)).map(r.name -> _))
+      .foreach { case (name, verdict) =>
+        hoistedVerdicts += RuleResult("*", name, verdict, 0L, 0L, 0L, 0L,
+          "resumed")
+      }
     uniqueRules.filterNot(r => doneGlobal.contains(("*", r.name))).foreach { r =>
       val t1 = System.nanoTime()
       val agg = Checks.uniquenessViolations(table, r.column.get, pCol)
@@ -390,15 +403,18 @@ object Validator {
           coalesce(expr("bit_xor(xxhash64(key))"), lit(0L)).as("h"))
         .head()
       val wall = (System.nanoTime() - t1) / 1000000
+      val verdict = if (agg.getLong(1) == 0L) "pass" else "fail"
+      hoistedVerdicts += RuleResult("*", r.name, verdict, 0L, agg.getLong(1),
+        agg.getLong(2), wall, s"dupKeys=${agg.getLong(0)}")
       Manifest.append(spark, manifestPath, Seq(Manifest.Entry(
-        runId, "*", r.name,
-        if (agg.getLong(1) == 0L) "pass" else "fail",
+        runId, "*", r.name, verdict,
         0L, agg.getLong(1), agg.getLong(2), wall, s"dupKeys=${agg.getLong(0)}")))
     }
     lazy val dupTotalRows = table.count() // one count shared by all dup rules
     dupRules.filterNot(r => doneGlobal.contains(("*", r.name))).foreach { r =>
       val (rr, vfOpt) = duplicateOutput(table, keyCol, pCol, r, dupTotalRows,
         wantRows = collectViolations && violationsOut.isDefined)
+      hoistedVerdicts += rr
       // member examples are durable BEFORE the manifest row (same crash
       // consistency as sub-run violations), under a global pseudo-partition
       // dir — duplicate rules have no home partition
@@ -472,6 +488,9 @@ object Validator {
         maxViolationExamples = maxViolationExamples,
         baselineHistograms = subHists,
         snapshotOut = snapshotOut,
+        // hoisted global verdicts for dependency resolution (sub-run rules
+        // may depend on unique/duplicate rules that run once, above)
+        depVerdicts = hoistedVerdicts.toSeq,
         // injective sub-dir per partition (mode("overwrite") inside run()
         // would otherwise silently clobber the first partition's durable
         // violations on a sanitization collision)
@@ -528,7 +547,12 @@ object Validator {
       // per-partition fan-out reads each snapshot once and threads slices
       // through instead of re-reading the snapshot dir per sub-run.
       // Precedence: baselineHistograms > baselineSnapshot > raw baseline.
-      baselineHistograms: Option[Map[String, DataFrame]] = None): RunReport = {
+      baselineHistograms: Option[Map[String, DataFrame]] = None,
+      // EXTERNAL verdicts visible to dependency resolution only (never
+      // re-emitted): runPerPartition hoists unique/duplicate rules out of
+      // sub-runs, so a sub-run rule depending on one resolves against the
+      // hoisted (or manifest-recorded, on resume) verdict passed here.
+      depVerdicts: Seq[RuleResult] = Nil): RunReport = {
     import spark.implicits._
     // dict-table referential rules with fpp become Bloom row rules here
     // (no-op when the caller — per-partition CLI, streaming — pre-resolved)
@@ -967,12 +991,21 @@ object Validator {
     // Violation EXAMPLE rows of skipped rules remain on disk (triage aids;
     // verdicts are the contract — the duplicate-rule discipline).
     val all = if (!cfg.rules.exists(_.dependencies.nonEmpty)) all0 else {
-      val topo = graft.config.RuleGraph.topoLevels(cfg.rules)
+      // topo over the IN-SUITE dependency edges only: deps on EXTERNAL
+      // rules (hoisted unique/duplicate in per-partition mode — present in
+      // depVerdicts, absent from cfg.rules) are pre-resolved fixed points,
+      // so they impose no ordering (and would make topoLevels throw)
+      val inSuite = cfg.rules.map(_.name).toSet
+      val topo = graft.config.RuleGraph.topoLevels(
+          cfg.rules.map(r => r.copy(
+            dependencies = r.dependencies.filter(inSuite))))
         .toSeq.sortBy(_._1).flatMap(_._2.map(_.name))
       val deps = cfg.rules.map(r => r.name -> r.dependencies).toMap
-      // (rule, partition) -> verdict, filled in topo order so skips chain
+      // (rule, partition) -> verdict, filled in topo order so skips chain;
+      // seeded with the external verdicts (fixed — never reassigned)
       val state = scala.collection.mutable.Map.empty[(String, String), String]
-      val byRule = all0.groupBy(_.rule)
+      depVerdicts.foreach(rr => state((rr.rule, rr.partition)) = rr.verdict)
+      val byRule = (all0 ++ depVerdicts).groupBy(_.rule)
       def blocked(dep: String, partition: String): Boolean = {
         val rows = byRule.getOrElse(dep, Nil)
         def bad(p: String) =

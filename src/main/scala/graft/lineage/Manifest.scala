@@ -90,12 +90,24 @@ object Manifest {
 
   /** (partition, rule) pairs already completed for this run. */
   def completed(spark: SparkSession, path: String, runId: String): Set[(String, String)] =
+    completedWithVerdicts(spark, path, runId).keySet
+
+  /** (partition, rule) -> verdict for this run — the same single read as
+    * [[completed]], keeping the recorded verdict (a resumed per-partition
+    * run needs hoisted global rules' verdicts for dependency resolution
+    * without re-running them). Duplicate appends for a key collapse to a
+    * recorded FAIL when attempts disagree (Main's report discipline). */
+  def completedWithVerdicts(spark: SparkSession, path: String,
+      runId: String): Map[(String, String), String] =
     read(spark, path)
       .filter(col("runId") === runId)
-      .select("partition", "rule")
+      .select("partition", "rule", "verdict")
       .collect()
-      .map(r => (r.getString(0), r.getString(1)))
-      .toSet
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
+      .groupBy(_._1)
+      .map { case (k, vs) =>
+        k -> vs.map(_._2).find(_ == "fail").getOrElse(vs.head._2)
+      }
 
   /** Partitions for which EVERY rule in `rules` is complete. Entries
     * recorded under partition "*" (global rules: schema, no-baseline drift)

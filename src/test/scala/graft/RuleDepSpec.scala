@@ -81,6 +81,49 @@ class RuleDepSpec extends SparkTestBase {
     assert(!ex.failed.exists(_.verdict == "skipped"))
   }
 
+  test("per-partition mode: deps on HOISTED global rules resolve, also on resume") {
+    // the duplicate rule hoists out of sub-runs; lang_present depends on
+    // it — sub-runs must resolve against the hoisted verdict (and, on a
+    // resumed run, against the manifest-recorded one) instead of crashing
+    // on an unknown-dep topo or silently ignoring it
+    val cfg = RuleConfig.loadYaml("""table:
+      |  name: docs
+      |  partition_column: source
+      |  columns:
+      |    doc_id: {type: bigint, nullable: false}
+      |    n_chars: {type: bigint, nullable: true}
+      |    lang: {type: string, nullable: true}
+      |    source: {type: string, nullable: false}
+      |rules:
+      |  - name: no_dup_content
+      |    description: duplicate content bounded
+      |    kind: duplicate
+      |    column: n_chars
+      |    method: exact
+      |    max_share: 0.0
+      |  - name: lang_present
+      |    description: lang must not be null
+      |    kind: not_null
+      |    column: lang
+      |    dependencies: [no_dup_content]
+      |""".stripMargin)
+    val dir = java.nio.file.Files.createTempDirectory("graft-depm").toString
+    val reports = Validator.runPerPartition(spark, fixture, cfg, "doc_id",
+      "depp-1", s"$dir/m", collectViolations = false)
+    val lang = reports.flatMap(_.results).filter(_.rule == "lang_present")
+    assert(lang.size == 2 && lang.forall(_.verdict == "skipped"), lang)
+    // resume with a FRESH partition: hoisted verdict comes from the
+    // manifest (recorded fail), and the new partition's dependent skips
+    val more = fixture.withColumn("source",
+      concat(col("source"), lit("2"))) // new partitions, same dup content
+    val rep2 = Validator.runPerPartition(spark,
+      fixture.unionByName(more), cfg, "doc_id",
+      "depp-1", s"$dir/m", collectViolations = false)
+    val lang2 = rep2.flatMap(_.results).filter(_.rule == "lang_present")
+    assert(lang2.nonEmpty && lang2.forall(_.verdict == "skipped"), lang2)
+    assert(lang2.map(_.partition).toSet == Set("good2", "bad2"))
+  }
+
   test("a global (*) dep failure blocks dependents in every partition") {
     def cfgFor(dupCol: String) = RuleConfig.loadYaml(s"""table:
       |  name: docs
