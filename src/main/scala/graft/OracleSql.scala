@@ -895,6 +895,51 @@ object OracleSql {
         |   w -> 1 + CAST(floor((length(w) - 1) / 6) AS INT))), 0) END AS INT) AS n_subwords
         |FROM documents""".stripMargin,
 
+    // C4-style line filter REPLAYED (list_filter + the same word-count /
+    // terminal-punct / banned-marker predicate) over the pinned fixture
+    "t_line_filter" ->
+      ("""WITH f(doc_id, text) AS (VALUES
+        |  (CAST(1 AS BIGINT), 'This is a good line.' || chr(10) || 'short' || chr(10) ||
+        |    'Another proper line here!' || chr(10) || 'the cookie banner line is long enough.'),
+        |  (CAST(2 AS BIGINT), 'No punctuation here' || chr(10) || 'But this one ends well?' || chr(10) ||
+        |    '  Trailing spaces count.   '),
+        |  (CAST(3 AS BIGINT), 'javascript is banned here.' || chr(10) || 'curly { brace line is dropped.' || chr(10) ||
+        |    'This clean line stays fine.'),
+        |  (CAST(4 AS BIGINT), 'one two three')),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM f),
+        |k AS (SELECT doc_id,
+        |  list_filter(lines, x ->
+        |    len(list_filter(regexp_split_to_array(trim(x), '\s+'), w -> w <> '')) >= 3
+        |    AND regexp_matches(rtrim(x), '[.!?""" + "\"" + """]$')
+        |    AND NOT contains(lower(x), 'javascript')
+        |    AND NOT contains(lower(x), 'cookie')
+        |    AND NOT contains(lower(x), '{')) AS kept,
+        |  len(lines) AS total FROM l)
+        |SELECT doc_id,
+        |  -- DuckDB: array_to_string([]) is NULL; Spark array_join gives ''
+        |  coalesce(array_to_string(kept, chr(10)), '') AS text,
+        |  CAST(len(kept) AS INT) AS kept_lines,
+        |  CAST(total AS INT) AS total_lines
+        |FROM k""").stripMargin,
+
+    // unigram LM: model training (top-200 by count desc, word asc) AND
+    // add-one-smoothed scoring replayed end-to-end
+    "t_unigram_lm" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> x <> '')) AS word
+        |  FROM documents),
+        |m AS (SELECT word, count(*) AS cnt FROM w
+        |  GROUP BY word ORDER BY cnt DESC, word ASC LIMIT 200),
+        |s AS (SELECT (SELECT sum(cnt) FROM m) + (SELECT count(*) FROM m) AS denom),
+        |j AS (SELECT ww.doc_id, ww.word, m.cnt FROM w ww LEFT JOIN m USING (word))
+        |SELECT d.doc_id, count(j.word) AS n_words,
+        |  round(avg(CASE WHEN j.word IS NOT NULL
+        |    THEN ln((coalesce(j.cnt, 0) + 1) / (SELECT denom FROM s)) END), 6) AS avg_lp
+        |FROM documents d LEFT JOIN j ON j.doc_id = d.doc_id
+        |GROUP BY d.doc_id""".stripMargin,
+
     // greedy wordpiece over the planted vocab, hand-derived and pinned
     // (the longest-match walk is engine-side; err_fail_fast convention)
     "t_wordpiece" ->

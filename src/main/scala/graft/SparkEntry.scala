@@ -1578,6 +1578,39 @@ object SparkEntry {
       TextOps.tokenCount(col("text")).as("n_ws_tokens"),
       TextOps.subwordCountEstimate(col("text")).as("n_subwords"))),
 
+    // C4-style line filtering: keep lines with >= minWords words ending in
+    // terminal punctuation and free of boilerplate markers, rebuild the
+    // doc + audit counts. Fixture pinned identically on both sides; the
+    // FILTER logic is replayed in SQL (list_filter + regex), not pinned.
+    "t_line_filter" -> ((s, d) => {
+      import s.implicits._
+      val docs = Seq(
+        (1L, "This is a good line.\nshort\nAnother proper line here!\n" +
+          "the cookie banner line is long enough."),
+        (2L, "No punctuation here\nBut this one ends well?\n" +
+          "  Trailing spaces count.   "),
+        (3L, "javascript is banned here.\ncurly { brace line is dropped.\n" +
+          "This clean line stays fine."),
+        (4L, "one two three")).toDF("doc_id", "text")
+      docs.select(col("doc_id"),
+        TextOps.lineFiltered(col("text")).as("lf"))
+        .select(col("doc_id"), col("lf.text").as("text"),
+          col("lf.kept_lines").as("kept_lines"),
+          col("lf.total_lines").as("total_lines"))
+    }),
+
+    // unigram LM quality scoring: model = top-200 words of the corpus
+    // itself (ONE map-side count), score = mean ln((cnt+1)/(total+V)) per
+    // doc with add-one smoothing — the KenLM-style perplexity filter's
+    // zero-dependency cousin; DuckDB replays model training AND scoring
+    "t_unigram_lm" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val model = TextOps.unigramModel(docs, "text", topK = 200)
+      TextOps.unigramLogProb(docs, "text", "doc_id", model)
+        .select(col("id").as("doc_id"), col("n_words"),
+          round(col("avg_logprob"), 6).as("avg_lp"))
+    }),
+
     // REAL wordpiece tokenization over a planted vocab: greedy longest
     // match with ## continuations and [UNK] fallback — every expected
     // token sequence hand-derived and pinned as oracle literals

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation over `documents`:
@@ -127,6 +127,80 @@ object TextOps {
   def dupWordRatio(c: Column): Column =
     when(c.isNull, lit(null).cast("double"))
       .otherwise(dupRatio(filter(split(Dedup.normText(c), " "), t => t =!= "")))
+
+  /** C4-style line filtering (the classic web-corpus cleanup: Raffel et
+    * al. 2020 kept only lines ending in terminal punctuation with >= 3
+    * words and dropped boilerplate markers): keep lines of the RAW text
+    * (newline-split; line-level structure must survive, so no normText
+    * here) that (a) have at least `minWords` whitespace words, (b) end
+    * with terminal punctuation (./!/?/") after right-trim, and (c) contain
+    * none of `banned` (case-insensitive substring match — cookie/JS
+    * boilerplate markers). Pure HOF expression: codegen'd, zero shuffle. */
+  def keptLines(c: Column, minWords: Int = 3,
+      banned: Seq[String] = Seq("javascript", "cookie", "{")): Column = {
+    val lines = split(c, "\n")
+    filter(lines, l => {
+      val t = rtrim(l)
+      val words = size(filter(split(trim(l), "\\s+"), w => w =!= ""))
+      val punctOk = t.rlike("[.!?\"]$")
+      val bannedHit = banned.map(b => lower(l).contains(b.toLowerCase))
+        .reduce(_ || _)
+      words >= minWords && punctOk && !bannedHit
+    })
+  }
+
+  /** Rebuilt document after line filtering + the kept/total line counts —
+    * the standard C4 cleanup emitting enough metadata to audit the drop. */
+  def lineFiltered(c: Column, minWords: Int = 3,
+      banned: Seq[String] = Seq("javascript", "cookie", "{")): Column = {
+    val kept = keptLines(c, minWords, banned)
+    struct(
+      array_join(kept, "\n").as("text"),
+      size(kept).as("kept_lines"),
+      size(split(c, "\n")).as("total_lines"))
+  }
+
+  /** Unigram language-model training: the `topK` most frequent normalized
+    * words of a reference corpus with their counts — the model the LM
+    * quality filter scores against (a KenLM-style perplexity filter's
+    * zero-dependency cousin). ONE map-side-combinable word count; the
+    * deterministic (count desc, word asc) cut keeps the model broadcastable
+    * at any corpus size. */
+  def unigramModel(docs: DataFrame, textCol: String, topK: Int = 10000): DataFrame =
+    docs.select(explode(filter(split(Dedup.normText(col(textCol)), " "),
+        t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word").asc)
+      .limit(topK)
+
+  /** Per-document mean log-probability under an add-one-smoothed unigram
+    * model: avg over the doc's words of ln((cnt(w)+1) / (total+V)), OOV
+    * words contributing the cnt=0 floor — low scores flag gibberish /
+    * non-reference-language documents, the classic LM quality signal.
+    *
+    * Scale shape: explode(words) → BROADCAST join against the bounded
+    * model → one map-side-combinable per-doc average; the only shuffle is
+    * the per-doc groupBy. Null/empty text yields n_words=0 with a null
+    * score (no row is dropped — callers can gate on n_words). */
+  def unigramLogProb(docs: DataFrame, textCol: String, idCol: String,
+      model: DataFrame): DataFrame = {
+    val stats = model
+      .agg(coalesce(sum(col("cnt")), lit(0L)).cast("double").as("t"),
+        count(lit(1)).cast("double").as("v")).head()
+    val denom = stats.getDouble(0) + stats.getDouble(1)
+    require(denom > 0, "unigramLogProb: empty model")
+    val words = docs.select(col(idCol).as("id"),
+      explode_outer(filter(split(Dedup.normText(col(textCol)), " "),
+        t => t =!= "")).as("word"))
+    words.join(broadcast(model), Seq("word"), "left")
+      .groupBy("id")
+      .agg(count(col("word")).as("n_words"),
+        // the explode_outer placeholder row (null word) must NOT score as
+        // an OOV hit — guard it out so empty docs average to null
+        avg(when(col("word").isNotNull,
+          log((coalesce(col("cnt"), lit(0L)) + lit(1)).cast("double")
+            / lit(denom)))).as("avg_logprob"))
+  }
 
   /** Stable document fingerprint: md5 of normalized text (lower, collapsed
     * whitespace) — the exact-dup key. */

@@ -44,6 +44,42 @@ class Round5Spec extends SparkTestBase {
       x.duration_ms == 8000L), m)
   }
 
+  test("C4-style line filter: word count, terminal punct, banned markers") {
+    import graft.operators.TextOps
+    val df = Seq(
+      (1L, "Keep this proper sentence.\nno\nAlso keep this one!\n" +
+        "a Cookie notice line here."),
+      (2L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = df.select(col("id"), TextOps.lineFiltered(col("text")).as("lf"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1) || r.getStruct(1).isNullAt(0)) null
+         else (r.getStruct(1).getString(0), r.getStruct(1).getInt(1),
+           r.getStruct(1).getInt(2)))).toMap
+    assert(got(1L) == (("Keep this proper sentence.\nAlso keep this one!", 2, 4)))
+    assert(got(2L) == null) // null text -> null struct fields
+  }
+
+  test("unigram LM: OOV floor, smoothing arithmetic, empty docs survive") {
+    import graft.operators.TextOps
+    val ref = Seq((1L, "the cat sat"), (2L, "the dog sat")).toDF("id", "text")
+    val model = TextOps.unigramModel(ref, "text", topK = 10)
+    val m = model.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("the" -> 2, "sat" -> 2, "cat" -> 1, "dog" -> 1))
+    // denom = total(6) + V(4) = 10
+    val scored = TextOps.unigramLogProb(
+      Seq((10L, "the the"), (11L, "zebra"), (12L, "")).toDF("id", "text"),
+      "text", "id", model)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(scored(10L)._1 == 2L &&
+      math.abs(scored(10L)._2 - math.log(3.0 / 10)) < 1e-12)
+    assert(scored(11L)._1 == 1L && // OOV: cnt 0 -> ln(1/10)
+      math.abs(scored(11L)._2 - math.log(1.0 / 10)) < 1e-12)
+    assert(scored(12L)._1 == 0L && scored(12L)._2.isNaN) // empty doc kept
+    // the signal orders gibberish below reference-like prose
+    assert(scored(10L)._2 > scored(11L)._2)
+  }
+
   test("wordpiece: greedy longest match, ## continuations, [UNK], vocab file") {
     import graft.operators.TextOps
     val vocab = Seq("play", "##ing", "##ed", "##er", "un", "##play", "re")
