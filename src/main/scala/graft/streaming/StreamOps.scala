@@ -93,16 +93,35 @@ object StreamOps {
       runId: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
     val spark = batch.sparkSession
     val ruleNames = batch.columns.filter(_.startsWith("viol_")).map(_.drop(5))
+    // dependency resolution per (window, partition) key — the batch
+    // validator's verdict-layer semantics applied to each micro-batch's
+    // bounded verdict rows (topo order so skips chain; driver-side,
+    // O(windows × rules) per batch)
+    val deps = cfg.rules.map(r => r.name -> r.dependencies).toMap
+    val present = ruleNames.toSet
+    val topo = graft.config.RuleGraph.topoLevels(
+        cfg.rules.filter(r => present(r.name))
+          .map(r => r.copy(dependencies = r.dependencies.filter(present))))
+      .toSeq.sortBy(_._1).flatMap(_._2.map(_.name))
     val entries = batch.collect().toSeq.flatMap { row =>
       val win = row.getStruct(row.fieldIndex("window"))
       val part = Option(row.get(row.fieldIndex(cfg.partitionColumn)))
         .map(_.toString).getOrElse("<null>")
       val key = s"${win.get(0)}|$part"
       val rows = row.getLong(row.fieldIndex("rows"))
-      ruleNames.map { r =>
+      val verdict = scala.collection.mutable.Map.empty[String, String]
+      topo.map { r =>
         val v = row.getLong(row.fieldIndex(s"viol_$r"))
-        graft.lineage.Manifest.Entry(runId, key, r,
-          if (v == 0L) "pass" else "fail", rows, v, 0L, 0L, s"batch=$batchId")
+        val failedDeps = deps.getOrElse(r, Nil).filter(d =>
+          verdict.get(d).exists(x => x == "fail" || x == "skipped"))
+        val (vd, viol, detail) =
+          if (failedDeps.nonEmpty)
+            ("skipped", 0L,
+              s"deps_failed=${failedDeps.mkString(",")};batch=$batchId")
+          else (if (v == 0L) "pass" else "fail", v, s"batch=$batchId")
+        verdict(r) = vd
+        graft.lineage.Manifest.Entry(runId, key, r, vd, rows, viol, 0L, 0L,
+          detail)
       }
     }
     graft.lineage.Manifest.append(spark, manifestPath, entries)

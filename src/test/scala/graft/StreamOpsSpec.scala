@@ -263,6 +263,76 @@ class StreamOpsSpec extends SparkTestBase {
       .count() > 0)
   }
 
+  test("streaming verdict sink resolves rule dependencies per window key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dep").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${sf()}/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    // plant BOTH outcomes: 20 rows with out-of-range values (their windows
+    // fail the dep -> dependent skips) and 20 rows with null props in
+    // OTHER windows (dependent genuinely fails where the dep passes)
+    val base = spark.read.parquet(s"$dir/events.parquet")
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    base.orderBy(c("ts")).limit(20)
+      .withColumn("event_id", c("event_id") + 700000L)
+      .withColumn("value", l(-5.0))
+      .write.mode("append").parquet(dir)
+    base.orderBy(c("ts").desc).limit(20)
+      .withColumn("event_id", c("event_id") + 800000L)
+      .withColumn("props", l(null).cast("string"))
+      .write.mode("append").parquet(dir)
+    val cfg = graft.config.RuleConfig.loadYaml(
+      """table:
+        |  name: events
+        |  partition_column: event_type
+        |  columns:
+        |    event_id: {type: bigint, nullable: false}
+        |    ts: {type: timestamp, nullable: false}
+        |    user_id: {type: bigint, nullable: false}
+        |    event_type: {type: string, nullable: false}
+        |    value: {type: double, nullable: true}
+        |    props: {type: string, nullable: true}
+        |rules:
+        |  - name: value_range
+        |    description: value within [0, 1000]
+        |    kind: range
+        |    column: value
+        |    min: 0
+        |    max: 1000
+        |  - name: props_present
+        |    description: props must not be null
+        |    kind: not_null
+        |    column: props
+        |    dependencies: [value_range]
+        |""".stripMargin)
+    val mp = java.nio.file.Files.createTempDirectory("graft-stream-depm")
+      .toString + "/manifest"
+    val stream = StreamOps.readEvents(spark, dir, schema)
+    val verdicts = StreamOps.validateStream(stream, cfg, "ts",
+      window_ = "1 hour", watermark = "2 hours")
+    val q = verdicts.writeStream.outputMode(OutputMode.Update())
+      .foreachBatch(StreamOps.verdictManifestSink(cfg, mp, "stream-dep-1"))
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val m = graft.lineage.Manifest.read(spark, mp)
+      .filter(org.apache.spark.sql.functions.col("runId") === "stream-dep-1")
+      .select("partition", "rule", "verdict").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val keys = m.keys.map(_._1).toSet
+    assert(keys.nonEmpty)
+    // per (window|partition) key: the dependent skips IFF its dep failed
+    keys.foreach { k =>
+      val dep = m((k, "value_range"))
+      val dpt = m((k, "props_present"))
+      if (dep == "fail") assert(dpt == "skipped", s"$k: $dep/$dpt")
+      else assert(dpt != "skipped", s"$k: $dep/$dpt")
+    }
+    // the fixture plants BOTH outcomes (value violations in some windows)
+    assert(m.values.exists(_ == "skipped") && m.exists {
+      case ((_, r), v) => r == "props_present" && v != "skipped"
+    })
+  }
+
   test("streaming duplicate rule: windowed members sum to the batch verdict") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-dup").toString
     java.nio.file.Files.copy(
