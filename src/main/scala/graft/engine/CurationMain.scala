@@ -59,8 +59,13 @@ object CurationMain {
       minTokens = opts.get("min-tokens").map(_.toInt).getOrElse(5),
       method = opts.getOrElse("method", "minhash"),
       threshold = opts.get("threshold").map(_.toDouble).getOrElse(0.8),
-      // --verify exact: candidates decided on true Jaccard, not estimates
-      verifyExact = opts.get("verify").exists(_.equalsIgnoreCase("exact")),
+      // --verify exact: candidates decided on true Jaccard, not estimates.
+      // Strict parse — a typo silently mining on estimates would defeat
+      // the very guarantee the flag exists for
+      verifyExact = opts.get("verify").map {
+        case v if v.equalsIgnoreCase("exact") => true
+        case v => sys.error(s"--verify must be 'exact' (got '$v')")
+      }.getOrElse(false),
       trainFrac = opts.get("train-frac").map(_.toDouble).getOrElse(0.9),
       valFrac = opts.get("val-frac").map(_.toDouble).getOrElse(0.05),
       // --rules: YAML suite as the quality gate (validator's predicates)

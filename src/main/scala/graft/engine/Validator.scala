@@ -395,40 +395,68 @@ object Validator {
         hoistedVerdicts += RuleResult("*", name, verdict, 0L, 0L, 0L, 0L,
           "resumed")
       }
-    uniqueRules.filterNot(r => doneGlobal.contains(("*", r.name))).foreach { r =>
-      val t1 = System.nanoTime()
-      val agg = Checks.uniquenessViolations(table, r.column.get, pCol)
-        .agg(count(lit(1)).as("keys"),
-          coalesce(sum(col("n") - 1), lit(0L)).as("extra"),
-          coalesce(expr("bit_xor(xxhash64(key))"), lit(0L)).as("h"))
-        .head()
-      val wall = (System.nanoTime() - t1) / 1000000
-      val verdict = if (agg.getLong(1) == 0L) "pass" else "fail"
-      hoistedVerdicts += RuleResult("*", r.name, verdict, 0L, agg.getLong(1),
-        agg.getLong(2), wall, s"dupKeys=${agg.getLong(0)}")
-      Manifest.append(spark, manifestPath, Seq(Manifest.Entry(
-        runId, "*", r.name, verdict,
-        0L, agg.getLong(1), agg.getLong(2), wall, s"dupKeys=${agg.getLong(0)}")))
+    // dependency semantics for the hoisted rules THEMSELVES: global rules
+    // evaluate before any partition, so a global rule cannot depend on a
+    // per-partition rule in this mode — fail fast (run() supports that
+    // shape) instead of silently diverging from run()'s verdicts
+    val hoistedNames = (uniqueRules ++ dupRules).map(_.name).toSet
+    (uniqueRules ++ dupRules).foreach { r =>
+      val bad = r.dependencies.filterNot(hoistedNames)
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"per-partition mode: global rule '${r.name}' cannot depend on " +
+          s"per-partition rule(s) ${bad.mkString(",")} — global rules run " +
+          "before partitions here; use run() for this suite")
     }
+    // hoisted→hoisted deps honor the same skip semantics as run(), and a
+    // blocked rule is never MINED at all (cheaper than run()'s post-hoc
+    // marking — mining a duplicate rule is the expensive part)
+    val hoistedOrder = graft.config.RuleGraph.topoLevels(
+        (uniqueRules ++ dupRules).map(r =>
+          r.copy(dependencies = r.dependencies.filter(hoistedNames))))
+      .toSeq.sortBy(_._1).flatMap(_._2)
     lazy val dupTotalRows = table.count() // one count shared by all dup rules
-    dupRules.filterNot(r => doneGlobal.contains(("*", r.name))).foreach { r =>
-      val (rr, vfOpt) = duplicateOutput(table, keyCol, pCol, r, dupTotalRows,
-        wantRows = collectViolations && violationsOut.isDefined)
+    hoistedOrder.filterNot(r => doneGlobal.contains(("*", r.name))).foreach { r =>
+      val failedDeps = r.dependencies.filter(d =>
+        hoistedVerdicts.find(_.rule == d).map(_.verdict)
+          .exists(v => v == "fail" || v == "skipped"))
+      val rr: RuleResult =
+        if (failedDeps.nonEmpty)
+          RuleResult("*", r.name, "skipped", 0L, 0L, 0L, 0L,
+            s"deps_failed=${failedDeps.mkString(",")}")
+        else if (r.kind == RuleKind.Unique) {
+          val t1 = System.nanoTime()
+          val agg = Checks.uniquenessViolations(table, r.column.get, pCol)
+            .agg(count(lit(1)).as("keys"),
+              coalesce(sum(col("n") - 1), lit(0L)).as("extra"),
+              coalesce(expr("bit_xor(xxhash64(key))"), lit(0L)).as("h"))
+            .head()
+          val wall = (System.nanoTime() - t1) / 1000000
+          RuleResult("*", r.name,
+            if (agg.getLong(1) == 0L) "pass" else "fail",
+            0L, agg.getLong(1), agg.getLong(2), wall,
+            s"dupKeys=${agg.getLong(0)}")
+        } else {
+          val (res, vfOpt) = duplicateOutput(table, keyCol, pCol, r,
+            dupTotalRows, wantRows = collectViolations && violationsOut.isDefined)
+          // member examples are durable BEFORE the manifest row (same crash
+          // consistency as sub-run violations), under a global
+          // pseudo-partition dir — duplicate rules have no home partition
+          vfOpt.foreach { vf =>
+            // same deterministic example cap as run()'s dupViol path: at
+            // high duplication share the full non-canonical member set is
+            // a table-scale frame, not an "examples" file
+            val capped = maxViolationExamples
+              .map(n => Checks.capViolationExamples(vf, n)).getOrElse(vf)
+            try violationsOut.foreach(o =>
+              capped.write.mode("overwrite")
+                .parquet(s"$o/${violationDir(s"_global_-${r.name}")}"))
+            finally vf.unpersist()
+          }
+          res
+        }
       hoistedVerdicts += rr
-      // member examples are durable BEFORE the manifest row (same crash
-      // consistency as sub-run violations), under a global pseudo-partition
-      // dir — duplicate rules have no home partition
-      vfOpt.foreach { vf =>
-        // same deterministic example cap as run()'s dupViol path: at high
-        // duplication share the full non-canonical member set is a
-        // table-scale frame, not an "examples" file
-        val capped = maxViolationExamples
-          .map(n => Checks.capViolationExamples(vf, n)).getOrElse(vf)
-        try violationsOut.foreach(o =>
-          capped.write.mode("overwrite")
-            .parquet(s"$o/${violationDir(s"_global_-${r.name}")}"))
-        finally vf.unpersist()
-      }
+      // ONE Entry construction from rr — the manifest cannot drift from
+      // the in-memory verdict
       Manifest.append(spark, manifestPath, Seq(Manifest.Entry(
         runId, rr.partition, rr.rule, rr.verdict, rr.rowCount,
         rr.violationCount, rr.contentHash, rr.wallMs, rr.detail)))

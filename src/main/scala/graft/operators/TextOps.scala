@@ -150,15 +150,21 @@ object TextOps {
   }
 
   /** Rebuilt document after line filtering + the kept/total line counts —
-    * the standard C4 cleanup emitting enough metadata to audit the drop. */
+    * the standard C4 cleanup emitting enough metadata to audit the drop.
+    *
+    * The filtered array is bound ONCE through a single-element transform
+    * lambda (referencing the raw `kept` column twice would re-run the
+    * whole per-line predicate per reference — HOF lambdas are excluded
+    * from codegen subexpression elimination, the Dedup fused-signature
+    * rationale); lambda-variable references are cheap bound values. */
   def lineFiltered(c: Column, minWords: Int = 3,
-      banned: Seq[String] = Seq("javascript", "cookie", "{")): Column = {
-    val kept = keptLines(c, minWords, banned)
-    struct(
-      array_join(kept, "\n").as("text"),
-      size(kept).as("kept_lines"),
-      size(split(c, "\n")).as("total_lines"))
-  }
+      banned: Seq[String] = Seq("javascript", "cookie", "{")): Column =
+    element_at(
+      transform(array(keptLines(c, minWords, banned)), k =>
+        struct(
+          array_join(k, "\n").as("text"),
+          size(k).as("kept_lines"),
+          size(split(c, "\n")).as("total_lines"))), 1)
 
   /** Unigram language-model training: the `topK` most frequent normalized
     * words of a reference corpus with their counts — the model the LM
@@ -184,15 +190,20 @@ object TextOps {
     * score (no row is dropped — callers can gate on n_words). */
   def unigramLogProb(docs: DataFrame, textCol: String, idCol: String,
       model: DataFrame): DataFrame = {
-    val stats = model
-      .agg(coalesce(sum(col("cnt")), lit(0L)).cast("double").as("t"),
-        count(lit(1)).cast("double").as("v")).head()
-    val denom = stats.getDouble(0) + stats.getDouble(1)
+    val spark = docs.sparkSession
+    // collect the model ONCE (bounded at topK rows): computing denom with
+    // an action and then broadcasting the unpersisted plan would run the
+    // full reference-corpus count + top-K sort twice
+    val rows = model.select(col("word"), col("cnt").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val denom = rows.map(_._2).sum.toDouble + rows.length
     require(denom > 0, "unigramLogProb: empty model")
+    import spark.implicits._
+    val localModel = rows.toSeq.toDF("word", "cnt")
     val words = docs.select(col(idCol).as("id"),
       explode_outer(filter(split(Dedup.normText(col(textCol)), " "),
         t => t =!= "")).as("word"))
-    words.join(broadcast(model), Seq("word"), "left")
+    words.join(broadcast(localModel), Seq("word"), "left")
       .groupBy("id")
       .agg(count(col("word")).as("n_words"),
         // the explode_outer placeholder row (null word) must NOT score as

@@ -90,7 +90,22 @@ object StreamOps {
     * O(windows × partitions × rules) per batch, so the collect is bounded
     * regardless of input rate. */
   def verdictManifestSink(cfg: graft.config.SuiteConfig, manifestPath: String,
-      runId: String): (DataFrame, Long) => Unit = { (batch, batchId) =>
+      runId: String): (DataFrame, Long) => Unit = {
+    // fail-fast at SINK CONSTRUCTION: a stream only evaluates row-predicate
+    // rules, so a dependency on any other kind (duplicate/unique/drift/
+    // stats) is unenforceable here — silently treating it as passing would
+    // diverge from the batch skip semantics this sink mirrors
+    val streamable = cfg.rules
+      .filter(r => graft.checks.Checks.rowPredicate(r).isDefined)
+      .map(_.name).toSet
+    cfg.rules.filter(r => streamable(r.name)).foreach { r =>
+      val bad = r.dependencies.filterNot(streamable)
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        s"streaming validation: rule '${r.name}' depends on non-row rule(s) " +
+          s"${bad.mkString(",")} which a stream cannot evaluate — drop the " +
+          "dependency for the stream or validate in batch")
+    }
+    (batch, batchId) =>
     val spark = batch.sparkSession
     val ruleNames = batch.columns.filter(_.startsWith("viol_")).map(_.drop(5))
     // dependency resolution per (window, partition) key — the batch

@@ -124,6 +124,54 @@ class RuleDepSpec extends SparkTestBase {
     assert(lang2.map(_.partition).toSet == Set("good2", "bad2"))
   }
 
+  test("per-partition mode: hoisted->hoisted deps skip without mining; global->partition deps reject") {
+    def yamlG(dupDeps: String) = s"""table:
+      |  name: docs
+      |  partition_column: source
+      |  columns:
+      |    doc_id: {type: bigint, nullable: false}
+      |    n_chars: {type: bigint, nullable: true}
+      |    lang: {type: string, nullable: true}
+      |    source: {type: string, nullable: false}
+      |rules:
+      |  - name: ids_unique
+      |    description: doc_id must be unique
+      |    kind: unique
+      |    column: doc_id
+      |  - name: no_dup_content
+      |    description: duplicate content bounded
+      |    kind: duplicate
+      |    column: n_chars
+      |    method: exact
+      |    max_share: 0.0
+      |$dupDeps
+      |  - name: lang_present
+      |    description: lang must not be null
+      |    kind: not_null
+      |    column: lang
+      |""".stripMargin
+    // planted duplicate doc_id -> ids_unique fails globally -> the
+    // dependent duplicate rule records 'skipped' WITHOUT mining, and its
+    // manifest row matches run()'s skip contract
+    val dup = fixture.unionByName(fixture.filter(col("doc_id") === 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft-depg").toString
+    val reports = Validator.runPerPartition(spark, dup,
+      RuleConfig.loadYaml(yamlG("    dependencies: [ids_unique]")), "doc_id",
+      "depg-1", s"$dir/m", collectViolations = false)
+    val m = graft.lineage.Manifest.read(spark, s"$dir/m")
+      .filter(col("runId") === "depg-1" && col("rule") === "no_dup_content")
+      .collect()
+    assert(m.length == 1 && m.head.getAs[String]("verdict") == "skipped"
+      && m.head.getAs[String]("detail") == "deps_failed=ids_unique", m.toSeq)
+    // a hoisted global rule depending on a per-partition rule cannot be
+    // honored in this mode (globals run first) — reject loudly
+    intercept[IllegalArgumentException] {
+      Validator.runPerPartition(spark, fixture,
+        RuleConfig.loadYaml(yamlG("    dependencies: [lang_present]")),
+        "doc_id", "depg-2", s"$dir/m2", collectViolations = false)
+    }
+  }
+
   test("a global (*) dep failure blocks dependents in every partition") {
     def cfgFor(dupCol: String) = RuleConfig.loadYaml(s"""table:
       |  name: docs

@@ -331,6 +331,31 @@ class StreamOpsSpec extends SparkTestBase {
     assert(m.values.exists(_ == "skipped") && m.exists {
       case ((_, r), v) => r == "props_present" && v != "skipped"
     })
+    // a dependency on a rule the stream cannot evaluate (non-row kind)
+    // rejects at SINK CONSTRUCTION, not silently-as-passing
+    val badCfg = graft.config.RuleConfig.loadYaml(
+      """table:
+        |  name: events
+        |  partition_column: event_type
+        |  columns:
+        |    event_id: {type: bigint, nullable: false}
+        |    props: {type: string, nullable: true}
+        |rules:
+        |  - name: dup_props
+        |    description: duplicate props bounded
+        |    kind: duplicate
+        |    column: props
+        |    method: exact
+        |    max_share: 0.0
+        |  - name: props_present
+        |    description: props must not be null
+        |    kind: not_null
+        |    column: props
+        |    dependencies: [dup_props]
+        |""".stripMargin)
+    intercept[IllegalArgumentException] {
+      StreamOps.verdictManifestSink(badCfg, mp, "nope")
+    }
   }
 
   test("streaming duplicate rule: windowed members sum to the batch verdict") {
