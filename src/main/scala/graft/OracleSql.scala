@@ -693,7 +693,7 @@ object OracleSql {
     // exact-verify parity: chain-pair candidates re-scored with the SAME
     // word-5-gram Jaccard construction as dd_jaccard_pairs (inter from a
     // per-pair set intersection; union = sz_a + sz_b − inter; empty∪empty
-    // counts as identical, matching the engine's ANSI-safe guard)
+    // scores 0.0 — no shingle evidence, matching the engine's guard)
     "dd_verify_pairs" ->
       """WITH ranked AS (
         |  SELECT doc_id, source,
@@ -721,7 +721,7 @@ object OracleSql {
         |  JOIN sh sa ON sa.doc_id = c.id_a
         |  JOIN sh sb ON sb.doc_id = c.id_b)
         |SELECT id_a, id_b,
-        |  round(CASE WHEN sz_a + sz_b - inter = 0 THEN 1.0
+        |  round(CASE WHEN sz_a + sz_b - inter = 0 THEN 0.0
         |    ELSE inter / CAST(sz_a + sz_b - inter AS DOUBLE) END, 6) AS jac
         |FROM j""".stripMargin,
 

@@ -169,6 +169,17 @@ final case class RuleSpec(
           throw ConfigError(s"rule '$name': max_bucket must be >= 2"))
       case _ => ()
     }
+    // the near-dup geometry keys belong to the duplicate rule ONLY — a
+    // fail-fast-at-load design must reject them elsewhere, not silently
+    // ignore a misplaced `k:`/`bands:` the user believes is in effect
+    if (kind != RuleKind.Duplicate) {
+      val misplaced = Seq(
+        "verify" -> verify.isDefined, "k" -> k.isDefined,
+        "bands" -> bands.isDefined, "max_hamming" -> maxHamming.isDefined,
+        "max_bucket" -> maxBucket.isDefined).collect { case (f, true) => f }
+      if (misplaced.nonEmpty) throw ConfigError(
+        s"rule '$name': ${misplaced.mkString("/")} apply to kind: duplicate only")
+    }
   }
 }
 

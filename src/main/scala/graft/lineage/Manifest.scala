@@ -95,8 +95,12 @@ object Manifest {
   /** (partition, rule) -> verdict for this run — the same single read as
     * [[completed]], keeping the recorded verdict (a resumed per-partition
     * run needs hoisted global rules' verdicts for dependency resolution
-    * without re-running them). Duplicate appends for a key collapse to a
-    * recorded FAIL when attempts disagree (Main's report discipline). */
+    * without re-running them). Duplicate appends for a key collapse by an
+    * EXPLICIT precedence — fail > skipped > pass — so resumed dependency
+    * resolution is deterministic even when concurrent or re-run appends
+    * recorded disagreeing non-fail verdicts for one key. */
+  private val verdictPrecedence = Seq("fail", "skipped", "pass")
+
   def completedWithVerdicts(spark: SparkSession, path: String,
       runId: String): Map[(String, String), String] =
     read(spark, path)
@@ -106,7 +110,8 @@ object Manifest {
       .map(r => (r.getString(0), r.getString(1)) -> r.getString(2))
       .groupBy(_._1)
       .map { case (k, vs) =>
-        k -> vs.map(_._2).find(_ == "fail").getOrElse(vs.head._2)
+        val seen = vs.map(_._2).toSet
+        k -> verdictPrecedence.find(seen.contains).getOrElse(vs.head._2)
       }
 
   /** Partitions for which EVERY rule in `rules` is complete. Entries

@@ -150,8 +150,11 @@ object Dedup {
     * Same value as [[jaccardPairs]] on the same ids: both compute
     * |A∩B| / (|A|+|B|−|A∩B|) over distinct shingle sets (the dd_verify_pairs
     * oracle pins this hash-exactly). Two empty shingle sets (both texts
-    * shorter than n) count as identical (1.0) — the ANSI-safe guard, since
-    * a 0/0 double division THROWS under Spark 4 defaults. */
+    * shorter than n) score 0.0 — shingle-free texts carry NO n-gram evidence
+    * of similarity, so near-dup must not "verify" unrelated short strings as
+    * duplicates (verbatim short copies are the exact-dedup stage's job). The
+    * `when` also doubles as the ANSI-safe guard: a 0/0 double division
+    * THROWS under Spark 4 defaults. */
   def verifyPairs(docs: DataFrame, pairs: DataFrame, textCol: String,
       idCol: String, n: Int = 5, words: Boolean = false,
       aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
@@ -169,7 +172,7 @@ object Dedup {
       .join(sh.select(col("id").as(aCol), col("sh").as("__sh_a")), Seq(aCol))
       .join(sh.select(col("id").as(bCol), col("sh").as("__sh_b")), Seq(bCol))
       .select(col(aCol), col(bCol),
-        when(union === 0, lit(1.0))
+        when(union === 0, lit(0.0))
           .otherwise(inter.cast("double") / union.cast("double")).as("jaccard"))
   }
 

@@ -277,17 +277,40 @@ object Similarity {
   // centroids — scale-invariant, matching the cosine metric probes rank by).
 
   /** Normalize centroids to unit length (zero centroids pass through). */
-  private def normalizedCentroids(cs: Seq[Seq[Double]]): Seq[Seq[Double]] =
+  private def normalizedCentroids(cs: Seq[Seq[Double]]): Seq[Seq[Double]] = {
+    requireUniformDims(cs)
     cs.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0.0) c else c.map(_ / n)
     }
+  }
+
+  /** zip_with silently truncates to the SHORTER array — a dimension bug
+    * would yield plausible-but-wrong cell assignments (scores over a
+    * prefix) instead of an error. Every centroid-scoring entry point
+    * asserts uniform centroid dimensionality driver-side, and the Column
+    * scorers guard the per-row vector length with raise_error. */
+  private def requireUniformDims(cs: Seq[Seq[Double]]): Unit = {
+    require(cs.nonEmpty, "centroid table is empty")
+    val d = cs.head.size
+    require(d > 0 && cs.forall(_.size == d),
+      s"centroids must share one dimensionality (head=$d, " +
+        s"sizes=${cs.map(_.size).distinct.mkString(",")})")
+  }
+
+  /** The vector column, verified to match the centroid dimensionality —
+    * mismatched rows raise instead of silently scoring a prefix. */
+  private def dimCheckedVec(vec: Column, dim: Int): Column =
+    when(size(vec) === lit(dim), vec).otherwise(raise_error(concat(
+      lit(s"vector dimension mismatch: expected $dim, got "),
+      size(vec).cast("string"))).cast("array<double>"))
 
   /** Nearest-centroid cell index as a pure Column: argmax over cells of
     * dot(vec, normalized centroid). Strict `>` in the fold keeps the FIRST
     * maximal cell — deterministic ties at any parallelism. */
-  def nearestCellCol(vec: Column, centroids: Seq[Seq[Double]]): Column = {
+  def nearestCellCol(vec0: Column, centroids: Seq[Seq[Double]]): Column = {
     val cLit = typedlit(normalizedCentroids(centroids))
+    val vec = dimCheckedVec(vec0, centroids.head.size)
     val scored = transform(sequence(lit(0), lit(centroids.size - 1)), ci =>
       struct(
         aggregate(zip_with(vec, element_at(cLit, ci + 1),
@@ -358,6 +381,9 @@ object Similarity {
       nprobe: Int): Seq[Int] = {
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nearestCells: nprobe must be in [1, nCells] (got $nprobe)")
+    require(centroids.nonEmpty && query.size == centroids.head.size,
+      s"nearestCells: query dimension ${query.size} != centroid " +
+        s"dimension ${centroids.headOption.map(_.size).getOrElse(0)}")
     normalizedCentroids(centroids).zipWithIndex
       .map { case (c, i) => (c.zip(query).map { case (a, b) => a * b }.sum, i) }
       .sortBy { case (s, i) => (-s, i) }
@@ -367,11 +393,12 @@ object Similarity {
   /** Batch probe-set column: each query's `nprobe` nearest cells as an
     * array — sort the scored cells by (-dot, index) lexicographically and
     * slice, the learned-cell analogue of [[multiProbeCodesCol]]. */
-  def nearestCellsCol(vec: Column, centroids: Seq[Seq[Double]],
+  def nearestCellsCol(vec0: Column, centroids: Seq[Seq[Double]],
       nprobe: Int): Column = {
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nearestCellsCol: nprobe must be in [1, nCells] (got $nprobe)")
     val cLit = typedlit(normalizedCentroids(centroids))
+    val vec = dimCheckedVec(vec0, centroids.head.size)
     val scored = transform(sequence(lit(0), lit(centroids.size - 1)), ci =>
       struct(
         (-aggregate(zip_with(vec, element_at(cLit, ci + 1),
