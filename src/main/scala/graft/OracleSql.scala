@@ -1125,6 +1125,70 @@ object OracleSql {
         |FROM documents
         |WINDOW w AS (PARTITION BY source ORDER BY doc_id)""".stripMargin,
 
+    // PII detection + sequential redaction replay: the regex literals are
+    // INTERPOLATED from PiiOps.Patterns (one source of truth — Java and
+    // RE2 share this dialect: no lookarounds/backreferences, ASCII
+    // classes, \b), the planted text rebuilt from the same doc_id
+    // residues, and each kind counted on the text as the previous kinds'
+    // global regexp_replace left it.
+    "t_pii" -> {
+      val e = graft.operators.PiiOps.Patterns("email")
+      val ph = graft.operators.PiiOps.Patterns("phone")
+      val ip = graft.operators.PiiOps.Patterns("ip")
+      val k = graft.operators.PiiOps.Patterns("key")
+      s"""WITH p AS (SELECT doc_id, text ||
+         |  CASE WHEN doc_id % 7 = 0 THEN ' contact user' ||
+         |    CAST(doc_id AS VARCHAR) || '@example.com ok' ELSE '' END ||
+         |  CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |  CASE WHEN doc_id % 13 = 0 THEN ' host 10.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |    CAST(doc_id % 200 + 1 AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 17 = 0 THEN ' token ' ||
+         |    md5(CAST(doc_id AS VARCHAR)) ELSE '' END AS t0
+         |  FROM documents),
+         |s1 AS (SELECT doc_id, t0,
+         |  CAST(len(regexp_extract_all(t0, '$e')) AS BIGINT) AS n_email,
+         |  regexp_replace(t0, '$e', '[EMAIL]', 'g') AS t1 FROM p),
+         |s2 AS (SELECT *, CAST(len(regexp_extract_all(t1, '$ph')) AS BIGINT) AS n_phone,
+         |  regexp_replace(t1, '$ph', '[PHONE]', 'g') AS t2 FROM s1),
+         |s3 AS (SELECT *, CAST(len(regexp_extract_all(t2, '$ip')) AS BIGINT) AS n_ip,
+         |  regexp_replace(t2, '$ip', '[IP]', 'g') AS t3 FROM s2),
+         |s4 AS (SELECT *, CAST(len(regexp_extract_all(t3, '$k')) AS BIGINT) AS n_key,
+         |  regexp_replace(t3, '$k', '[KEY]', 'g') AS clean FROM s3)
+         |SELECT doc_id, n_email, n_phone, n_ip, n_key, clean FROM s4
+         |WHERE regexp_matches(t0, '$e') OR regexp_matches(t0, '$ph')
+         |   OR regexp_matches(t0, '$ip') OR regexp_matches(t0, '$k')""".stripMargin
+    },
+
+    // pii RULE verdicts: email/IP plants gated to doc_id%20<5 sources
+    // (those partitions fail), phone/key spans planted everywhere but
+    // ignored by the rule's values: [email, ip] scoping (those partitions
+    // pass) — the per-source detector predicate replayed in SQL
+    "v_pii_rule" -> {
+      val e = graft.operators.PiiOps.Patterns("email")
+      val ip = graft.operators.PiiOps.Patterns("ip")
+      s"""WITH p AS (SELECT doc_id, source, text ||
+         |  CASE WHEN doc_id % 20 < 5 AND doc_id % 7 = 0 THEN ' contact user' ||
+         |    CAST(doc_id AS VARCHAR) || '@example.com ok' ELSE '' END ||
+         |  CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-' ||
+         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END ||
+         |  CASE WHEN doc_id % 20 < 5 AND doc_id % 13 = 0 THEN ' host 10.' ||
+         |    CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+         |    CAST(doc_id % 200 + 1 AS VARCHAR) ELSE '' END ||
+         |  CASE WHEN doc_id % 17 = 0 THEN ' token ' ||
+         |    md5(CAST(doc_id AS VARCHAR)) ELSE '' END AS t
+         |  FROM documents),
+         |v AS (SELECT source,
+         |  sum(CASE WHEN regexp_matches(t, '$e')
+         |        OR regexp_matches(t, '$ip') THEN 1 ELSE 0 END) AS viol
+         |  FROM p GROUP BY source)
+         |SELECT source AS part,
+         |  CASE WHEN viol > 0 THEN 'fail' ELSE 'pass' END AS verdict,
+         |  CAST(viol AS BIGINT) AS violations
+         |FROM v ORDER BY part""".stripMargin
+    },
+
     "t_repetition" ->
       """WITH n AS (SELECT doc_id,
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,

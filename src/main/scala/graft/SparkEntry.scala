@@ -93,6 +93,34 @@ object SparkEntry {
   private val ruleDepVerdicts =
     new java.util.concurrent.atomic.AtomicReference[(String, Seq[(String, String, String)])](null)
 
+  /** Same cache, for the pii rule verdict query (Validator.run is eager). */
+  private val piiRuleVerdicts =
+    new java.util.concurrent.atomic.AtomicReference[(String, Seq[(String, String, Long)])](null)
+
+  /** Planted-PII fixture over `documents`: deterministic email/phone/IP/
+    * key spans appended to the text by doc_id residues, replayable
+    * character-for-character in the oracle. `contactGate` scopes the email
+    * and IP plants (the v_pii_rule query gates them to a source subset so
+    * per-partition verdicts vary; phone/key plant everywhere to prove the
+    * rule's kind scoping ignores them). */
+  private def piiPlanted(docs: DataFrame, contactGate: Column): DataFrame = {
+    val id = col("doc_id")
+    docs.select(id, col("source"), concat(col("text"),
+      when(contactGate && pmod(id, lit(7)) === 0,
+        concat(lit(" contact user"), id.cast("string"),
+          lit("@example.com ok"))).otherwise(lit("")),
+      when(pmod(id, lit(11)) === 0,
+        concat(lit(" call 555-867-"),
+          lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(contactGate && pmod(id, lit(13)) === 0,
+        concat(lit(" host 10."), pmod(id, lit(256)).cast("string"),
+          lit(".0."), (pmod(id, lit(200)) + 1).cast("string")))
+        .otherwise(lit("")),
+      when(pmod(id, lit(17)) === 0,
+        concat(lit(" token "), md5(id.cast("string")))).otherwise(lit("")))
+      .as("text"))
+  }
+
   /** Once-per-JVM caches of the two ANN check verdicts — both run whole
     * k-NN passes and persist intermediates; computing once per source dir
     * (then returning a local frame) honors the miners' caller-unpersist
@@ -1649,6 +1677,63 @@ object SparkEntry {
           "n_tok_real", 7L)
         .select(col("doc_id"), col("stream"), col("n_tok_real"),
           col("tok_start"), col("pack_id"))
+    }),
+
+    // PII detection + sequential redaction (PiiOps): deterministic
+    // email/phone/IP/hex-key spans planted into documents text by doc_id
+    // residues; per-kind replacement counts AND the fully redacted text
+    // are replayed in DuckDB with the same Java/RE2-shared regexes,
+    // hash-exact. Counts are sequential (each kind counts on the text the
+    // previous kinds already cleaned), so they sum to the spans rewritten.
+    "t_pii" -> ((s, d) => {
+      val ks = graft.operators.PiiOps.Kinds
+      piiPlanted(t(s, d, "documents"), lit(true))
+        .filter(graft.operators.PiiOps.hasAny(col("text"), ks))
+        .withColumn("__r", graft.operators.PiiOps.redact(col("text"), ks))
+        .select(col("doc_id"),
+          col("__r.n_email").cast("long").as("n_email"),
+          col("__r.n_phone").cast("long").as("n_phone"),
+          col("__r.n_ip").cast("long").as("n_ip"),
+          col("__r.n_key").cast("long").as("n_key"),
+          col("__r.text").as("clean"))
+    }),
+
+    // YAML `pii` rule: rows carrying any configured PII kind are
+    // violations; per-partition verdicts ride the same one-scan flag
+    // projection as every row rule. Email/IP plants are gated to the
+    // doc_id%20<5 sources (those partitions FAIL); phone/key spans exist
+    // in EVERY source but the rule's `values: [email, ip]` scoping must
+    // ignore them (the other 15 partitions PASS). The oracle replays the
+    // detector predicate per source in SQL.
+    "v_pii_rule" -> ((s, d) => {
+      import s.implicits._
+      val rows =
+        Option(piiRuleVerdicts.get()).filter(_._1 == d).map(_._2).getOrElse {
+          val docs = piiPlanted(t(s, d, "documents"),
+            pmod(col("doc_id"), lit(20)) < 5)
+          val cfg = graft.config.RuleConfig.loadYaml(
+            """table:
+              |  name: documents
+              |  partition_column: source
+              |  columns:
+              |    doc_id: {type: bigint, nullable: false}
+              |    source: {type: string, nullable: true}
+              |    text: {type: string, nullable: true}
+              |rules:
+              |  - name: no_contact_pii
+              |    description: rows must not contain emails or IP addresses
+              |    kind: pii
+              |    column: text
+              |    values: [email, ip]
+              |""".stripMargin)
+          val rep = graft.engine.Validator.run(s, docs, cfg, "doc_id",
+            "pii-rule-q", collectViolations = false)
+          val v = rep.results.filter(_.rule == "no_contact_pii")
+            .map(r => (r.partition, r.verdict, r.violationCount))
+          piiRuleVerdicts.set((d, v)); v
+        }
+      rows.toDF("part", "verdict", "violations")
+        .orderBy("part")
     }),
 
     // repetition signals (duplicate-line/word fraction family of web-scale

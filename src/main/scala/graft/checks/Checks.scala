@@ -43,6 +43,15 @@ object Checks {
       Some(c.isNull || graft.functions.expr.TokenExprs.tokensInRange(c, lo, hi))
     case RuleKind.Expr =>
       Some(expr(r.expr.get))
+    case RuleKind.Pii =>
+      // row passes when the text carries NO span of the configured PII
+      // kinds (YAML `values:`, default all detectors). Null text passes —
+      // presence is the NotNull rule's concern, like Range. The rlike
+      // detectors evaluate inside the same codegen'd flag scan.
+      val kinds =
+        if (r.values.nonEmpty) r.values else graft.operators.PiiOps.Kinds
+      Some(col(r.column.get).isNull ||
+        !graft.operators.PiiOps.hasAny(col(r.column.get), kinds))
     case RuleKind.Referential if r.values.nonEmpty =>
       // small fixed dictionary ⇒ pure `isin` predicate: stays in the scan,
       // no join at all (string.py:77-79 fixed-categories semantics).

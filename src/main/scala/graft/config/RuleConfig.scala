@@ -29,11 +29,12 @@ object RuleKind {
   case object Stats       extends RuleKind // profile-only (no pass/fail)
   case object Frequent    extends RuleKind // top-k values + dominance bound
   case object Duplicate   extends RuleKind // content duplication share bound
+  case object Pii         extends RuleKind // text must carry no PII spans
   def parse(s: String): RuleKind = s match {
     case "schema" => Schema; case "not_null" => NotNull; case "range" => Range
     case "token_range" => TokenRange; case "expr" => Expr; case "unique" => Unique
     case "referential" => Referential; case "drift" => Drift; case "stats" => Stats
-    case "frequent" => Frequent; case "duplicate" => Duplicate
+    case "frequent" => Frequent; case "duplicate" => Duplicate; case "pii" => Pii
     case other => throw ConfigError(s"unknown rule kind '$other'")
   }
 }
@@ -116,6 +117,15 @@ final case class RuleSpec(
         if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
         maxShare.foreach(s => if (s <= 0.0 || s > 1.0)
           throw ConfigError(s"rule '$name': max_share must be in (0, 1]"))
+      case RuleKind.Pii =>
+        // `values` selects the detector kinds (default: all) — unknown
+        // detector names fail at load, not as a silent no-op filter
+        if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
+        val known = graft.operators.PiiOps.Patterns.keySet
+        val bad = values.filterNot(known)
+        if (bad.nonEmpty) throw ConfigError(
+          s"rule '$name': unknown pii kind(s) ${bad.mkString(",")} " +
+            s"(known: ${graft.operators.PiiOps.Kinds.mkString(",")})")
       case RuleKind.Duplicate =>
         if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
         method.foreach(m => if (!Set("exact", "minhash", "simhash")(m))

@@ -12,6 +12,7 @@ import org.apache.spark.sql.SparkSession
   *     [--rules <suite.yaml>]             YAML row rules as the quality gate
   *     [--pack-budget N]                  stage-6 token packing of train
   *     [--vocab <vocab.txt>]              exact wordpiece pack weights
+  *     [--pii email,phone,ip,key]         optional pii stage + redaction
   *     [--stream-col source]
   *     [--train-frac 0.9] [--val-frac 0.05]
   *     [--text-col text] [--id-col doc_id]
@@ -76,7 +77,11 @@ object CurationMain {
       packBudget = opts.get("pack-budget").map(_.toLong),
       streamCol = opts.getOrElse("stream-col", "source"),
       vocab = opts.get("vocab")
-        .map(p => graft.operators.TextOps.loadVocab(spark, p)))
+        .map(p => graft.operators.TextOps.loadVocab(spark, p)),
+      // --pii kind[,kind...]: insert the pii decision stage and redact
+      // flagged documents at final materialization (kinds validated here)
+      piiKinds = opts.get("pii")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
     val docs = spark.read.parquet(opts("docs"))
     val bench = opts.get("bench").map(spark.read.parquet(_))
     val manifest = opts("manifest")

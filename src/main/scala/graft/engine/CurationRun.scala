@@ -38,12 +38,17 @@ import graft.operators.{Dedup, Sampling, TextOps}
 object CurationRun {
 
   /** Base stage order. Each consumes only durable artifacts of earlier
-    * stages. A configured `packBudget` appends the optional `pack` stage. */
+    * stages. A configured `packBudget` appends the optional `pack` stage;
+    * configured `piiKinds` inserts the optional `pii` stage after quality. */
   val Stages: Seq[String] = Seq("quality", "contam", "pairs", "clusters", "final")
 
-  /** The effective stage list for a config (pack only when requested). */
-  def stagesFor(cfg: CurationConfig): Seq[String] =
-    if (cfg.packBudget.isDefined) Stages :+ "pack" else Stages
+  /** The effective stage list for a config (pii / pack only when requested). */
+  def stagesFor(cfg: CurationConfig): Seq[String] = {
+    val base =
+      if (cfg.piiKinds.isDefined) Seq("quality", "pii") ++ Stages.drop(1)
+      else Stages
+    if (cfg.packBudget.isDefined) base :+ "pack" else base
+  }
 
   final case class StageResult(
       stage: String, rows: Long, contentHash: Long, wallMs: Long,
@@ -78,12 +83,21 @@ object CurationRun {
       streamCol: String = "source",
       /** wordpiece vocabulary: when set, packing weighs documents by the
         * EXACT greedy token count instead of `n_chars` — honest budgets. */
-      vocab: Option[Seq[String]] = None) {
+      vocab: Option[Seq[String]] = None,
+      /** enable the optional `pii` stage: detect the listed kinds
+        * ([[graft.operators.PiiOps.Kinds]]) over the quality survivors and
+        * REDACT flagged documents' text in the final materialization. The
+        * stage artifact is the narrow decision list (id + per-kind
+        * replacement counts); mining stages run on the ORIGINAL text (the
+        * near-dup relation must not be perturbed by `[KIND]` token
+        * substitution), redaction applies once, at the corpus-scale write. */
+      piiKinds: Option[Seq[String]] = None) {
     require(Set("exact", "minhash", "simhash")(method),
       s"unknown curation dedup method '$method'")
     require(packBudget.forall(_ > 0), "packBudget must be positive")
     require(!verifyExact || method == "minhash",
       "verifyExact applies to method=minhash only")
+    piiKinds.foreach(ks => graft.operators.PiiOps.resolveKinds(ks))
   }
 
   def stageDir(outDir: String, runId: String, stage: String): String =
@@ -178,10 +192,26 @@ object CurationRun {
             .select(col(idc))
       }, Nil)
     }
-    if (!reached("contam")) return results.toSeq
-
     // corpus view after quality: semi-join against the durable keep list
     def corpusQ = docs.join(keep, Seq(idc), "left_semi")
+
+    if (cfg.piiKinds.isDefined && !reached("pii")) return results.toSeq
+
+    // ---- optional stage 1b: PII decision list — rows of the quality
+    // corpus whose RAW text matched any configured detector, with the
+    // per-kind replacement counts (the audit numbers). O(flagged), never a
+    // corpus copy; the rewrite itself happens in `final`. ----
+    val piiTags: Option[DataFrame] = cfg.piiKinds.map { ks0 =>
+      val ks = graft.operators.PiiOps.resolveKinds(ks0)
+      stage("pii") {
+        (corpusQ
+          .filter(graft.operators.PiiOps.hasAny(col(cfg.textCol), ks))
+          .withColumn("__pii", graft.operators.PiiOps.redact(col(cfg.textCol), ks))
+          .select(col(idc) +:
+            ks.map(k => col(s"__pii.n_$k").as(s"n_$k")): _*), Nil)
+      }
+    }
+    if (!reached("contam")) return results.toSeq
 
     // ---- stage 2: contaminated ids (benchmark n-gram overlap; tiny) ----
     val contamIds = stage("contam") {
@@ -241,11 +271,27 @@ object CurationRun {
     if (!reached("final")) return results.toSeq
 
     // ---- stage 5: final materialization — the ONE corpus-scale write:
-    // survivors + deterministic split ----
+    // survivors + deterministic split, with PII redaction applied to the
+    // rows the durable pii decision list flagged (the tag join is an AQE
+    // broadcast when the flagged set is small; the redaction regexes run
+    // only on flagged rows' text) ----
     val fin = stage("final") {
-      (corpusQC.join(dropList.select(col(idc)), Seq(idc), "left_anti")
+      val survivors = corpusQC
+        .join(dropList.select(col(idc)), Seq(idc), "left_anti")
         .withColumn("split",
-          Sampling.splitColumn(col(idc), cfg.trainFrac, cfg.valFrac)), Nil)
+          Sampling.splitColumn(col(idc), cfg.trainFrac, cfg.valFrac))
+      (piiTags match {
+        case Some(tags) =>
+          val ks = graft.operators.PiiOps.resolveKinds(cfg.piiKinds.get)
+          survivors
+            .join(tags.select(col(idc), lit(true).as("__redact")),
+              Seq(idc), "left")
+            .withColumn(cfg.textCol, when(col("__redact"),
+              graft.operators.PiiOps.redactText(col(cfg.textCol), ks))
+              .otherwise(col(cfg.textCol)))
+            .drop("__redact")
+        case None => survivors
+      }, Nil)
     }
     if (!reached("pack") || cfg.packBudget.isEmpty) return results.toSeq
 

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII detection + redaction — the standard first gate of a pretraining
+  * curation pipeline: emails, phone numbers, IPv4 addresses, and key-shaped
+  * secrets are detected (a row flag the validator's `pii` rule and the
+  * quarantine router consume) and redacted (span → `[KIND]` token, with
+  * per-kind counts for the audit trail).
+  *
+  * Reference seed: validation-predicates-as-declarative-config
+  * (models/features.py:13-30) — the detector set is a fixed, named predicate
+  * family selected per rule via YAML `values:`, like the reference's
+  * validator lists.
+  *
+  * Engine shape: every detector is a native regexp expression
+  * (`rlike` / `regexp_count` / `regexp_replace` — codegen'd Catalyst
+  * expressions, never a UDF), so detection rides the SAME whole-stage
+  * codegen'd flag scan as every other row rule: zero shuffle, zero extra
+  * passes, embarrassingly parallel at 100 TB.
+  *
+  * The patterns are deliberately restricted to the regex dialect shared by
+  * java.util.regex and RE2 (no lookarounds, no backreferences, ASCII
+  * classes, `\b` word boundaries) so the correctness oracle can replay every
+  * detection and redaction in DuckDB character-for-character.
+  */
+object PiiOps {
+
+  /** Detector kinds in REDACTION ORDER (redaction is sequential: each kind
+    * counts + rewrites the text the previous kinds already cleaned, so the
+    * per-kind counts sum exactly to the number of replacements made). */
+  val Kinds: Seq[String] = Seq("email", "phone", "ip", "key")
+
+  /** One regex per kind. Precision notes (curation-filter calibration —
+    * favor recall, the quarantine sink is reviewable):
+    *  - email: practical RFC-lite local@domain.tld
+    *  - phone: international +NNNNNNNNN (9-14 digits) or separator-structured
+    *    NNN-NNN-NNNN (separators ., -, space) — bare digit runs do NOT match
+    *    (token ids / counts in training text would false-positive)
+    *  - ip: dotted quad with word boundaries (loose octets: 999.0.0.1 still
+    *    redacts — over-redaction is the safe direction)
+    *  - key: AWS-style AKIA ids, >=32-char hex runs (API tokens, md5-shaped
+    *    secrets), or >=40-char base64 runs with optional padding */
+  val Patterns: Map[String, String] = Map(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "phone" -> """\+[0-9]{9,14}\b|\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b""",
+    "ip"    -> """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b""",
+    "key"   -> """\bAKIA[0-9A-Z]{16}\b|\b[0-9a-fA-F]{32,}\b|[A-Za-z0-9+/]{40,}={0,2}""")
+
+  /** Replacement token for a kind: `[EMAIL]`, `[PHONE]`, ... (bracketed, so
+    * a replacement can never re-match a later kind's charset). */
+  def token(kind: String): String = s"[${kind.toUpperCase}]"
+
+  private def pattern(kind: String): String =
+    Patterns.getOrElse(kind, throw new IllegalArgumentException(
+      s"unknown PII kind '$kind' (known: ${Kinds.mkString(",")})"))
+
+  /** Validate a kind list (fail-fast for YAML-driven callers). Returns the
+    * kinds in canonical redaction order. */
+  def resolveKinds(kinds: Seq[String]): Seq[String] = {
+    val bad = kinds.filterNot(Patterns.contains)
+    require(bad.isEmpty,
+      s"unknown PII kind(s) ${bad.mkString(",")} (known: ${Kinds.mkString(",")})")
+    require(kinds.nonEmpty, "PII kind list must be non-empty")
+    Kinds.filter(kinds.toSet)
+  }
+
+  /** Row flag: does the RAW text contain any span of `kind`? */
+  def hasKind(c: Column, kind: String): Column = c.rlike(pattern(kind))
+
+  /** Row flag: any of `kinds` present in the raw text (null text → null;
+    * the validator's null-coalescing flag discipline handles it). */
+  def hasAny(c: Column, kinds: Seq[String] = Kinds): Column =
+    resolveKinds(kinds).map(hasKind(c, _)).reduce(_ || _)
+
+  /** Match count of one kind over the given (possibly pre-redacted) text. */
+  def countKind(c: Column, kind: String): Column =
+    regexp_count(c, lit(pattern(kind)))
+
+  /** Sequential redaction: `struct(text, n_<kind>...)` where `text` is the
+    * fully redacted document and each `n_<kind>` counts the replacements
+    * that kind actually made (counted on the text as it stood when that
+    * kind's pass ran — the counts sum to the total number of rewritten
+    * spans, with no double counting across kinds).
+    *
+    * Pure nested native expressions: the shared intermediate texts are
+    * common subtrees that whole-stage codegen's subexpression elimination
+    * evaluates once (all regexp expressions here are codegen-capable, unlike
+    * HOF lambdas). Null text yields null fields. */
+  def redact(c: Column, kinds: Seq[String] = Kinds): Column = {
+    val ks = resolveKinds(kinds)
+    val (cleanCol, counts) = ks.foldLeft((c, Seq.empty[Column])) {
+      case ((t, acc), kind) =>
+        (regexp_replace(t, pattern(kind), token(kind)),
+          acc :+ countKind(t, kind).as(s"n_$kind"))
+    }
+    struct((cleanCol.as("text") +: counts): _*)
+  }
+
+  /** Just the redacted text (all configured kinds applied in order). */
+  def redactText(c: Column, kinds: Seq[String] = Kinds): Column =
+    redact(c, kinds).getField("text")
+}
