@@ -1189,6 +1189,34 @@ object OracleSql {
          |FROM v ORDER BY part""".stripMargin
     },
 
+    // incremental-validation replay: run B's verdicts over the mutated
+    // table per source, plus the carried flag — a partition carries iff it
+    // has no mutated rows (doc_id%20=3), no appended rows (%20>=18, absent
+    // from run A's slice), and both rules green (its run-A slice equals
+    // its run-B slice, so run-B verdicts replay run A's)
+    "v_incremental" ->
+      """WITH vb AS (SELECT doc_id, source, lang,
+        |    CASE WHEN doc_id % 20 = 3 THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |agg AS (SELECT source,
+        |    CAST(sum(CASE WHEN n_chars > 600 THEN 1 ELSE 0 END) AS BIGINT) AS v_chars,
+        |    CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_lang,
+        |    max(CASE WHEN doc_id % 20 = 3 THEN 1 ELSE 0 END) AS mutated,
+        |    max(CASE WHEN doc_id % 20 >= 18 THEN 1 ELSE 0 END) AS appended
+        |  FROM vb GROUP BY source),
+        |f AS (SELECT source, v_chars, v_lang,
+        |    (mutated = 0 AND appended = 0 AND v_chars = 0 AND v_lang = 0)
+        |      AS carried
+        |  FROM agg)
+        |SELECT source AS part, 'chars_ok' AS rule,
+        |  CASE WHEN v_chars > 0 THEN 'fail' ELSE 'pass' END AS verdict,
+        |  v_chars AS violations, carried FROM f
+        |UNION ALL
+        |SELECT source, 'lang_present',
+        |  CASE WHEN v_lang > 0 THEN 'fail' ELSE 'pass' END,
+        |  v_lang, carried FROM f""".stripMargin,
+
     "t_repetition" ->
       """WITH n AS (SELECT doc_id,
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,

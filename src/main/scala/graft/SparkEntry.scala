@@ -97,6 +97,11 @@ object SparkEntry {
   private val piiRuleVerdicts =
     new java.util.concurrent.atomic.AtomicReference[(String, Seq[(String, String, Long)])](null)
 
+  /** Same cache, for the incremental-validation verdict query (two
+    * Validator runs + a manifest temp dir per computation). */
+  private val incrVerdicts =
+    new java.util.concurrent.atomic.AtomicReference[(String, Seq[(String, String, String, Long, Boolean)])](null)
+
   /** Planted-PII fixture over `documents`: deterministic email/phone/IP/
     * key spans appended to the text by doc_id residues, replayable
     * character-for-character in the oracle. `contactGate` scopes the email
@@ -858,6 +863,63 @@ object SparkEntry {
           ruleDepVerdicts.set((d, v)); v
         }
       rows.toDF("part", "rule", "verdict")
+    }),
+
+    // cross-run incremental validation (snapshot-diff resume): run A
+    // validates the base slice (doc_id%20<18 sources) and records content
+    // fingerprints; run B sees the full table with one residue's n_chars
+    // mutated — unchanged green partitions CARRY their verdicts (files
+    // never rescanned; IncrementalSpec gates the scan), changed + new
+    // partitions revalidate. The oracle replays run B's verdicts AND the
+    // carried flag (no mutated rows, no appended rows, all rules green)
+    // per source in SQL; incremental == full re-run, hash-exact.
+    "v_incremental" -> ((s, d) => {
+      import s.implicits._
+      val rows =
+        Option(incrVerdicts.get()).filter(_._1 == d).map(_._2).getOrElse {
+          val docs = t(s, d, "documents")
+            .select(col("doc_id"), col("source"), col("n_chars"), col("lang"))
+          val va = docs.filter(pmod(col("doc_id"), lit(20)) < 18)
+          val vb = docs.withColumn("n_chars",
+            when(pmod(col("doc_id"), lit(20)) === 3, col("n_chars") + 1000)
+              .otherwise(col("n_chars")))
+          val cfg = graft.config.RuleConfig.loadYaml(
+            """table:
+              |  name: documents
+              |  partition_column: source
+              |  columns:
+              |    doc_id: {type: bigint, nullable: false}
+              |    source: {type: string, nullable: true}
+              |    n_chars: {type: bigint, nullable: true}
+              |    lang: {type: string, nullable: true}
+              |rules:
+              |  - name: chars_ok
+              |    description: n_chars bounded above
+              |    kind: range
+              |    column: n_chars
+              |    max: 600
+              |  - name: lang_present
+              |    description: lang must not be null
+              |    kind: not_null
+              |    column: lang
+              |""".stripMargin)
+          val mp = java.nio.file.Files
+            .createTempDirectory("graft-incr-q").toString + "/m"
+          graft.engine.Validator.run(s, va, cfg, "doc_id", "inc-a",
+            manifestPath = Some(mp), collectViolations = false)
+          graft.lineage.Manifest.recordFingerprints(s, mp, "inc-a",
+            graft.lineage.Fingerprints.fromContent(va, "source"))
+          val rep = graft.engine.Validator.runIncremental(s, vb, cfg,
+            "doc_id", "inc-b", mp, "inc-a",
+            graft.lineage.Fingerprints.fromContent(vb, "source"),
+            collectViolations = false)
+          val v = rep.results.filterNot(_.rule.startsWith("__"))
+            .map(r => (r.partition, r.rule, r.verdict, r.violationCount,
+              r.detail.contains("carried_from")))
+            .sortBy(r => (r._1, r._2))
+          incrVerdicts.set((d, v)); v
+        }
+      rows.toDF("part", "rule", "verdict", "violations", "carried")
     }),
 
     // `verify: exact` flips the verdict where the ESTIMATE is wrong: a

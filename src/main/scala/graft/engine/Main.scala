@@ -9,6 +9,14 @@ import graft.config.RuleConfig
   *     [--baseline-snapshot <dir>] [--snapshot-out <dir>]   (snapshot loop)
   *     [--violations-out <dir>] [--key doc_id]
   *     [--clean-out <dir> --quarantine-out <dir>]   (route mode)
+  *     [--since-run <id> [--fingerprint files|content]]     (incremental)
+  *
+  * --since-run: cross-run incremental validation — partitions whose input
+  * fingerprint matches <id>'s recorded one AND whose verdicts were all
+  * green there are carried forward (their files are never read);
+  * changed/new partitions revalidate. Requires --manifest. --fingerprint
+  * picks the diff key: `files` (file metadata, zero read — default) or
+  * `content` (per-partition content hash, one narrow scan).
   *
   * On a real cluster this is submitted with --master yarn/k8s; all
   * parallelism comes from the cluster manager + AQE. Local runs inherit
@@ -76,9 +84,33 @@ object Main {
     // uniqueness verdict and all partitions completed by earlier attempts —
     // sub-run results alone would miss both.
     val perPartition = opts.get("per-partition").exists(_.equalsIgnoreCase("true"))
+    // --since-run: compute this run's fingerprints and carry unchanged
+    // partitions' green verdicts forward BEFORE either execution mode; the
+    // per-partition path then resumes past them via the manifest, the
+    // whole-run path prunes them via runIncremental's resumeDone.
+    val incremental: Option[(String, Map[String, Long])] =
+      opts.get("since-run").map { since =>
+        opts.getOrElse("manifest", sys.error("--since-run requires --manifest"))
+        val fps = opts.getOrElse("fingerprint", "files") match {
+          case "files" => graft.lineage.Fingerprints.fromFiles(
+            spark, tablePath, cfg.partitionColumn)
+          case "content" => graft.lineage.Fingerprints.fromContent(
+            table, cfg.partitionColumn)
+          case other => sys.error(
+            s"--fingerprint must be files|content (got '$other')")
+        }
+        (since, fps)
+      }
     val report = if (perPartition) {
       val mp = opts.getOrElse("manifest",
         sys.error("--per-partition requires --manifest"))
+      incremental.foreach { case (since, fps) =>
+        val (carried, _, _) = Validator.carryUnchanged(
+          spark, graft.checks.Checks.resolveDictRules(spark, cfg), mp,
+          since, runId, fps)
+        println(s"incremental: carried=${carried.count(_.partition != "*")}" +
+          s" verdict rows from run $since")
+      }
       val reports = Validator.runPerPartition(spark, table, cfg, keyCol, runId,
         mp, baseline = baseline, violationsOut = opts.get("violations-out"),
         // bounded-parallel sub-runs (checkpoint granularity stays 1 partition)
@@ -107,14 +139,34 @@ object Main {
         .toSeq
       Validator.RunReport(runId, collapsed,
         spark.emptyDataFrame, reports.map(_.validatedRows).sum)
-    } else {
-      Validator.run(spark, table, cfg, keyCol, runId,
-        manifestPath = opts.get("manifest"), baseline = baseline,
-        violationsOut = opts.get("violations-out"),
-        // the drift snapshot loop: gate on run N's published histograms,
-        // publish this run's as run N+1's baseline (versioned dirs)
-        baselineSnapshot = opts.get("baseline-snapshot"),
-        snapshotOut = opts.get("snapshot-out"))
+    } else incremental match {
+      case Some((since, fps)) =>
+        Validator.runIncremental(spark, table, cfg, keyCol, runId,
+          opts("manifest"), since, fps, baseline = baseline,
+          violationsOut = opts.get("violations-out"),
+          baselineSnapshot = opts.get("baseline-snapshot"),
+          snapshotOut = opts.get("snapshot-out"))
+      case None =>
+        Validator.run(spark, table, cfg, keyCol, runId,
+          manifestPath = opts.get("manifest"), baseline = baseline,
+          violationsOut = opts.get("violations-out"),
+          // the drift snapshot loop: gate on run N's published histograms,
+          // publish this run's as run N+1's baseline (versioned dirs)
+          baselineSnapshot = opts.get("baseline-snapshot"),
+          snapshotOut = opts.get("snapshot-out"))
+    }
+    // every manifested run leaves a diff base: record this run's input
+    // fingerprints so a later `--since-run <this run-id>` can carry its
+    // green verdicts (with --since-run the carry step recorded them
+    // already). `files` mode unless --fingerprint content was chosen.
+    if (incremental.isEmpty) opts.get("manifest").foreach { mp =>
+      val fps = opts.getOrElse("fingerprint", "files") match {
+        case "content" => graft.lineage.Fingerprints.fromContent(
+          table, cfg.partitionColumn)
+        case _ => graft.lineage.Fingerprints.fromFiles(
+          spark, tablePath, cfg.partitionColumn)
+      }
+      graft.lineage.Manifest.recordFingerprints(spark, mp, runId, fps)
     }
     // --compact true: fold the manifest's append-files into one parquet
     // after the run — at 10^4 partitions × per-partition appends the
@@ -122,12 +174,15 @@ object Main {
     // read (rename-aside compaction is crash-consistent; Manifest.compact)
     if (opts.get("compact").exists(_.equalsIgnoreCase("true")))
       opts.get("manifest").foreach(mp => graft.lineage.Manifest.compact(spark, mp))
-    report.results.sortBy(r => (r.rule, r.partition)).foreach { r =>
+    // "__"-prefixed pseudo-rules (input fingerprints) are lineage metadata,
+    // not verdicts — keep them out of the report and the exit code
+    val visible = report.results.filterNot(_.rule.startsWith("__"))
+    visible.sortBy(r => (r.rule, r.partition)).foreach { r =>
       println(f"${r.rule}%-24s ${r.partition}%-10s ${r.verdict}%-5s " +
         f"rows=${r.rowCount}%-10d viol=${r.violationCount}%-8d ${r.detail}")
     }
-    val failed = report.results.count(_.verdict == "fail")
-    println(s"validated=${report.validatedRows} rules=${report.results.size} failed=$failed")
+    val failed = visible.count(_.verdict == "fail")
+    println(s"validated=${report.validatedRows} rules=${visible.size} failed=$failed")
     spark.stop()
     if (failed > 0) sys.exit(2)
   }

@@ -342,6 +342,188 @@ object Validator {
     } finally routed.unpersist()
   }
 
+  /** Cross-RUN incremental validation, step 1: carry unchanged partitions'
+    * GREEN verdicts forward from `sinceRunId` into `runId`.
+    *
+    * A partition is carriable when (a) its CURRENT input fingerprint equals
+    * the one `sinceRunId` recorded ([[graft.lineage.Fingerprints]]), and
+    * (b) every per-partition rule of the suite recorded `pass` for it in
+    * that run (a failed or skipped partition always revalidates — carrying
+    * a failure would hide a fix, carrying a skip would hide the dep).
+    * Carried rows append to the manifest under the NEW runId with
+    * `carried_from=<sinceRunId>` in the detail, so the new run's manifest
+    * is a complete verdict table by itself — which is what makes the
+    * incremental run's verdicts hash-equal to a full re-run's.
+    *
+    * Global rules: the schema "*" row carries when green (plan-time; any
+    * changed partition's sub-run re-checks it — and with NO changed
+    * partition the schema cannot have changed either, since parquet schema
+    * lives in the data files the fingerprints cover). Uniqueness/duplicate
+    * "*" rows carry ONLY when every current partition is carriable AND the
+    * prior table had the same partition set (content spans partitions, so
+    * any change — including a dropped partition — invalidates them);
+    * otherwise they re-mine.
+    *
+    * Current fingerprints for ALL partitions are also recorded under
+    * `runId` (the next run's diff base). Returns
+    * (carried results, carried partition set, allCarried). */
+  def carryUnchanged(
+      spark: SparkSession,
+      cfg: SuiteConfig,
+      manifestPath: String,
+      sinceRunId: String,
+      runId: String,
+      fingerprints: Map[String, Long]): (Seq[RuleResult], Set[String], Boolean) = {
+    val prior = Manifest.read(spark, manifestPath)
+      .filter(col("runId") === sinceRunId).collect()
+      .map(r => Manifest.Entry(sinceRunId, r.getAs[String]("partition"),
+        r.getAs[String]("rule"), r.getAs[String]("verdict"),
+        r.getAs[Long]("rowCount"), r.getAs[Long]("violationCount"),
+        r.getAs[Long]("contentHash"), r.getAs[Long]("wallMs"),
+        r.getAs[String]("detail"))).toSeq
+    val priorFps: Map[String, Long] = prior
+      .filter(_.rule == Manifest.InputFingerprintRule)
+      .map(e => e.partition -> e.contentHash).toMap
+    // duplicate (partition, rule) appends collapse by the manifest's
+    // verdict precedence (fail > skipped > pass) — a carried verdict must
+    // be as conservative as a resumed one
+    val priorVerdicts: Map[(String, String), String] = prior
+      .filter(_.rule != Manifest.InputFingerprintRule)
+      .groupBy(e => (e.partition, e.rule))
+      .map { case (k, es) =>
+        val seen = es.map(_.verdict).toSet
+        k -> Seq("fail", "skipped", "pass").find(seen.contains)
+          .getOrElse(es.head.verdict)
+      }
+    val globalKinds: Set[RuleKind] =
+      Set(RuleKind.Schema, RuleKind.Unique, RuleKind.Duplicate)
+    val perPartRules = cfg.rules.filterNot(r => globalKinds(r.kind))
+    def greenFor(p: String, rule: String): Boolean =
+      priorVerdicts.get((p, rule)).orElse(priorVerdicts.get(("*", rule)))
+        .contains("pass")
+    val carried = fingerprints.keySet.filter { p =>
+      priorFps.get(p).contains(fingerprints(p)) &&
+        perPartRules.forall(r => greenFor(p, r.name))
+    }
+    val allCarried = carried == fingerprints.keySet &&
+      priorFps.keySet == fingerprints.keySet
+    // rows to carry: each carriable partition's own per-partition rows,
+    // the green schema rows, and — table fully unchanged — the green
+    // unique/duplicate rows. Content-spanning rules (unique/duplicate)
+    // carry ALL their row shapes ("*" from per-partition mode, per-
+    // partition pass rows from run()) but only when every partition is
+    // unchanged: a single changed partition can create a cross-partition
+    // duplicate, so any change re-mines them. Schema ("*"-only) carries
+    // whenever green: parquet schema lives in the data files the
+    // fingerprints cover, and any changed partition's run re-checks it.
+    val globalCarryRules = cfg.rules.filter { r =>
+      val rows = priorVerdicts.filter { case ((_, rule), _) => rule == r.name }
+      globalKinds(r.kind) && rows.nonEmpty &&
+        rows.values.forall(_ == "pass") &&
+        (r.kind == RuleKind.Schema || allCarried)
+    }.map(_.name).toSet
+    val carryRows = prior.filter { e =>
+      (perPartRules.exists(_.name == e.rule) &&
+        (carried.contains(e.partition) ||
+          // a per-partition-kind rule's green "*" row (a drift rule with
+          // no baseline records one) covers every partition — carry it or
+          // resume gating can never see a partition as complete
+          (e.partition == "*" &&
+            priorVerdicts.get(("*", e.rule)).contains("pass")))) ||
+      globalCarryRules.contains(e.rule)
+    }.groupBy(e => (e.partition, e.rule)).map(_._2.head).toSeq
+      // dedupe: a global row re-recorded by N sub-runs must not compound
+      // N copies per carried generation (all candidates are green — the
+      // red/skipped shapes never reach the carry filter)
+      .map(e => e.copy(runId = runId,
+        detail = (if (e.detail.isEmpty) "" else e.detail + ";") +
+          s"carried_from=$sinceRunId"))
+    // one append: carried verdicts + this run's fingerprint rows (recorded
+    // NOW so even a crashed incremental run leaves a usable diff base for
+    // partitions it carried; revalidated partitions' verdicts follow from
+    // the run itself)
+    Manifest.append(spark, manifestPath, carryRows ++
+      fingerprints.toSeq.map { case (p, fp) =>
+        Manifest.Entry(runId, p, Manifest.InputFingerprintRule, "pass",
+          0L, 0L, fp, 0L, s"since=$sinceRunId")
+      })
+    val results = carryRows.map(e => RuleResult(e.partition, e.rule,
+      e.verdict, e.rowCount, e.violationCount, e.contentHash, 0L, e.detail))
+    (results, carried, allCarried)
+  }
+
+  /** Cross-RUN incremental validation: validate only partitions whose
+    * input changed since `sinceRunId` (fingerprint diff), carrying
+    * unchanged partitions' green verdicts forward — the whole-table
+    * analogue of manifest resume, across runs instead of within one.
+    * Unchanged partitions are pruned BEFORE the scan (partition pruning:
+    * their files are never read); with nothing changed the global
+    * mining rules are carried too and the run touches zero table data.
+    * The merged report is verdict-for-verdict what a full re-run would
+    * produce (v_incremental pins this hash-exactly). */
+  def runIncremental(
+      spark: SparkSession,
+      table: DataFrame,
+      cfg0: SuiteConfig,
+      keyCol: String,
+      runId: String,
+      manifestPath: String,
+      sinceRunId: String,
+      fingerprints: Map[String, Long],
+      baseline: Option[DataFrame] = None,
+      collectViolations: Boolean = true,
+      maxViolationExamples: Option[Int] = None,
+      violationsOut: Option[String] = None,
+      baselineSnapshot: Option[String] = None,
+      snapshotOut: Option[String] = None): RunReport = {
+    val cfg = Checks.resolveDictRules(spark, cfg0)
+    val (carriedResults, carriedParts, allCarried) =
+      carryUnchanged(spark, cfg, manifestPath, sinceRunId, runId, fingerprints)
+    // fully unchanged table: the carried global-rule rows (schema "*";
+    // unique/duplicate in any row shape) stand in for the rules — drop
+    // them from the executing suite so the run launches no global scan
+    val carriedRuleNames = carriedResults.map(_.rule).toSet
+    val runCfg =
+      if (allCarried)
+        cfg.copy(rules = cfg.rules.filterNot(r =>
+          Set[RuleKind](RuleKind.Schema, RuleKind.Unique, RuleKind.Duplicate)
+            .contains(r.kind) && carriedRuleNames.contains(r.name)))
+      else cfg
+    val rep = run(spark, table, runCfg, keyCol, runId,
+      manifestPath = Some(manifestPath), baseline = baseline,
+      collectViolations = collectViolations,
+      maxViolationExamples = maxViolationExamples,
+      violationsOut = violationsOut,
+      baselineSnapshot = baselineSnapshot, snapshotOut = snapshotOut,
+      resumeDone = Some(carriedParts))
+    // a carried "*" row whose rule ALSO executed (schema re-check on a
+    // partially-changed table) must not appear twice in the report — the
+    // fresh verdict wins (manifest-side duplicates collapse by precedence)
+    val freshRules = runCfg.rules.map(_.name).toSet
+    val carriedForReport = carriedResults.filterNot(c =>
+      c.partition == "*" && freshRules.contains(c.rule))
+    // full-run parity for re-mined uniqueness on a partially-changed
+    // table: run() emits per-partition PASS rows only for partitions the
+    // pruned row scan saw, so carried partitions the global dup count
+    // cleared would silently lack their verdict row — synthesize it (fail
+    // rows, if any, came out of the unpruned mining already)
+    val freshByRule = rep.results.groupBy(_.rule)
+    val uniquePassFill = runCfg.rules
+      .filter(_.kind == RuleKind.Unique).flatMap { r =>
+        val have = freshByRule.getOrElse(r.name, Nil).map(_.partition).toSet
+        (carriedParts -- have).toSeq.sorted.map(p =>
+          RuleResult(p, r.name, "pass", 0L, 0L, 0L, 0L, "global_recheck"))
+      }
+    // the filled rows are verdicts too — they belong in the manifest like
+    // every other verdict this run produced
+    if (uniquePassFill.nonEmpty)
+      Manifest.append(spark, manifestPath, uniquePassFill.map(rr =>
+        Manifest.Entry(runId, rr.partition, rr.rule, rr.verdict, rr.rowCount,
+          rr.violationCount, rr.contentHash, rr.wallMs, rr.detail)))
+    RunReport(runId, carriedForReport ++ rep.results ++ uniquePassFill,
+      rep.violations, rep.validatedRows)
+  }
+
   /** Partition-granular checkpointed execution: validates one table
     * partition per job, appending the manifest AFTER each — so a crash at
     * any point loses at most one partition of work and the re-run with the

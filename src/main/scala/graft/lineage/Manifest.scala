@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Manifest {
 
+  /** Reserved pseudo-rule recording each partition's INPUT fingerprint
+    * (Fingerprints.fromFiles / fromContent) under a run — the snapshot-diff
+    * key cross-run incremental validation compares. The "__" prefix keeps
+    * it out of user rule namespaces; report printers filter it. */
+  val InputFingerprintRule = "__input_fingerprint"
+
   final case class Entry(
       runId: String,
       partition: String,
@@ -67,6 +73,17 @@ object Manifest {
         entries.toDF().coalesce(1).write.mode(SaveMode.Append)
           .partitionBy("runId").parquet(path)
     }
+
+  /** Record per-partition input fingerprints under a run (rule =
+    * [[InputFingerprintRule]]) — the diff base a later `--since-run` of
+    * this run compares against. Validator.carryUnchanged records the new
+    * run's fingerprints itself; use this to give a FULL (non-incremental)
+    * run a diff base. */
+  def recordFingerprints(spark: SparkSession, path: String, runId: String,
+      fps: Map[String, Long], note: String = ""): Unit =
+    append(spark, path, fps.toSeq.map { case (p, fp) =>
+      Entry(runId, p, InputFingerprintRule, "pass", 0L, 0L, fp, 0L, note)
+    })
 
   /** Read the manifest. A missing path (first run) yields an empty frame;
     * any OTHER failure (corrupt files, transient I/O) PROPAGATES — Main's

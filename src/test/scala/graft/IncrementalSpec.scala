@@ -1,0 +1,258 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Validator
+import graft.lineage.{Fingerprints, Manifest}
+
+/** Cross-run incremental validation: fingerprint diff, verdict carry,
+  * partition-pruned revalidation (changed partitions' files only). */
+class IncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val yaml =
+    """table:
+      |  name: docs
+      |  partition_column: source
+      |  columns:
+      |    doc_id: {type: bigint, nullable: false}
+      |    n_tok: {type: bigint, nullable: true}
+      |    source: {type: string, nullable: false}
+      |rules:
+      |  - name: tok_ok
+      |    description: n_tok bounded above
+      |    kind: range
+      |    column: n_tok
+      |    max: 100
+      |  - name: id_present
+      |    description: doc_id must not be null
+      |    kind: not_null
+      |    column: doc_id
+      |""".stripMargin
+
+  private def mkDocs(nParts: Int, mutate: Set[Int] = Set.empty) = {
+    // 40 rows per partition in CONTIGUOUS id blocks (partition p_k = ids
+    // [40k, 40k+40)) so growing nParts appends new partitions without
+    // touching existing ones; mutated partitions' n_tok jumps the bound
+    val part = floor(col("id") / 40L).cast("long")
+    spark.range(nParts * 40L).select(
+      col("id").as("doc_id"),
+      (pmod(col("id"), lit(40)) + 1 +
+        when(part.isin(mutate.toSeq.map(_.toLong): _*), 200L).otherwise(0L))
+        .as("n_tok"),
+      concat(lit("p"), part).as("source"))
+  }
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  test("file fingerprints: stable, mtime-sensitive, hidden files ignored") {
+    val dir = tmp("graft-fp")
+    mkDocs(3).write.partitionBy("source").parquet(s"$dir/t")
+    val f1 = Fingerprints.fromFiles(spark, s"$dir/t", "source")
+    assert(f1.keySet == Set("p0", "p1", "p2"))
+    assert(f1 == Fingerprints.fromFiles(spark, s"$dir/t", "source"))
+    // hidden marker files don't dirty a partition
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/t/source=p1/_marker"),
+      "x".getBytes)
+    assert(Fingerprints.fromFiles(spark, s"$dir/t", "source") == f1)
+    // dynamic overwrite of ONE partition changes only that fingerprint
+    mkDocs(3, mutate = Set(2)).filter(col("source") === "p2")
+      .write.mode("overwrite").partitionBy("source")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$dir/t")
+    val f2 = Fingerprints.fromFiles(spark, s"$dir/t", "source")
+    assert(f2("p0") == f1("p0") && f2("p1") == f1("p1") &&
+      f2("p2") != f1("p2"))
+    assert(Fingerprints.decodeHiveValue("a%2Fb%20c") == "a/b c")
+    assert(Fingerprints.decodeHiveValue("__HIVE_DEFAULT_PARTITION__") == "<null>")
+  }
+
+  test("content fingerprints: order-insensitive, change-sensitive") {
+    val a = mkDocs(3)
+    val f1 = Fingerprints.fromContent(a, "source")
+    assert(f1 == Fingerprints.fromContent(a.repartition(7), "source"))
+    val f2 = Fingerprints.fromContent(mkDocs(3, mutate = Set(1)), "source")
+    assert(f2("p0") == f1("p0") && f2("p1") != f1("p1"))
+  }
+
+  test("incremental run: carries unchanged green, revalidates changed+new, " +
+      "matches full run, scans only changed partitions") {
+    val dir = tmp("graft-inc")
+    val cfg = graft.config.RuleConfig.loadYaml(yaml)
+    val mp = s"$dir/m"
+    // run A over 4 partitions, all green
+    val va = mkDocs(4)
+    Validator.run(spark, va, cfg, "doc_id", "a", manifestPath = Some(mp),
+      collectViolations = false)
+    Manifest.recordFingerprints(spark, mp, "a",
+      Fingerprints.fromContent(va, "source"))
+    // run B input: partition p1 mutated (now fails tok_ok), p4/new appended
+    val vb = mkDocs(5, mutate = Set(1))
+    val fpsB = Fingerprints.fromContent(vb, "source")
+
+    // record scanned rows during the incremental run only
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val repB =
+      try {
+        val r = Validator.runIncremental(spark, vb, cfg, "doc_id", "b", mp,
+          "a", fpsB, collectViolations = false)
+        Thread.sleep(1500) // listener bus is async; drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // NOTE: vb is an in-memory range plan (no file scan records), so
+    // recordsRead gates nothing here — the pruning gate is the file-backed
+    // test below; this one pins verdict semantics.
+
+    val got = repB.results.filterNot(_.rule.startsWith("__"))
+      .map(r => (r.partition, r.rule, r.verdict, r.violationCount,
+        r.detail.contains("carried_from"))).toSet
+    // full (non-incremental) run over vb for comparison
+    val full = Validator.run(spark, vb, cfg, "doc_id", "full", // no manifest
+      collectViolations = false)
+      .results.map(r => (r.partition, r.rule, r.verdict, r.violationCount))
+      .toSet
+    assert(got.map(t => (t._1, t._2, t._3, t._4)) == full,
+      s"incremental verdicts diverge:\n got=$got\n full=$full")
+    // carried exactly: unchanged green partitions p0, p2, p3 (both rules)
+    val carried = got.filter(_._5).map(t => (t._1, t._2))
+    assert(carried == Set("p0", "p2", "p3").flatMap(p =>
+      Seq((p, "tok_ok"), (p, "id_present"))), s"carried=$carried")
+    // revalidated: p1 red on tok_ok (40 rows over bound), p4 green fresh
+    assert(got.contains(("p1", "tok_ok", "fail", 40L, false)))
+    assert(got.contains(("p4", "tok_ok", "pass", 0L, false)))
+  }
+
+  test("incremental with a unique rule: fresh + carried + filled rows " +
+      "reproduce the full run exactly, in both change shapes") {
+    val yaml2 = yaml +
+      """  - name: ids_unique
+        |    description: doc_id is globally unique
+        |    kind: unique
+        |    column: doc_id
+        |""".stripMargin
+    val cfg = graft.config.RuleConfig.loadYaml(yaml2)
+    val dir = tmp("graft-inc-u")
+    val mp = s"$dir/m"
+    val va = mkDocs(4)
+    Validator.run(spark, va, cfg, "doc_id", "a", manifestPath = Some(mp),
+      collectViolations = false)
+    Manifest.recordFingerprints(spark, mp, "a",
+      Fingerprints.fromContent(va, "source"))
+    def verdictSet(rep: Validator.RunReport) =
+      rep.results.filterNot(_.rule.startsWith("__"))
+        .map(r => (r.partition, r.rule, r.verdict, r.violationCount)).toSet
+    // partial change: p1 mutated — uniqueness re-mines globally, carried
+    // partitions get their pass verdicts via the fill
+    val vb = mkDocs(4, mutate = Set(1))
+    val repB = Validator.runIncremental(spark, vb, cfg, "doc_id", "b", mp,
+      "a", Fingerprints.fromContent(vb, "source"), collectViolations = false)
+    val fullB = Validator.run(spark, vb, cfg, "doc_id", "fullB",
+      collectViolations = false)
+    assert(verdictSet(repB) == verdictSet(fullB),
+      s"\n inc=${verdictSet(repB)}\n full=${verdictSet(fullB)}")
+    // no change at all: unique rows carry too (allCarried) — run over the
+    // all-green table vc, then repeat unchanged
+    val vc = mkDocs(4)
+    val mp2 = s"$dir/m2"
+    Validator.run(spark, vc, cfg, "doc_id", "c", manifestPath = Some(mp2),
+      collectViolations = false)
+    Manifest.recordFingerprints(spark, mp2, "c",
+      Fingerprints.fromContent(vc, "source"))
+    val repD = Validator.runIncremental(spark, vc, cfg, "doc_id", "d", mp2,
+      "c", Fingerprints.fromContent(vc, "source"), collectViolations = false)
+    val fullD = Validator.run(spark, vc, cfg, "doc_id", "fullD",
+      collectViolations = false)
+    assert(verdictSet(repD) == verdictSet(fullD))
+    assert(repD.results.filterNot(_.rule.startsWith("__"))
+      .forall(_.detail.contains("carried_from")), "expected a full carry")
+  }
+
+  test("file-backed incremental: unchanged partitions' files never read; " +
+      "nothing-changed run reads zero rows") {
+    val dir = tmp("graft-inc-f")
+    val cfg = graft.config.RuleConfig.loadYaml(yaml)
+    val mp = s"$dir/m"
+    mkDocs(4).write.partitionBy("source").parquet(s"$dir/t")
+    val ta = spark.read.parquet(s"$dir/t")
+    Validator.run(spark, ta, cfg, "doc_id", "a", manifestPath = Some(mp),
+      collectViolations = false)
+    Manifest.recordFingerprints(spark, mp, "a",
+      Fingerprints.fromFiles(spark, s"$dir/t", "source"))
+    // overwrite ONE partition (p2) in place; p0/p1/p3 untouched on disk
+    mkDocs(4, mutate = Set(2)).filter(col("source") === "p2")
+      .write.mode("overwrite").partitionBy("source")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$dir/t")
+
+    val recs = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recs.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    val tb = spark.read.parquet(s"$dir/t")
+    val fpsB = Fingerprints.fromFiles(spark, s"$dir/t", "source")
+    spark.sparkContext.addSparkListener(listener)
+    val repB =
+      try {
+        val r = Validator.runIncremental(spark, tb, cfg, "doc_id", "b", mp,
+          "a", fpsB, collectViolations = false)
+        Thread.sleep(1500) // listener bus is async; drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // the changed partition's 40 rows are scanned (one flag pass); the
+    // carried partitions' 120 rows are NOT (their directories are pruned).
+    // recordsRead also counts the manifest read (run A recorded 8 verdict
+    // + 4 fingerprint rows), so gate with that slack: any carried
+    // partition leaking into the scan would add 40+.
+    assert(recs.get() >= 40L && recs.get() <= 52L,
+      s"expected only p2's 40 rows (+<=12 manifest rows), got ${recs.get()}")
+    assert(repB.results.exists(r =>
+      r.partition == "p2" && r.rule == "tok_ok" && r.verdict == "fail"))
+    assert(repB.results.count(_.detail.contains("carried_from")) == 6) // 3 parts x 2 rules
+
+    // run C: p2 repaired in place (fingerprint changes again) — an
+    // unchanged-but-RED partition would also land here: red never carries
+    mkDocs(4).filter(col("source") === "p2")
+      .write.mode("overwrite").partitionBy("source")
+      .option("partitionOverwriteMode", "dynamic").parquet(s"$dir/t")
+    val tc = spark.read.parquet(s"$dir/t")
+    val repC = Validator.runIncremental(spark, tc, cfg, "doc_id", "c", mp,
+      "b", Fingerprints.fromFiles(spark, s"$dir/t", "source"),
+      collectViolations = false)
+    assert(repC.results.exists(r =>
+      r.partition == "p2" && r.rule == "tok_ok" && r.verdict == "pass" &&
+        !r.detail.contains("carried_from")))
+
+    // run D with NOTHING changed since C: all carried, ZERO rows read
+    val fpsD = Fingerprints.fromFiles(spark, s"$dir/t", "source")
+    val recs2 = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener2 = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          recs2.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener2)
+    val repD =
+      try {
+        val r = Validator.runIncremental(spark, tc, cfg, "doc_id", "d", mp,
+          "c", fpsD, collectViolations = false)
+        Thread.sleep(1500) // listener bus is async; drain
+        r
+      } finally spark.sparkContext.removeSparkListener(listener2)
+    // zero TABLE rows read: only the manifest read remains (<=36 tiny
+    // lineage rows across the three prior runs; any table scan adds 40+)
+    assert(recs2.get() <= 36L,
+      s"nothing changed but ${recs2.get()} rows read (table scan leaked in)")
+    val dRows = repD.results.filterNot(_.rule.startsWith("__"))
+    assert(dRows.size == 8 && dRows.forall(r =>
+      r.detail.contains("carried_from") && r.verdict == "pass"), dRows)
+  }
+}
