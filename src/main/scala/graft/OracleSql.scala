@@ -445,6 +445,37 @@ object OracleSql {
     // channels alternate 1/2, frames = 1000 + 37i, duration truncates to
     // whole ms (engine: Long division) — the RIFF parse itself is
     // engine-side
+    // PCM stats replay: the fixture samples are pure integer functions of
+    // (doc, sample index), so the integer accumulators (n, Σs², clipped,
+    // silent, peak) replay EXACTLY; rms/ratios are then single IEEE double
+    // ops on those integers — identical bits in both engines
+    "mm_audio_stats" ->
+      """WITH docs AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 12) t(i)),
+        |samples AS (
+        |  SELECT d.i, j,
+        |    CASE
+        |      WHEN d.i % 3 = 0 THEN ((j * 1103 + d.i * 7) % 65536) - 32768
+        |      WHEN d.i % 3 = 1 THEN CASE WHEN j % 5 = 0 THEN 32767
+        |        WHEN j % 7 = 0 THEN -32768
+        |        ELSE ((j * 257 + d.i) % 20000) - 10000 END
+        |      ELSE CASE WHEN j % 50 = 0 THEN 250 + (d.i % 100) ELSE 0 END
+        |    END AS s
+        |  FROM docs d, range(0, 643) r(j)
+        |  WHERE j < 500 + 13 * d.i),
+        |agg AS (SELECT i AS doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+        |    CAST(sum(CASE WHEN abs(s) >= 32767 THEN 1 ELSE 0 END) AS BIGINT) AS clipped,
+        |    CAST(sum(CASE WHEN abs(s) <= 327 THEN 1 ELSE 0 END) AS BIGINT) AS silent,
+        |    CAST(max(abs(s)) AS INT) AS peak
+        |  FROM samples GROUP BY 1)
+        |SELECT doc_id, n_samples, sum_sq, clipped, silent, peak,
+        |  round(sqrt(CAST(sum_sq AS DOUBLE) / n_samples) / 32768.0, 6) AS rms,
+        |  round(CAST(clipped AS DOUBLE) / n_samples, 6) AS clip_frac,
+        |  round(CAST(silent AS DOUBLE) / n_samples, 6) AS silence_ratio,
+        |  round(CAST(peak AS DOUBLE) / 32768.0, 6) AS peak_frac
+        |FROM agg""".stripMargin,
+
     "mm_audio_decode" ->
       """WITH p AS (
         |  SELECT i,

@@ -1875,6 +1875,47 @@ object SparkEntry {
     // decode must recover sample rate, channels, PCM frame count, and
     // duration from the actual container bytes (the oracle replays only the
     // arithmetic; the RIFF chunk walk is entirely engine-side)
+    // REAL PCM payload stats: WAV `data` is raw codec-free samples, so
+    // clipping fraction / RMS / silence ratio — the audio analogue of the
+    // text quality score — parse with zero dependencies. Fixtures plant
+    // three integer-derived shapes (full-range sawtooth, clipped, mostly
+    // silent); stats accumulate as INTEGERS (exact in both engines) and
+    // the float derivations are single IEEE ops — hash-exact replay.
+    "mm_audio_stats" -> ((s, d) => {
+      import s.implicits._
+      val rows = (0 until 12).map { i =>
+        val n = 500 + 13 * i
+        val samples = Array.tabulate(n) { j =>
+          (i % 3 match {
+            case 0 => ((j * 1103 + i * 7) % 65536) - 32768
+            case 1 =>
+              if (j % 5 == 0) 32767
+              else if (j % 7 == 0) -32768
+              else ((j * 257 + i) % 20000) - 10000
+            case _ => if (j % 50 == 0) 250 + (i % 100) else 0
+          }).toShort
+        }
+        (i.toLong,
+          Multimodal.encodeWavSamples(8000 * (1 + i % 3), 1 + i % 2, samples))
+      }
+      Multimodal.pcmStatsBatched(rows.toDF("doc_id", "payload"),
+          "payload", "doc_id")
+        .select(col("id").as("doc_id"),
+          col("pcm.n_samples").as("n_samples"),
+          col("pcm.sum_sq").as("sum_sq"),
+          col("pcm.clipped").as("clipped"),
+          col("pcm.silent").as("silent"),
+          col("pcm.peak").as("peak"),
+          round(sqrt(col("pcm.sum_sq").cast("double") / col("pcm.n_samples"))
+            / lit(32768.0), 6).as("rms"),
+          round(col("pcm.clipped").cast("double") / col("pcm.n_samples"), 6)
+            .as("clip_frac"),
+          round(col("pcm.silent").cast("double") / col("pcm.n_samples"), 6)
+            .as("silence_ratio"),
+          round(col("pcm.peak").cast("double") / lit(32768.0), 6)
+            .as("peak_frac"))
+    }),
+
     "mm_audio_decode" -> ((s, d) => {
       import s.implicits._
       val rows = (0 until 16).map { i =>

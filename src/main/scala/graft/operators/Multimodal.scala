@@ -146,6 +146,132 @@ object Multimodal {
     bb.array()
   }
 
+  /** PCM payload statistics — integer accumulators only, so the oracle can
+    * replay them EXACTLY (integer sums are order-independent; the float
+    * derivations — rms, ratios — happen once, downstream, from these). */
+  final case class PcmStats(
+      nSamples: Long,
+      /** Σ s² over raw 16-bit samples (≤ 2^30 per sample — a long holds
+        * ~2^33 samples before overflow; a single WAV cannot reach that). */
+      sumSq: Long,
+      /** samples at full scale: |s| >= 32767 (covers ±32767 and −32768) —
+        * the standard clipping detector. */
+      clipped: Long,
+      /** samples under 1% full scale: |s| <= 327. */
+      silent: Long,
+      /** max |s|. */
+      peak: Int)
+
+  /** Silence threshold: 1% of full scale (|s| <= 327 counts silent). */
+  val PcmSilenceThreshold = 327
+  /** Clipping threshold: |s| >= 32767 counts clipped. */
+  val PcmClipThreshold = 32767
+
+  /** REAL audio quality statistics from WAV bytes: the `data` chunk of a
+    * PCM WAV is raw codec-free samples, so clipping fraction / RMS energy
+    * / silence ratio — the audio analogue of the text quality score — are
+    * computable with zero dependencies. Walks the same RIFF chunk list as
+    * [[decodeWav]]; requires format 1 (integer PCM) at 16 bits (the
+    * overwhelmingly standard layout — compressed or float formats return
+    * None and callers degrade). Channels are pooled: the stats describe
+    * the interleaved stream. */
+  def wavPcmStats(payload: Array[Byte]): Option[PcmStats] = {
+    if (payload == null || payload.length < 44) return None
+    def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
+    def u16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    def u32(o: Int): Long =
+      (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+        ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+    try {
+      if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+      var off = 12
+      var fmtCode = -1; var bits = -1
+      var dataOff = -1; var dataLen = 0L
+      while (off + 8 <= payload.length) {
+        val id = tag(off)
+        val sz = u32(off + 4)
+        if (id == "fmt " && sz >= 16 && off + 8 + 16 <= payload.length) {
+          fmtCode = u16(off + 8)
+          bits = u16(off + 22)
+        } else if (id == "data") {
+          dataOff = off + 8
+          dataLen = math.min(sz, (payload.length - off - 8).toLong)
+        }
+        val step = 8L + sz + (sz & 1L)
+        if (step <= 0) return None
+        off = (off + step).min(Int.MaxValue.toLong).toInt
+      }
+      if (fmtCode != 1 || bits != 16 || dataOff < 0) return None
+      val n = (dataLen / 2L).toInt
+      var i = 0
+      var sumSq = 0L; var clipped = 0L; var silent = 0L; var peak = 0
+      while (i < n) {
+        val o = dataOff + i * 2
+        val s = ((payload(o) & 0xff) | (payload(o + 1) << 8)).toShort.toInt
+        val a = math.abs(s)
+        sumSq += s.toLong * s
+        if (a >= PcmClipThreshold) clipped += 1
+        if (a <= PcmSilenceThreshold) silent += 1
+        if (a > peak) peak = a
+        i += 1
+      }
+      if (n == 0) None else Some(PcmStats(n.toLong, sumSq, clipped, silent, peak))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fixture encoder with EXPLICIT samples (the stats goldens need sine/
+    * clipped/silent shapes the index-derived [[encodeWav]] can't plant). */
+  def encodeWavSamples(sampleRate: Int, channels: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * channels * 2)
+      .putShort((channels * 2).toShort)
+      .putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Batched PCM stats over a binary payload column — the decodeBatched
+    * shape (fixed-size batches through one mapPartitions; a vectorized DSP
+    * kernel would slot into the batch loop). Unparseable / non-PCM rows
+    * emit a null stats struct, preserving row multiplicity. */
+  def pcmStatsBatched(df: DataFrame, payloadCol: String, idCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    val statsSchema = StructType(Seq(
+      StructField("n_samples", LongType, nullable = false),
+      StructField("sum_sq", LongType, nullable = false),
+      StructField("clipped", LongType, nullable = false),
+      StructField("silent", LongType, nullable = false),
+      StructField("peak", IntegerType, nullable = false)))
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true),
+      StructField("pcm", statsSchema, nullable = true)))
+    val rdd = df.select(col(idCol).cast("long"), col(payloadCol))
+      .rdd.mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val payload =
+              if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+            val st = wavPcmStats(payload)
+              .map(s => Row(s.nSamples, s.sumSq, s.clipped, s.silent, s.peak))
+              .orNull
+            Row(if (r.isNullAt(0)) null else r.getLong(0), st)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   // ---------- MP4 / ISO-BMFF (video metadata, zero-dependency parse) -----
 
   /** Real MP4 metadata from ISO-BMFF box bytes: walk the top-level

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Multimodal
+
+/** Round-6 units: PCM payload statistics (the audio quality score). */
+class Round6Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("wavPcmStats: exact integer stats over known samples") {
+    val samples = Array[Short](0, 100, -32768, 32767, 300, -328, 16000, 0)
+    val st = Multimodal.wavPcmStats(
+      Multimodal.encodeWavSamples(16000, 1, samples)).get
+    assert(st.nSamples == 8L)
+    assert(st.sumSq == samples.map(s => s.toLong * s).sum)
+    assert(st.clipped == 2L) // -32768 and 32767
+    assert(st.silent == 4L) // 0, 100, 300, 0 (|-328| > 327 does not count)
+    assert(st.peak == 32768) // abs(-32768)
+  }
+
+  test("wavPcmStats: rejects non-PCM and truncated payloads, keeps metadata parse") {
+    // corrupt: not RIFF
+    assert(Multimodal.wavPcmStats("nope".getBytes).isEmpty)
+    // declared-too-long data chunk: trusts bytes present (conservative)
+    val wav = Multimodal.encodeWavSamples(8000, 1, Array[Short](1, 2, 3, 4))
+    val truncated = wav.dropRight(4)
+    assert(Multimodal.wavPcmStats(truncated).get.nSamples == 2L)
+    // non-16-bit fmt: stats refuse, metadata decode still works
+    val bad = wav.clone()
+    bad(34) = 8 // bits-per-sample byte (offset 34 in canonical header)
+    assert(Multimodal.wavPcmStats(bad).isEmpty)
+    assert(Multimodal.decodeWav(bad).isDefined)
+  }
+
+  test("pcmStatsBatched: null payloads yield null stats, ids preserved") {
+    val wav = Multimodal.encodeWavSamples(8000, 2, Array[Short](5, -5, 400))
+    val df = Seq((1L, wav), (2L, null: Array[Byte]))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.pcmStatsBatched(df, "payload", "doc_id")
+      .orderBy("id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(0) == 1L &&
+      out(0).getStruct(1).getLong(0) == 3L) // n_samples pools channels
+    assert(out(1).getLong(0) == 2L && out(1).isNullAt(1))
+  }
+}
