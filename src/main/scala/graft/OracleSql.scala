@@ -691,6 +691,15 @@ object OracleSql {
         | CAST(1.0 AS DOUBLE) AS cos
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
 
+    // embedding duplicate rule: each planted copy pairs with exactly its
+    // original (cos≈1; nothing else reaches 0.95), so the global verdict
+    // is fail with members = the plant count — replayed from the plant
+    // construction (the LSH bucketing itself is engine-side geometry)
+    "v_duplicate_embed" ->
+      """SELECT '*' AS part, 'fail' AS verdict,
+        | CAST(count(*) AS BIGINT) AS members
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+
     "dd_exact_summary" ->
       """SELECT
         | (SELECT count(*) FROM documents) AS n_rows,

@@ -97,6 +97,10 @@ object SparkEntry {
   private val piiRuleVerdicts =
     new java.util.concurrent.atomic.AtomicReference[(String, Seq[(String, String, Long)])](null)
 
+  /** Same cache, for the embedding duplicate-rule verdict query. */
+  private val dupEmbedVerdict =
+    new java.util.concurrent.atomic.AtomicReference[(String, (String, String, Long))](null)
+
   /** Same cache, for the incremental-validation verdict query (two
     * Validator runs + a manifest temp dir per computation). */
   private val incrVerdicts =
@@ -1148,6 +1152,51 @@ object SparkEntry {
       Dedup.verifyPairs(docs, chainPairs(docs), "text", "doc_id",
           n = 5, words = true)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
+    }),
+
+    // semantic near-dup as a YAML rule (method: embedding): hyperplane-LSH
+    // buckets over the vector column, decided on TRUE cosine. The planted
+    // near-identical vectors (one coordinate +1e-4) share every hyperplane
+    // sign and score cos≈1, so the 10 planted pairs — and nothing else —
+    // become 10 clusters / 10 non-canonical members; the oracle replays
+    // the member count from the plant construction.
+    "v_duplicate_embed" -> ((s, d) => {
+      import s.implicits._
+      val rows =
+        Option(dupEmbedVerdict.get()).filter(_._1 == d).map(_._2).getOrElse {
+          val emb = t(s, d, "embeddings")
+            .select(col("vec_id"), col("embedding"), col("label"))
+          val planted = emb.filter(col("vec_id") < 10)
+            .withColumn("vec_id", col("vec_id") + 100000)
+            .withColumn("embedding", zip_with(col("embedding"),
+              sequence(lit(0), lit(63)),
+              (x, i) => when(i === 0, x + lit(0.0001f)).otherwise(x)))
+          val cfg = graft.config.RuleConfig.loadYaml(
+            """table:
+              |  name: embeddings
+              |  partition_column: label
+              |  columns:
+              |    vec_id: {type: bigint, nullable: false}
+              |    embedding: {type: "array<float>", nullable: true}
+              |    label: {type: int, nullable: true}
+              |rules:
+              |  - name: semantic_dups
+              |    description: no semantic near-duplicate vectors
+              |    kind: duplicate
+              |    column: embedding
+              |    method: embedding
+              |    dim: 64
+              |    planes: 8
+              |    threshold: 0.95
+              |    max_share: 0.0
+              |""".stripMargin)
+          val rep = graft.engine.Validator.run(s, emb.unionByName(planted),
+            cfg, "vec_id", "dup-embed-q", collectViolations = false)
+          val r = rep.results.filter(_.rule == "semantic_dups").head
+          val v = (r.partition, r.verdict, r.violationCount)
+          dupEmbedVerdict.set((d, v)); v
+        }
+      Seq(rows).toDF("part", "verdict", "members")
     }),
 
     "dd_minhash_lsh" -> ((s, d) => // rows-only: xxhash64 not in oracle engine

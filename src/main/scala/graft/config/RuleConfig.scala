@@ -87,7 +87,13 @@ final case class RuleSpec(
     k: Option[Int] = None,
     bands: Option[Int] = None,
     maxHamming: Option[Int] = None,
-    maxBucket: Option[Int] = None) {
+    maxBucket: Option[Int] = None,
+    // duplicate rule, method: embedding (semantic near-dup over a vector
+    // column): `dim` is the REQUIRED embedding dimensionality (the seeded
+    // hyperplane projections need it at plan time), `planes` the LSH code
+    // width; `threshold` is then a cosine cut, not a Jaccard one.
+    dim: Option[Int] = None,
+    planes: Option[Int] = None) {
   /** Fail-fast spec validation (reference models/features.py:14,20-30). */
   def validate(knownColumns: Set[String]): Unit = {
     if (description.length < 5)
@@ -128,9 +134,10 @@ final case class RuleSpec(
             s"(known: ${graft.operators.PiiOps.Kinds.mkString(",")})")
       case RuleKind.Duplicate =>
         if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
-        method.foreach(m => if (!Set("exact", "minhash", "simhash")(m))
-          throw ConfigError(
-            s"rule '$name': method must be exact|minhash|simhash (got '$m')"))
+        method.foreach(m =>
+          if (!Set("exact", "minhash", "simhash", "embedding")(m))
+            throw ConfigError(s"rule '$name': method must be " +
+              s"exact|minhash|simhash|embedding (got '$m')"))
         threshold.foreach(t => if (t <= 0.0 || t > 1.0)
           throw ConfigError(s"rule '$name': threshold must be in (0, 1]"))
         maxShare.foreach(s => if (s < 0.0 || s >= 1.0)
@@ -145,7 +152,8 @@ final case class RuleSpec(
             throw ConfigError(s"rule '$name': verify must be 'exact' (got '$v')")
           if (m != "minhash") throw ConfigError(
             s"rule '$name': verify applies to method: minhash only " +
-              "(exact already is exact; simhash banding computes true distance)")
+              "(exact already is exact; simhash banding computes true " +
+              "distance; embedding decides on true cosine already)")
         }
         def pos(f: String, v: Option[Int]): Unit = v.foreach(x =>
           if (x <= 0) throw ConfigError(s"rule '$name': $f must be positive"))
@@ -155,8 +163,20 @@ final case class RuleSpec(
         if (maxHamming.isDefined && m != "simhash")
           throw ConfigError(
             s"rule '$name': max_hamming applies to method: simhash only")
-        if (bands.isDefined && m == "exact")
-          throw ConfigError(s"rule '$name': bands needs a near-dup method")
+        if (bands.isDefined && (m == "exact" || m == "embedding"))
+          throw ConfigError(s"rule '$name': bands applies to " +
+            "minhash|simhash (embedding tunes `planes`)")
+        // embedding geometry: dim required (the seeded hyperplane
+        // projection is built at plan time), planes within the 64-bit code
+        if (m == "embedding") {
+          if (dim.isEmpty) throw ConfigError(
+            s"rule '$name': method embedding requires dim")
+          pos("dim", dim); pos("planes", planes)
+          planes.foreach(p => if (p > 64) throw ConfigError(
+            s"rule '$name': planes must be <= 64"))
+        } else if (dim.isDefined || planes.isDefined)
+          throw ConfigError(
+            s"rule '$name': dim/planes apply to method: embedding only")
         if (m == "minhash") {
           val kk = k.getOrElse(64); val bb = bands.getOrElse(16)
           if (kk % bb != 0) throw ConfigError(
@@ -186,7 +206,8 @@ final case class RuleSpec(
       val misplaced = Seq(
         "verify" -> verify.isDefined, "k" -> k.isDefined,
         "bands" -> bands.isDefined, "max_hamming" -> maxHamming.isDefined,
-        "max_bucket" -> maxBucket.isDefined).collect { case (f, true) => f }
+        "max_bucket" -> maxBucket.isDefined, "dim" -> dim.isDefined,
+        "planes" -> planes.isDefined).collect { case (f, true) => f }
       if (misplaced.nonEmpty) throw ConfigError(
         s"rule '$name': ${misplaced.mkString("/")} apply to kind: duplicate only")
     }
@@ -270,7 +291,9 @@ object RuleConfig {
         k = optInt(r, "k"),
         bands = optInt(r, "bands"),
         maxHamming = optInt(r, "max_hamming"),
-        maxBucket = optInt(r, "max_bucket"))
+        maxBucket = optInt(r, "max_bucket"),
+        dim = optInt(r, "dim"),
+        planes = optInt(r, "planes"))
     }
     val cfg = SuiteConfig(tName, pCol, cols, rules)
     // fail-fast validation pass (pydantic analogue)

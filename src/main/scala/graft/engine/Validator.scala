@@ -173,17 +173,27 @@ object Validator {
     * Returned frame is persisted (the miners' caller-unpersist contract). */
   private def mineDuplicatePairs(table0: DataFrame, c: String, keyCol: String,
       r: RuleSpec, m: String): DataFrame = {
+    val maxBucket = r.maxBucket.getOrElse(2000)
+    if (m == "embedding")
+      // semantic near-dup: hyperplane-LSH buckets over the VECTOR column,
+      // decided on true cosine (no estimate — the threshold is exact);
+      // dim/planes come from the YAML geometry validated at load
+      return graft.operators.Dedup.embeddingNearDupPairs(table0, c, keyCol,
+        dim = r.dim.getOrElse(throw new IllegalArgumentException(
+          s"duplicate rule ${r.name}: method embedding requires dim")),
+        planes = r.planes.getOrElse(12),
+        threshold = r.threshold.getOrElse(0.95),
+        maxBucket = r.maxBucket.getOrElse(10000))
     // north-rule table shape: the duplicate column may be the TOKEN ARRAY.
     // The near-dup fingerprints (char minhash / word simhash) take strings,
     // so render arrays to a canonical space-joined form first — token
     // windows then shingle like words, and the rendering is deterministic.
-    // (The exact method hashes the raw column and needs no rendering.)
+    // (The exact method hashes the raw column; embedding takes the vector.)
     val table = table0.schema(table0.schema.fieldIndex(c)).dataType match {
       case _: org.apache.spark.sql.types.ArrayType =>
         table0.withColumn(c, array_join(col(c).cast("array<string>"), " "))
       case _ => table0
     }
-    val maxBucket = r.maxBucket.getOrElse(2000)
     if (m == "minhash") {
       val thr = r.threshold.getOrElse(0.8)
       val kk = r.k.getOrElse(64); val bb = r.bands.getOrElse(16)

@@ -32,6 +32,71 @@ class Round6Spec extends SparkTestBase {
     assert(Multimodal.decodeWav(bad).isDefined)
   }
 
+  private def embedYaml(ruleBody: String) =
+    s"""table:
+       |  name: vecs
+       |  partition_column: label
+       |  columns:
+       |    vec_id: {type: bigint, nullable: false}
+       |    v: {type: "array<double>", nullable: true}
+       |    label: {type: int, nullable: true}
+       |rules:
+       |  - name: sem_dups
+       |    description: semantic near-dup share bounded
+       |    kind: duplicate
+       |    column: v
+       |$ruleBody""".stripMargin
+
+  test("embedding duplicate rule: geometry validated at load") {
+    import graft.config.{ConfigError, RuleConfig}
+    // dim required
+    intercept[ConfigError](RuleConfig.loadYaml(embedYaml(
+      "    method: embedding\n")))
+    // planes bounded by the 64-bit code
+    intercept[ConfigError](RuleConfig.loadYaml(embedYaml(
+      "    method: embedding\n    dim: 8\n    planes: 65\n")))
+    // dim/planes are embedding-only
+    intercept[ConfigError](RuleConfig.loadYaml(embedYaml(
+      "    method: minhash\n    dim: 8\n")))
+    // verify/bands don't apply to embedding
+    intercept[ConfigError](RuleConfig.loadYaml(embedYaml(
+      "    method: embedding\n    dim: 8\n    verify: exact\n")))
+    intercept[ConfigError](RuleConfig.loadYaml(embedYaml(
+      "    method: embedding\n    dim: 8\n    bands: 4\n")))
+    // well-formed loads
+    RuleConfig.loadYaml(embedYaml(
+      "    method: embedding\n    dim: 8\n    planes: 6\n    threshold: 0.9\n"))
+  }
+
+  test("embedding duplicate rule: verdict + member examples from planted vectors") {
+    import graft.engine.Validator
+    // 8 orthogonal one-hot base vectors (pairwise cosine 0); ids 100..
+    // are scalar multiples of ids 0-4 — identical hyperplane signs,
+    // cosine exactly 1
+    val base = spark.range(8).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)), i =>
+        when(i === col("id").cast("int"), lit(5.0)).otherwise(lit(0.0)))
+        .as("v"),
+      pmod(col("id"), lit(3)).cast("int").as("label"))
+    val planted = base.filter(col("vec_id") < 5)
+      .withColumn("vec_id", col("vec_id") + 100)
+      .withColumn("v", transform(col("v"), x => x * 2.0))
+    val cfg = graft.config.RuleConfig.loadYaml(embedYaml(
+      "    method: embedding\n    dim: 8\n    planes: 6\n" +
+        "    threshold: 0.98\n    max_share: 0.0\n"))
+    val rep = Validator.run(spark, base.unionByName(planted), cfg, "vec_id",
+      "embed-rule-t", collectViolations = true)
+    val r = rep.results.filter(_.rule == "sem_dups").head
+    assert(r.partition == "*" && r.verdict == "fail" && r.violationCount == 5L,
+      r.toString)
+    // member examples carry the canonical linkage: 100+i -> i
+    val members = rep.violations.filter(col("rule") === "sem_dups")
+      .select(col("key").cast("long"), col("canonical").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(members == (0L until 5L).map(i => (i + 100, i)).toSet, members)
+    rep.violations.unpersist()
+  }
+
   test("pcmStatsBatched: null payloads yield null stats, ids preserved") {
     val wav = Multimodal.encodeWavSamples(8000, 2, Array[Short](5, -5, 400))
     val df = Seq((1L, wav), (2L, null: Array[Byte]))
