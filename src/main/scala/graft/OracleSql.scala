@@ -1092,6 +1092,50 @@ object OracleSql {
     // pinned as literals: the resumed run's final output must hash equal to
     // the uninterrupted run's, and exactly 3 stages (quality, contam,
     // pairs — the ones completed before the simulated crash) are skipped
+    // SemDeDup pipeline replay: the fixture text/embeddings are pure
+    // functions of doc_id, so every stage replays — quality by word count,
+    // contamination by the 13-gram join, exact text dedup by text-group
+    // min, SEMANTIC dedup by residue-group min (same id%8 residue = same
+    // direction = cosine exactly 1; the transitive closure of a clique is
+    // the clique, so the recursive-CTE closure degenerates to min-per-
+    // group), split by the md5 bucket. Resume invariants pinned as
+    // literals (hashes are engine-side).
+    "pipe_curation3" ->
+      """WITH ids AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 40) t(i)),
+        |txt AS (SELECT i,
+        |    CASE WHEN i % 10 = 7 THEN 'too short now'
+        |         WHEN i = 4 THEN 'b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 tail extra words here'
+        |         ELSE array_to_string(list_transform(range(0, 6), j ->
+        |           substr(md5('w' || CAST(CASE WHEN i = 3 THEN 2 ELSE i END AS VARCHAR)
+        |             || '-' || CAST(j AS VARCHAR)), 1, 6)), ' ')
+        |    END AS text
+        |  FROM ids),
+        |q AS (SELECT i, text FROM txt
+        |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 5),
+        |grams AS (SELECT i, list_distinct(list_filter(
+        |    list_transform(range(0, greatest(len(ws) - 13, 0) + 1),
+        |      g -> array_to_string(ws[g + 1 : g + 13], ' ')), s -> s <> '')) AS shs
+        |  FROM (SELECT i, string_split(text, ' ') AS ws FROM q)),
+        |contam AS (SELECT DISTINCT c.i
+        |  FROM (SELECT i, unnest(shs) AS g FROM grams) c
+        |  WHERE c.g = 'b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12'),
+        |decon AS (SELECT * FROM q WHERE i NOT IN (SELECT i FROM contam)),
+        |textdedup AS (SELECT i FROM (SELECT i,
+        |    min(i) OVER (PARTITION BY text) AS canon FROM decon)
+        |  WHERE i = canon),
+        |semantic AS (SELECT i FROM (SELECT i,
+        |    min(i) OVER (PARTITION BY i % 8) AS canon FROM textdedup)
+        |  WHERE i = canon),
+        |s2 AS (SELECT i AS doc_id,
+        |    CASE WHEN b < 9000 THEN 'train'
+        |         WHEN b < 9500 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT i,
+        |     CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+        |       % 10000 AS b FROM semantic))
+        |SELECT doc_id, split, true AS resumed_matches,
+        |  CAST(5 AS INT) AS resumed_skips
+        |FROM s2""".stripMargin,
+
     "pipe_curation_ckpt" ->
       """WITH RECURSIVE
         |norm AS (SELECT doc_id, text, source, n_chars,

@@ -153,6 +153,12 @@ object SparkEntry {
     new java.util.concurrent.atomic.AtomicReference[
       (String, (Seq[(String, Long, Long)], Boolean, Int))](null)
 
+  /** Same discipline, for the SemDeDup pipeline query (three staged
+    * pipelines: uninterrupted, crashed-after-semantic, resumed). */
+  private val curation3Result =
+    new java.util.concurrent.atomic.AtomicReference[
+      (String, (Seq[(Long, String)], Boolean, Int))](null)
+
   /** Deterministic within-source chain pairs over documents (consecutive
     * doc_ids by source rank, broken every 5th link) — the pair fixture whose
     * transitive closure a DuckDB recursive CTE can replay exactly; shared by
@@ -2142,6 +2148,66 @@ object SparkEntry {
         }
       import s.implicits._
       agg.toDF("split", "n_docs", "sum_chars")
+        .withColumn("resumed_matches", lit(matches))
+        .withColumn("resumed_skips", lit(skips))
+    }),
+
+    // SemDeDup curation: quality -> contam -> exact text dedup -> SEMANTIC
+    // embedding dedup (k-means cells + within-cell top-k cosine, decided on
+    // true cosine) -> final split. Embeddings are one-hots scaled by
+    // 2+id/8: same residue => same direction => cosine EXACTLY 1 and the
+    // same k-means cell at any training outcome, so semantic clusters ARE
+    // the id%8 groups — replayable in SQL as group-min canonicals (the
+    // recursive-CTE closure of pipe_curation2 degenerates to it). Also
+    // crash/resumes after the semantic stage: the resumed final output
+    // must hash identical and skip exactly the 5 completed stages.
+    "pipe_curation3" -> ((s, d) => {
+      import graft.engine.CurationRun
+      val (rows, matches, skips) =
+        Option(curation3Result.get()).filter(_._1 == d).map(_._2).getOrElse {
+          val seed = when(col("id") === 3, lit(2L)).otherwise(col("id"))
+          val benchWords = (0 until 13).map(j => s"b$j").mkString(" ")
+          val normalText = concat_ws(" ", (0 to 5).map(j =>
+            substring(md5(concat(lit("w"), seed.cast("string"), lit("-"),
+              lit(j.toString))), 1, 6)): _*)
+          val docs = s.range(40).select(
+            col("id").as("doc_id"),
+            when(pmod(col("id"), lit(10)) === 7, lit("too short now"))
+              .when(col("id") === 4, lit(benchWords + " tail extra words here"))
+              .otherwise(normalText).as("text"),
+            concat(lit("s"), pmod(col("id"), lit(4))).as("source"),
+            transform(sequence(lit(0), lit(7)), i =>
+              when(i === pmod(col("id"), lit(8)).cast("int"),
+                lit(2.0) + floor(col("id") / 8))
+                .otherwise(lit(0.0))).as("embedding"))
+          import s.implicits._
+          val bench = Seq((1000L, benchWords)).toDF("doc_id", "text")
+          val cfgc = CurationRun.CurationConfig(method = "exact",
+            semantic = Some(CurationRun.SemanticDedupConfig(
+              embedCol = "embedding", dim = 8, method = "kmeans",
+              threshold = 0.95, nCells = 4, iters = 2, topK = 4)))
+          val tmp = java.nio.file.Files.createTempDirectory("graft-cur3").toString
+          CurationRun.run(s, docs, Some(bench), cfgc, "a",
+            s"$tmp/out", s"$tmp/mA")
+          CurationRun.run(s, docs, Some(bench), cfgc, "b",
+            s"$tmp/out", s"$tmp/mB", stopAfter = Some("semantic"))
+          val resumed = CurationRun.run(s, docs, Some(bench), cfgc, "b",
+            s"$tmp/out", s"$tmp/mB")
+          val hA = graft.lineage.Manifest.contentHash(
+            CurationRun.finalOutput(s, s"$tmp/out", "a")
+              .select("doc_id", "text", "source", "split"))
+          val hB = graft.lineage.Manifest.contentHash(
+            CurationRun.finalOutput(s, s"$tmp/out", "b")
+              .select("doc_id", "text", "source", "split"))
+          val outRows = CurationRun.finalOutput(s, s"$tmp/out", "b")
+            .select("doc_id", "split").collect()
+            .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+          val v = (outRows, hA == hB, resumed.count(!_.executed))
+          curation3Result.set((d, v))
+          v
+        }
+      import s.implicits._
+      rows.toDF("doc_id", "split")
         .withColumn("resumed_matches", lit(matches))
         .withColumn("resumed_skips", lit(skips))
     }),

@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSession
   *     [--pack-budget N]                  stage-6 token packing of train
   *     [--vocab <vocab.txt>]              exact wordpiece pack weights
   *     [--pii email,phone,ip,key]         optional pii stage + redaction
+  *     [--embed-col <col> --embed-dim N]  optional semantic-dedup stage
+  *     [--semantic-method kmeans|lsh] [--embed-threshold 0.95]
+  *     [--n-cells 16] [--top-k 4] [--planes 12]
   *     [--stream-col source]
   *     [--train-frac 0.9] [--val-frac 0.05]
   *     [--text-col text] [--id-col doc_id]
@@ -81,7 +84,19 @@ object CurationMain {
       // --pii kind[,kind...]: insert the pii decision stage and redact
       // flagged documents at final materialization (kinds validated here)
       piiKinds = opts.get("pii")
-        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)))
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)),
+      // --embed-col + --embed-dim: SemDeDup-style semantic dedup stage
+      semantic = opts.get("embed-col").map { ec =>
+        CurationRun.SemanticDedupConfig(
+          embedCol = ec,
+          dim = opts.get("embed-dim").map(_.toInt).getOrElse(
+            sys.error("--embed-col requires --embed-dim")),
+          method = opts.getOrElse("semantic-method", "kmeans"),
+          threshold = opts.get("embed-threshold").map(_.toDouble).getOrElse(0.95),
+          nCells = opts.get("n-cells").map(_.toInt).getOrElse(16),
+          topK = opts.get("top-k").map(_.toInt).getOrElse(4),
+          planes = opts.get("planes").map(_.toInt).getOrElse(12))
+      })
     val docs = spark.read.parquet(opts("docs"))
     val bench = opts.get("bench").map(spark.read.parquet(_))
     val manifest = opts("manifest")

@@ -42,12 +42,46 @@ object CurationRun {
     * configured `piiKinds` inserts the optional `pii` stage after quality. */
   val Stages: Seq[String] = Seq("quality", "contam", "pairs", "clusters", "final")
 
-  /** The effective stage list for a config (pii / pack only when requested). */
+  /** The effective stage list for a config (pii / semantic / pack only
+    * when requested). */
   def stagesFor(cfg: CurationConfig): Seq[String] = {
     val base =
       if (cfg.piiKinds.isDefined) Seq("quality", "pii") ++ Stages.drop(1)
       else Stages
-    if (cfg.packBudget.isDefined) base :+ "pack" else base
+    val withSem =
+      if (cfg.semantic.isDefined)
+        base.flatMap(s => if (s == "clusters") Seq("clusters", "semantic")
+          else Seq(s))
+      else base
+    if (cfg.packBudget.isDefined) withSem :+ "pack" else withSem
+  }
+
+  /** Semantic-dedup stage config (the SemDeDup shape): near-duplicate
+    * MEANING, not near-duplicate text — embedding neighbors above a cosine
+    * threshold resolve into clusters and non-canonical members drop.
+    * `kmeans` buckets by learned k-means cells (Similarity.trainIvfCentroids
+    * + kmeansTopKMulti, nprobe=1 — the canonical SemDeDup layout: density-
+    * balanced cells, each vector compared only within its cell); `lsh`
+    * buckets by seeded hyperplane codes (Dedup.embeddingNearDupPairs — no
+    * training pass). Both decide on TRUE cosine. */
+  final case class SemanticDedupConfig(
+      embedCol: String,
+      dim: Int,
+      method: String = "kmeans", // kmeans | lsh
+      threshold: Double = 0.95,
+      nCells: Int = 16,
+      iters: Int = 4,
+      topK: Int = 4,
+      planes: Int = 12,
+      maxBucket: Int = 100000) {
+    require(Set("kmeans", "lsh")(method),
+      s"unknown semantic dedup method '$method'")
+    require(dim > 0, "dim must be positive")
+    require(nCells > 0 && iters > 0 && topK > 0,
+      "nCells/iters/topK must be positive")
+    require(planes >= 1 && planes <= 64, "planes must be in [1, 64]")
+    require(threshold > 0.0 && threshold <= 1.0,
+      "threshold must be in (0, 1]")
   }
 
   final case class StageResult(
@@ -91,7 +125,12 @@ object CurationRun {
         * replacement counts); mining stages run on the ORIGINAL text (the
         * near-dup relation must not be perturbed by `[KIND]` token
         * substitution), redaction applies once, at the corpus-scale write. */
-      piiKinds: Option[Seq[String]] = None) {
+      piiKinds: Option[Seq[String]] = None,
+      /** enable the optional `semantic` stage after cluster resolution:
+        * SemDeDup-style embedding near-dup drop over `semantic.embedCol`,
+        * artifact = (id, semantic_duplicate_of) — see
+        * [[SemanticDedupConfig]]. */
+      semantic: Option[SemanticDedupConfig] = None) {
     require(Set("exact", "minhash", "simhash")(method),
       s"unknown curation dedup method '$method'")
     require(packBudget.forall(_ > 0), "packBudget must be positive")
@@ -268,6 +307,43 @@ object CurationRun {
         .select(col("id").as(idc), col("cluster_id").as("duplicate_of")),
         Seq(clusters))
     }
+    if (cfg.semantic.isDefined && !reached("semantic")) return results.toSeq
+
+    // ---- optional stage 4b: SEMANTIC dedup (SemDeDup shape) — embedding
+    // near-dup mining over the text-dedup survivors, resolved to clusters,
+    // dropping non-canonical members with their canonical linkage. Runs
+    // AFTER the text stages: a verbatim copy is already dropped cheaply,
+    // so the embedding pass only pays for the semantically-interesting
+    // remainder. Artifact is the narrow (id, semantic_duplicate_of) list.
+    val semDrop: Option[DataFrame] = cfg.semantic.map { sc =>
+      stage("semantic") {
+        val corp = corpusQC.join(dropList.select(col(idc)), Seq(idc), "left_anti")
+        // keep the miners' PERSISTED root: unpersisting a frame DERIVED
+        // from it would be a silent no-op (the stage-contract rationale)
+        val (pairsE, minerRoot) = sc.method match {
+          case "lsh" =>
+            val p = Dedup.embeddingNearDupPairs(corp, sc.embedCol, idc,
+              dim = sc.dim, planes = sc.planes, threshold = sc.threshold,
+              maxBucket = sc.maxBucket)
+            (p.select("id_a", "id_b"), p)
+          case _ =>
+            val centroids = graft.operators.Similarity.trainIvfCentroids(
+              corp, sc.embedCol, idc, sc.nCells, sc.iters)
+            val p = graft.operators.Similarity.kmeansTopKMulti(corp, corp,
+              sc.embedCol, idc, sc.topK, centroids, nprobe = 1,
+              maxBucket = sc.maxBucket)
+            (p.filter(col("cos") >= sc.threshold &&
+                col("query_id") < col("corpus_id"))
+              .select(col("query_id").as("id_a"), col("corpus_id").as("id_b")),
+              p)
+        }
+        val clusters = Dedup.dupClusters(pairsE)
+        (clusters.filter(col("id") =!= col("cluster_id"))
+          .select(col("id").as(idc),
+            col("cluster_id").as("semantic_duplicate_of")),
+          Seq(clusters, minerRoot))
+      }
+    }
     if (!reached("final")) return results.toSeq
 
     // ---- stage 5: final materialization — the ONE corpus-scale write:
@@ -276,8 +352,10 @@ object CurationRun {
     // broadcast when the flagged set is small; the redaction regexes run
     // only on flagged rows' text) ----
     val fin = stage("final") {
-      val survivors = corpusQC
+      val afterText = corpusQC
         .join(dropList.select(col(idc)), Seq(idc), "left_anti")
+      val survivors = semDrop.fold(afterText)(sd =>
+          afterText.join(sd.select(col(idc)), Seq(idc), "left_anti"))
         .withColumn("split",
           Sampling.splitColumn(col(idc), cfg.trainFrac, cfg.valFrac))
       (piiTags match {

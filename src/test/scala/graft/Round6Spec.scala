@@ -97,6 +97,52 @@ class Round6Spec extends SparkTestBase {
     rep.violations.unpersist()
   }
 
+  test("semantic curation stage (lsh path): drop list with canonical " +
+      "linkage, final excludes semantic dups, resume skips") {
+    import graft.engine.CurationRun
+    import graft.engine.CurationRun.{CurationConfig, SemanticDedupConfig}
+    // 10 docs, distinct texts; embeddings: ids 8/9 are scalar multiples of
+    // ids 0/1 (cosine exactly 1), everything else orthogonal
+    val docs = spark.range(10).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", (0 to 5).map(j =>
+        substring(md5(concat(col("id").cast("string"), lit(s"-$j"))), 1, 6)): _*)
+        .as("text"),
+      lit("s").as("source"),
+      transform(sequence(lit(0), lit(7)), i =>
+        when(i === pmod(col("id"), lit(8)).cast("int"),
+          lit(1.0) + floor(col("id") / 8) * 2.0).otherwise(lit(0.0)))
+        .as("embedding"))
+    val cfg = CurationConfig(method = "exact",
+      semantic = Some(SemanticDedupConfig("embedding", dim = 8,
+        method = "lsh", threshold = 0.98, planes = 10)))
+    assert(CurationRun.stagesFor(cfg) == Seq("quality", "contam", "pairs",
+      "clusters", "semantic", "final"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-sem").toString
+    val rs = CurationRun.run(spark, docs, None, cfg, "r1", s"$dir/out", s"$dir/m")
+    assert(rs.forall(_.executed))
+    import spark.implicits._
+    val drop = spark.read.parquet(
+        CurationRun.stageDir(s"$dir/out", "r1", "semantic"))
+      .as[(Long, Long)].collect().toSet
+    assert(drop == Set((8L, 0L), (9L, 1L)), drop)
+    val fin = CurationRun.finalOutput(spark, s"$dir/out", "r1")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fin == (0L until 8L).toSet, fin)
+    // resume after semantic: final re-derives hash-identical
+    val partial = CurationRun.run(spark, docs, None, cfg, "r2", s"$dir/out",
+      s"$dir/m", stopAfter = Some("semantic"))
+    assert(partial.map(_.stage).last == "semantic")
+    val resumed = CurationRun.run(spark, docs, None, cfg, "r2", s"$dir/out",
+      s"$dir/m")
+    assert(resumed.count(!_.executed) == 5 && resumed.last.executed)
+    val h1 = graft.lineage.Manifest.contentHash(
+      CurationRun.finalOutput(spark, s"$dir/out", "r1"))
+    val h2 = graft.lineage.Manifest.contentHash(
+      CurationRun.finalOutput(spark, s"$dir/out", "r2"))
+    assert(h1 == h2)
+  }
+
   test("pcmStatsBatched: null payloads yield null stats, ids preserved") {
     val wav = Multimodal.encodeWavSamples(8000, 2, Array[Short](5, -5, 400))
     val df = Seq((1L, wav), (2L, null: Array[Byte]))
