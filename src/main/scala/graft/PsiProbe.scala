@@ -1,0 +1,23 @@
+package graft
+
+/** Scratch profiler for the v_psi bench regression (round 6, task 6). */
+object PsiProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mode = args.headOption.getOrElse("iso")
+    val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    SparkEntry.queries("q1_agg")(spark, sfDir).count() // warm
+    if (mode == "ctx") {
+      // replicate the bench context: run every query that precedes v_psi
+      Seq("q1_agg", "m_elementwise", "a_group_scatter", "j_star_join",
+        "v_stats_profile", "v_unique_violations").foreach { n =>
+        (1 to 3).foreach(_ => Bench.exec(SparkEntry.queries(n)(spark, sfDir)))
+      }
+    }
+    val times = (1 to 8).map { _ =>
+      Bench.time(Bench.exec(SparkEntry.queries("v_psi")(spark, sfDir)))
+    }
+    println("PSIPROBE " + mode + " " + times.map(t => f"$t%.3f").mkString(","))
+    spark.stop()
+  }
+}
