@@ -239,6 +239,82 @@ object StreamOps {
       graft.lineage.Manifest.append(batch.sparkSession, manifestPath, entries)
   }
 
+  /** Benchmark n-gram set for the streaming contamination gate: the
+    * DISTINCT word n-grams of the eval set, collected once driver-side.
+    * Bounded by construction (an eval set is small — this is the batch
+    * `Dedup.contamination` broadcast side made explicit so a long-lived
+    * stream never re-derives it per micro-batch). */
+  def benchGramSet(bench: DataFrame, benchTextCol: String,
+      n: Int = 13): Seq[String] =
+    bench.select(explode(
+        graft.operators.Dedup.wordShingles(col(benchTextCol), n)).as("g"))
+      .distinct().collect().map(_.getString(0)).toSeq
+
+  /** Streaming benchmark-contamination gate: STATELESS — each document's
+    * distinct word n-grams intersect the benchmark set carried as one plan
+    * literal (task-broadcast with the serialized plan; no stream-static
+    * join, no state store, no shuffle — pure append-mode projection).
+    * Adds `n_shared` + `contaminated`; `n_shared` equals the batch
+    * `Dedup.contamination` count for the same document EXACTLY (both
+    * intersect the doc's distinct n-grams with the distinct bench set —
+    * the spec pins the parity). */
+  def contaminationStream(docs: DataFrame, textCol: String,
+      benchGrams: Seq[String], n: Int = 13): DataFrame = {
+    require(benchGrams.nonEmpty,
+      "contaminationStream: empty benchmark n-gram set")
+    val shared = array_intersect(
+      graft.operators.Dedup.wordShingles(col(textCol), n),
+      typedlit(benchGrams))
+    docs.withColumn("n_shared", size(shared))
+      .withColumn("contaminated", col("n_shared") >= 1)
+  }
+
+  /** Contaminated rows only, in the quarantine `failed_rules` contract —
+    * union-compatible with [[quarantineStream]]'s output, so one parquet
+    * quarantine sink can take both feeds. */
+  def contaminationQuarantineStream(docs: DataFrame, textCol: String,
+      benchGrams: Seq[String], n: Int = 13): DataFrame =
+    contaminationStream(docs, textCol, benchGrams, n)
+      .filter(col("contaminated"))
+      .select(docs.columns.map(col) :+
+        array(lit("benchmark_contamination")).as("failed_rules"): _*)
+
+  /** Windowed contamination verdicts: per event-time window, row count,
+    * contaminated count, share, pass — the contamination analogue of
+    * [[duplicateRuleStream]] (but STATELESS before the one windowed
+    * aggregation; state is O(open windows)). */
+  def contaminationRuleStream(docs: DataFrame, textCol: String, tsCol: String,
+      benchGrams: Seq[String], n: Int = 13,
+      window_ : String = "10 minutes", watermark: String = "30 minutes",
+      maxShare: Double = 0.0): DataFrame =
+    contaminationStream(docs, textCol, benchGrams, n)
+      .withColumn("__event_ts", col(tsCol).cast("timestamp"))
+      .withWatermark("__event_ts", watermark)
+      .groupBy(window(col("__event_ts"), window_))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("contaminated"), 1L).otherwise(0L)).as("members"))
+      .withColumn("share", when(col("n") === 0L, lit(0.0))
+        .otherwise(col("members").cast("double") / col("n")))
+      .withColumn("pass", col("share") <= maxShare)
+
+  /** foreachBatch manifest sink for [[contaminationRuleStream]] — same
+    * (window, verdict, counts) entry contract as [[duplicateManifestSink]],
+    * so contamination verdicts land in the SAME lineage manifest as the
+    * batch validator's and the other stream rules'. */
+  def contaminationManifestSink(manifestPath: String, runId: String,
+      ruleName: String = "stream_contamination"): (DataFrame, Long) => Unit = {
+    (batch, batchId) =>
+      val entries = batch.collect().toSeq.map { row =>
+        val win = row.getStruct(row.fieldIndex("window"))
+        graft.lineage.Manifest.Entry(runId, s"${win.get(0)}", ruleName,
+          if (row.getBoolean(row.fieldIndex("pass"))) "pass" else "fail",
+          row.getLong(row.fieldIndex("n")),
+          row.getLong(row.fieldIndex("members")), 0L, 0L,
+          f"share=${row.getDouble(row.fieldIndex("share"))}%.6f;batch=$batchId")
+      }
+      graft.lineage.Manifest.append(batch.sparkSession, manifestPath, entries)
+  }
+
   /** Streaming quarantine feed: rows failing ANY row-level rule of the YAML
     * suite, tagged with the violated rule names — the live counterpart of
     * the batch `Validator.quarantineSplit` routing (same shared predicates,

@@ -634,4 +634,121 @@ class StreamOpsSpec extends SparkTestBase {
       assert(bad.count() > 0 && bad.filter(col("pass")).count() == 0)
     } finally q2.stop()
   }
+
+  /** Contamination-fixture corpus: 30 docs, every 6th carrying the bench
+    * 13-gram verbatim, timestamps spread over two 10-minute windows. */
+  private def contamFixture(dir: String): (String, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val benchText = (0 until 13).map(j => s"g$j").mkString(" ")
+    val docs = spark.range(30).select(
+      col("id").as("doc_id"),
+      when(pmod(col("id"), lit(6)) === 0,
+        concat(lit(benchText), lit(" extra trailing context for doc "),
+          col("id").cast("string")))
+        .otherwise(concat_ws(" ", (0 to 14).map(j =>
+          substring(md5(concat(col("id").cast("string"), lit(s"-$j"))), 1, 6)): _*))
+        .as("text"),
+      expr("timestamp'2024-01-01 10:00:00' + make_interval(0,0,0,0,0,id,0)")
+        .as("ts"))
+    docs.write.mode("overwrite").parquet(s"$dir/docs")
+    (benchText, spark.read.parquet(s"$dir/docs"))
+  }
+
+  test("streaming contamination gate: stateless n_shared matches batch exactly") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ct").toString
+    val (benchText, batchDocs) = contamFixture(dir)
+    import spark.implicits._
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val grams = StreamOps.benchGramSet(bench, "text")
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(s"$dir/docs")
+    val gated = StreamOps.contaminationStream(stream, "text", grams)
+      .select("doc_id", "n_shared", "contaminated")
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("contam_gate").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("contam_gate")
+        .as[(Long, Int, Boolean)].collect()
+        .map(t => t._1 -> ((t._2, t._3))).toMap
+      // batch parity: Dedup.contamination's n_shared per doc, absent = 0
+      val batchN = Dedup.contamination(batchDocs, "text", "doc_id",
+          bench, "text").as[(Long, Long)].collect().toMap
+      assert(got.size == 30)
+      (0L until 30L).foreach { id =>
+        val expected = batchN.getOrElse(id, 0L).toInt
+        assert(got(id) == ((expected, expected >= 1)),
+          s"doc $id: stream=${got(id)} batch=$expected")
+      }
+      assert(got.count(_._2._2) == 5) // docs 0,6,12,18,24
+    } finally q.stop()
+    // quarantine contract: contaminated rows only, tagged
+    val quar = StreamOps.contaminationQuarantineStream(
+      spark.readStream.schema(batchDocs.schema).parquet(s"$dir/docs"),
+      "text", grams)
+    val q2 = quar.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("contam_quar").start()
+    try {
+      q2.processAllAvailable()
+      val rows = spark.table("contam_quar").collect()
+      assert(rows.length == 5 && rows.forall(r =>
+        r.getAs[scala.collection.Seq[String]]("failed_rules") ==
+          Seq("benchmark_contamination")))
+    } finally q2.stop()
+  }
+
+  test("streaming contamination verdicts land in the manifest across batches") {
+    import graft.operators.Dedup
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-cm").toString
+    val (benchText, batchDocs) = contamFixture(dir)
+    import spark.implicits._
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val grams = StreamOps.benchGramSet(bench, "text")
+    val mp = s"$dir/manifest"
+    new java.io.File(s"$dir/data").mkdirs()
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(s"$dir/data/*")
+    // batch 1: first 12 docs; batch 2: the rest — continuity across
+    // micro-batches, same manifest, monotone batch ids in the detail
+    batchDocs.filter(col("doc_id") < 12).write.parquet(s"$dir/data/part1")
+    val verdicts = StreamOps.contaminationRuleStream(stream, "text", "ts",
+      grams, window_ = "10 minutes", watermark = "0 seconds", maxShare = 0.1)
+    val q = verdicts.writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch(StreamOps.contaminationManifestSink(mp, "ct-run"))
+      .start()
+    try {
+      q.processAllAvailable()
+      batchDocs.filter(col("doc_id") >= 12).write.parquet(s"$dir/data/part2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val entries = graft.lineage.Manifest.read(spark, mp)
+      .filter(col("runId") === "ct-run").collect()
+    assert(entries.nonEmpty && entries.forall(_.getAs[String]("rule") ==
+      "stream_contamination"))
+    // latest entry per window must equal the batch-computed window verdict
+    // (update mode re-emits refined windows; the final state is the truth)
+    val latest = entries
+      .groupBy(_.getAs[String]("partition"))
+      .map { case (w, es) => w -> es.maxBy(_.getAs[String]("detail")
+        .split("batch=").last.toLong) }
+    val batchWin = batchDocs
+      .withColumn("contam", size(array_intersect(
+        Dedup.wordShingles(col("text"), 13), typedlit(grams))) >= 1)
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("contam"), 1L).otherwise(0L)).as("members"))
+      .collect()
+      .map(r => s"${r.getStruct(0).get(0)}" ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(latest.size == batchWin.size, s"${latest.keySet} vs ${batchWin.keySet}")
+    latest.foreach { case (w, e) =>
+      val (n, members) = batchWin(w)
+      assert(e.getAs[Long]("rowCount") == n &&
+        e.getAs[Long]("violationCount") == members &&
+        e.getAs[String]("verdict") ==
+          (if (members.toDouble / n <= 0.1) "pass" else "fail"),
+        s"window $w: manifest=$e batch=($n,$members)")
+    }
+  }
 }
