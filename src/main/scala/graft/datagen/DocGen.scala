@@ -14,8 +14,27 @@ import org.apache.spark.sql.SparkSession
   * so distinct long docs share shingles only by chance and re-generation
   * is bit-identical.
   *
+  * `--embed-dim D` adds a deterministic `embedding` column (array<float>)
+  * for semantic-stage evidence: each doc's vector derives from xxhash64 of
+  * (effective id, coordinate) — high-dimensional pseudo-random vectors are
+  * near-orthogonal, so non-planted cosines sit far below any SemDeDup
+  * threshold — and every `semDupEvery`-th doc REUSES its predecessor's
+  * vector while keeping its OWN text: a semantic-only duplicate the text
+  * miners cannot see (the semantic stage's reason to exist). The plant
+  * skips ids on the short-doc or text-dup schedules so the three planted
+  * populations never overlap.
+  *
+  * `--pii-every N` appends a deterministic email + IPv4 span to every
+  * N-th doc (off the short/dup schedules, so the PII population is
+  * disjoint from the quality-fail and duplicate plants) — evidence fodder
+  * for the curation `pii` stage. NOTE: the corpus' md5 words are 32-char
+  * hex runs, which the `key` detector flags BY DESIGN of that detector —
+  * pii evidence runs over this corpus should scope kinds to
+  * email/phone/ip (as a real run would scope detectors to its corpus).
+  *
   * Usage: runMain graft.datagen.DocGen --out <dir> --rows N
   *          [--sources 20] [--dup-every 100]
+  *          [--embed-dim D [--sem-dup-every 150]] [--pii-every N]
   */
 object DocGen {
   def main(args: Array[String]): Unit = {
@@ -39,15 +58,44 @@ object DocGen {
     // the dup branch requires the PREDECESSOR off the short schedule too:
     // copying a short predecessor's id-derived words would plant a pair
     // that duplicates nothing (the predecessor displays the short text)
-    val base = s"case when id % 37 = 0 then 'too short now' " +
+    val base0 = s"case when id % 37 = 0 then 'too short now' " +
       s"when id % $dupEvery = ${dupEvery - 1} and id > 0 " +
       s"and (id - 1) % 37 != 0 " +
       s"then ${words("id - 1")} else ${words("id")} end"
-    spark.range(rows).selectExpr(
-        "id as doc_id",
-        s"$base as text",
-        s"concat('src_', cast(id % $sources as string)) as source")
-      .selectExpr("doc_id", "text", "source", "length(text) as n_chars")
+    // PII plant: disjoint from the short/dup schedules so quality and
+    // dedup decisions are untouched by the appended spans
+    val base = opts.get("pii-every").map(_.toInt) match {
+      case Some(pe) =>
+        s"case when id % $pe = ${pe - 1} and id % 37 != 0 " +
+          s"and id % $dupEvery != ${dupEvery - 1} " +
+          s"then concat($base0, ' contact u', cast(id as string), " +
+          s"'@example.com at 10.', cast(id % 256 as string), '.0.', " +
+          s"cast(id % 200 + 1 as string)) else $base0 end"
+      case None => base0
+    }
+    val embedDim = opts.get("embed-dim").map(_.toInt)
+    val semEvery = opts.get("sem-dup-every").map(_.toInt).getOrElse(150)
+    val baseCols = Seq(
+      "id as doc_id",
+      s"$base as text",
+      s"concat('src_', cast(id % $sources as string)) as source")
+    val cols = embedDim match {
+      case Some(dim) =>
+        // semantic-only plant: reuse the predecessor's VECTOR (text stays
+        // this id's own) — off the short/text-dup schedules on both sides
+        val effId = s"case when id % $semEvery = ${semEvery - 1} and id > 0 " +
+          s"and id % 37 != 0 and (id - 1) % 37 != 0 " +
+          s"and id % $dupEvery != ${dupEvery - 1} " +
+          s"and (id - 1) % $dupEvery != ${dupEvery - 1} " +
+          s"then id - 1 else id end"
+        baseCols :+ (s"transform(sequence(1, $dim), j -> cast(" +
+          s"pmod(xxhash64(($effId) * 131 + j), 2001) / 1000.0 - 1.0 " +
+          s"as float)) as embedding")
+      case None => baseCols
+    }
+    spark.range(rows).selectExpr(cols: _*)
+      .selectExpr(Seq("doc_id", "text", "source", "length(text) as n_chars")
+        ++ embedDim.map(_ => "embedding"): _*)
       .write.mode("overwrite").parquet(out)
     println(s"wrote $rows docs to $out")
     spark.stop()
