@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   *     [--pii email,phone,ip,key]         optional pii stage + redaction
   *     [--embed-col <col> --embed-dim N]  optional semantic-dedup stage
   *     [--semantic-method kmeans|lsh] [--embed-threshold 0.95]
-  *     [--n-cells 16] [--top-k 4] [--planes 12]
+  *     [--n-cells 0 (auto: survivors/4096)] [--top-k 4] [--planes 12]
   *     [--stream-col source]
   *     [--train-frac 0.9] [--val-frac 0.05]
   *     [--text-col text] [--id-col doc_id]
@@ -93,7 +93,7 @@ object CurationMain {
             sys.error("--embed-col requires --embed-dim")),
           method = opts.getOrElse("semantic-method", "kmeans"),
           threshold = opts.get("embed-threshold").map(_.toDouble).getOrElse(0.95),
-          nCells = opts.get("n-cells").map(_.toInt).getOrElse(16),
+          nCells = opts.get("n-cells").map(_.toInt).getOrElse(0),
           topK = opts.get("top-k").map(_.toInt).getOrElse(4),
           planes = opts.get("planes").map(_.toInt).getOrElse(12))
       })

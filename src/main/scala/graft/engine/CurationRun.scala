@@ -63,13 +63,23 @@ object CurationRun {
     * + kmeansTopKMulti, nprobe=1 — the canonical SemDeDup layout: density-
     * balanced cells, each vector compared only within its cell); `lsh`
     * buckets by seeded hyperplane codes (Dedup.embeddingNearDupPairs — no
-    * training pass). Both decide on TRUE cosine. */
+    * training pass). Both decide on TRUE cosine.
+    *
+    * `nCells = 0` (the default) AUTO-SIZES the kmeans cell count from the
+    * survivor corpus: ceil(n / TargetCellSize) clamped to >= 16 — the
+    * within-cell top-k work is O(n²/cells), so the cell COUNT must grow
+    * linearly with the corpus to keep per-cell cost constant. A fixed
+    * small cell count is the one scale trap of the SemDeDup shape (64
+    * cells at 2M docs ≈ 30k-row cells ≈ 10^10 dot products — measured as
+    * a kill, BENCH/BASELINE.md round 6); auto-sizing costs one count()
+    * of the survivor frame. */
   final case class SemanticDedupConfig(
       embedCol: String,
       dim: Int,
       method: String = "kmeans", // kmeans | lsh
       threshold: Double = 0.95,
-      nCells: Int = 16,
+      /** kmeans cell count; 0 = auto-size ceil(n / TargetCellSize). */
+      nCells: Int = 0,
       iters: Int = 4,
       topK: Int = 4,
       planes: Int = 12,
@@ -77,12 +87,22 @@ object CurationRun {
     require(Set("kmeans", "lsh")(method),
       s"unknown semantic dedup method '$method'")
     require(dim > 0, "dim must be positive")
-    require(nCells > 0 && iters > 0 && topK > 0,
-      "nCells/iters/topK must be positive")
+    require(nCells >= 0 && iters > 0 && topK > 0,
+      "nCells must be >= 0 (0 = auto), iters/topK positive")
     require(planes >= 1 && planes <= 64, "planes must be in [1, 64]")
     require(threshold > 0.0 && threshold <= 1.0,
       "threshold must be in (0, 1]")
   }
+
+  /** Auto-sizing target for kmeans semantic-dedup cells: ~4k vectors per
+    * cell keeps the within-cell top-k at ~10^7 dot products per cell —
+    * seconds of work — at ANY corpus size (the cell count, not the cell
+    * size, absorbs growth). */
+  val TargetCellSize = 4096L
+
+  /** Training-sample budget per kmeans cell: Lloyd's sees a density
+    * sketch of ~this many sampled vectors per cell (floor 128k total). */
+  val TrainPointsPerCell = 512L
 
   final case class StageResult(
       stage: String, rows: Long, contentHash: Long, wallMs: Long,
@@ -327,15 +347,43 @@ object CurationRun {
               maxBucket = sc.maxBucket)
             (p.select("id_a", "id_b"), p)
           case _ =>
+            // auto-size the cell count to the survivor corpus: within-cell
+            // top-k is O(n²/cells), so cells must grow with n
+            val n = corp.count()
+            val cells =
+              if (sc.nCells > 0) sc.nCells
+              else math.max(16L, (n + TargetCellSize - 1) / TargetCellSize)
+                .toInt
+            // fail LOUD when the mean cell would exceed the bucket cap:
+            // capBuckets would silently drop every over-cap cell, and a
+            // semantic stage that reports "0 duplicates" because its whole
+            // corpus was capped away is a false negative, not a result
+            // (measured: 16 fixed cells at 2M docs -> all 120k-row cells
+            // over the 100k cap -> 0 pairs, silently)
+            require(cells.toLong * sc.maxBucket >= n,
+              s"semantic kmeans: $cells cells over $n vectors gives mean " +
+                s"cell size ${n / cells} > maxBucket ${sc.maxBucket} — " +
+                "every typical cell would be capped away; raise nCells " +
+                "(or 0 = auto) or maxBucket")
+            // bound the TRAINING scan: Lloyd's needs a density sketch, not
+            // the corpus — ~TrainPointsPerCell points per cell suffice, so
+            // the per-iteration cost is corpus-size-INDEPENDENT (only the
+            // one assignment pass inside kmeansTopKMulti touches every
+            // vector, and that is the irreducible IVF cost)
+            val trainTarget = math.max(131072L, TrainPointsPerCell * cells)
+            val ppm =
+              if (n <= trainTarget) 1000000
+              else math.max(1L, trainTarget * 1000000L / n).toInt
             val centroids = graft.operators.Similarity.trainIvfCentroids(
-              corp, sc.embedCol, idc, sc.nCells, sc.iters)
-            val p = graft.operators.Similarity.kmeansTopKMulti(corp, corp,
-              sc.embedCol, idc, sc.topK, centroids, nprobe = 1,
+              corp, sc.embedCol, idc, cells, sc.iters, samplePpm = ppm)
+            // within-cell top-k runs INSIDE each shuffle group and emits
+            // O(n × topK) rows — never the O(n × cellSize) candidate
+            // materialization of the batch-probe API (cellSelfTopKPairs
+            // Scaladoc has the measured disk-kill numbers)
+            val p = graft.operators.Similarity.cellSelfTopKPairs(corp,
+              sc.embedCol, idc, sc.topK, centroids, sc.threshold,
               maxBucket = sc.maxBucket)
-            (p.filter(col("cos") >= sc.threshold &&
-                col("query_id") < col("corpus_id"))
-              .select(col("query_id").as("id_a"), col("corpus_id").as("id_b")),
-              p)
+            (p.select("id_a", "id_b"), p)
         }
         val clusters = Dedup.dupClusters(pairsE)
         (clusters.filter(col("id") =!= col("cluster_id"))

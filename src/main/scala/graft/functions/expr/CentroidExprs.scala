@@ -1,0 +1,169 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Nearest-centroid assignment as codegen'd expressions — the IVF hot path.
+  *
+  * The HOF encoding (`transform` over a cell sequence + `aggregate`/
+  * `zip_with` dot products) is semantically identical but runs on the
+  * interpreted HigherOrderFunction path (CodegenFallback — the CountAnyOf /
+  * wordpiece rationale): at corpus scale the assignment pass is
+  * O(rows × cells × dim) multiplies, and the interpreted lambda overhead
+  * dominated a measured 2M-doc × 470-cell × 32-dim semantic-dedup run
+  * (BENCH/BASELINE.md round 6). These expressions run the same loops as
+  * tight primitive Java inside whole-stage codegen via static helpers.
+  *
+  * The (normalized) centroid table rides the serialized expression as a
+  * reference object — task-broadcast once, like the wordpiece vocabulary;
+  * a 4096-cell × 1024-dim table is 32 MB, the practical ceiling of that
+  * discipline and far above any sane cell count.
+  *
+  * Semantics pinned to the HOF originals (Round5Spec parity tests):
+  * argmax of dot(vec, centroid) with strict `>` — ties keep the FIRST
+  * maximal cell; the top-k variant orders by (-dot, cell index). A
+  * dimension mismatch throws (never a silent prefix score — the
+  * Similarity.dimCheckedVec contract), as does a null vector element.
+  */
+case class NearestCell(child: Expression, centroids: Array[Array[Double]])
+    extends UnaryExpression {
+
+  require(centroids.nonEmpty, "nearest_cell: centroid table is empty")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_cell"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cell requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidExprs.nearest(v.asInstanceOf[ArrayData], centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.expr.CentroidExprs.nearest($v, $cRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class NearestCells(child: Expression, centroids: Array[Array[Double]],
+    nprobe: Int) extends UnaryExpression {
+
+  require(centroids.nonEmpty, "nearest_cells: centroid table is empty")
+  require(nprobe >= 1 && nprobe <= centroids.length,
+    s"nearest_cells: nprobe must be in [1, ${centroids.length}] (got $nprobe)")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_cells requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    CentroidExprs.nearestK(v.asInstanceOf[ArrayData], centroids, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"""${ev.value} = graft.functions.expr.CentroidExprs.nearestK(
+         |  $v, $cRef, $nprobe);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CentroidExprs {
+
+  private def dots(v: ArrayData, cs: Array[Array[Double]]): Array[Double] = {
+    val d = cs(0).length
+    if (v.numElements() != d) throw new IllegalArgumentException(
+      s"vector dimension mismatch: expected $d, got ${v.numElements()}")
+    val x = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      if (v.isNullAt(j)) throw new IllegalArgumentException(
+        s"null element at position $j in embedding vector")
+      x(j) = v.getDouble(j)
+      j += 1
+    }
+    val out = new Array[Double](cs.length)
+    var ci = 0
+    while (ci < cs.length) {
+      val c = cs(ci)
+      var s = 0.0
+      var k = 0
+      while (k < d) { s += x(k) * c(k); k += 1 }
+      out(ci) = s
+      ci += 1
+    }
+    out
+  }
+
+  /** Argmax cell by dot product; strict `>` keeps the FIRST maximal cell. */
+  def nearest(v: ArrayData, cs: Array[Array[Double]]): Int = {
+    val ds = dots(v, cs)
+    var best = 0
+    var bestDot = ds(0)
+    var ci = 1
+    while (ci < ds.length) {
+      if (ds(ci) > bestDot) { bestDot = ds(ci); best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** The `k` nearest cells ordered by (-dot, cell index) — a bounded
+    * insertion into a k-slot list (k is nprobe-sized: single digits). */
+  def nearestK(v: ArrayData, cs: Array[Array[Double]], k: Int): ArrayData = {
+    val ds = dots(v, cs)
+    val idx = new Array[Int](k)
+    var filled = 0
+    var ci = 0
+    while (ci < ds.length) {
+      // find insertion point among the filled slots
+      var p = filled
+      while (p > 0 && (ds(ci) > ds(idx(p - 1)) ||
+          (ds(ci) == ds(idx(p - 1)) && ci < idx(p - 1)))) p -= 1
+      if (p < k) {
+        val last = math.min(filled, k - 1)
+        var q = last
+        while (q > p) { idx(q) = idx(q - 1); q -= 1 }
+        idx(p) = ci
+        if (filled < k) filled += 1
+      }
+      ci += 1
+    }
+    // nprobe <= cells (constructor require), so the list is always full
+    new GenericArrayData(java.util.Arrays.copyOf(idx, filled))
+  }
+
+  /** Column form of [[NearestCell]] over NORMALIZED centroids (callers
+    * normalize; see Similarity.normalizedCentroids). Casts the vector to
+    * array<double> (float embeddings welcome). */
+  def nearestCell(vec: Column, normCentroids: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(NearestCell(
+      ColumnBridge.expression(vec.cast("array<double>")),
+      normCentroids.map(_.toArray).toArray))
+
+  /** Column form of [[NearestCells]]. */
+  def nearestCells(vec: Column, normCentroids: Seq[Seq[Double]],
+      nprobe: Int): Column =
+    ColumnBridge.column(NearestCells(
+      ColumnBridge.expression(vec.cast("array<double>")),
+      normCentroids.map(_.toArray).toArray, nprobe))
+}

@@ -298,29 +298,19 @@ object Similarity {
         s"sizes=${cs.map(_.size).distinct.mkString(",")})")
   }
 
-  /** The vector column, verified to match the centroid dimensionality —
-    * mismatched rows raise instead of silently scoring a prefix. */
-  private def dimCheckedVec(vec: Column, dim: Int): Column =
-    when(size(vec) === lit(dim), vec).otherwise(raise_error(concat(
-      lit(s"vector dimension mismatch: expected $dim, got "),
-      size(vec).cast("string"))).cast("array<double>"))
-
   /** Nearest-centroid cell index as a pure Column: argmax over cells of
-    * dot(vec, normalized centroid). Strict `>` in the fold keeps the FIRST
-    * maximal cell — deterministic ties at any parallelism. */
-  def nearestCellCol(vec0: Column, centroids: Seq[Seq[Double]]): Column = {
-    val cLit = typedlit(normalizedCentroids(centroids))
-    val vec = dimCheckedVec(vec0, centroids.head.size)
-    val scored = transform(sequence(lit(0), lit(centroids.size - 1)), ci =>
-      struct(
-        aggregate(zip_with(vec, element_at(cLit, ci + 1),
-          (x, c) => x.cast("double") * c), lit(0.0), (a, v) => a + v).as("s"),
-        ci.cast("int").as("i")))
-    aggregate(scored,
-      struct(lit(Double.MinValue).as("s"), lit(-1).as("i")),
-      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
-      .getField("i")
-  }
+    * dot(vec, normalized centroid); strict `>` keeps the FIRST maximal
+    * cell — deterministic ties at any parallelism. Runs as the codegen'd
+    * [[graft.functions.expr.NearestCell]] expression: the assignment pass
+    * is O(rows × cells × dim) multiplies — at corpus scale the interpreted
+    * HOF encoding (transform + aggregate/zip_with) dominated a measured
+    * 2M-doc semantic-dedup run (BENCH/BASELINE.md round 6), and this is
+    * the same loop as tight primitive Java inside whole-stage codegen.
+    * A row whose vector length differs from the centroid dimensionality
+    * throws (never a silent prefix score). */
+  def nearestCellCol(vec0: Column, centroids: Seq[Seq[Double]]): Column =
+    graft.functions.expr.CentroidExprs.nearestCell(
+      vec0, normalizedCentroids(centroids))
 
   /** Train `nCells` centroids with Lloyd's iterations over a deterministic
     * hash-sample of the corpus. Scale shape: the driver holds nCells × dim
@@ -390,21 +380,15 @@ object Similarity {
       .take(nprobe).map(_._2)
   }
 
-  /** Batch probe-set column: each query's `nprobe` nearest cells as an
-    * array — sort the scored cells by (-dot, index) lexicographically and
-    * slice, the learned-cell analogue of [[multiProbeCodesCol]]. */
+  /** Batch probe-set column: each query's `nprobe` nearest cells ordered
+    * by (-dot, cell index) — the learned-cell analogue of
+    * [[multiProbeCodesCol]], codegen'd like [[nearestCellCol]]. */
   def nearestCellsCol(vec0: Column, centroids: Seq[Seq[Double]],
       nprobe: Int): Column = {
     require(nprobe >= 1 && nprobe <= centroids.size,
       s"nearestCellsCol: nprobe must be in [1, nCells] (got $nprobe)")
-    val cLit = typedlit(normalizedCentroids(centroids))
-    val vec = dimCheckedVec(vec0, centroids.head.size)
-    val scored = transform(sequence(lit(0), lit(centroids.size - 1)), ci =>
-      struct(
-        (-aggregate(zip_with(vec, element_at(cLit, ci + 1),
-          (x, c) => x.cast("double") * c), lit(0.0), (a, v) => a + v)).as("s"),
-        ci.cast("int").as("i")))
-    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("i"))
+    graft.functions.expr.CentroidExprs.nearestCells(
+      vec0, normalizedCentroids(centroids), nprobe)
   }
 
   /** Write the learned-cell IVF layout: one Hive partition per k-means
@@ -477,6 +461,101 @@ object Similarity {
     out.count()
     c.unpersist(); q.unpersist()
     out
+  }
+
+  /** Corpus-vs-ITSELF near-neighbor pairs within learned cells — the
+    * SemDeDup mining shape at corpus scale. [[kmeansTopKMulti]] is the
+    * wrong tool for a self-join: its ids-only candidate frame is
+    * O(Σ cell²) = O(n × cellSize) ROWS through a shuffle (measured: 2M
+    * docs × 4k-row cells ≈ 8G candidate rows ≈ >100 GB of shuffle spill —
+    * a disk kill, BENCH/BASELINE.md round 6). Here each cell's top-k runs
+    * INSIDE its shuffle group (one corpus repartition by cell, ~vector
+    * bytes only) and emits O(n × k) result rows: for every vector, its
+    * top-k same-cell neighbors by cosine at/above `threshold`, as
+    * (id_a < id_b, cos) pairs. Per-cell work is cellSize² dot products of
+    * primitive-array math — seconds at the auto-sized ~4k cells at ANY
+    * corpus size, because the cell COUNT absorbs growth.
+    *
+    * Cells larger than `maxBucket` are SKIPPED (the hot-bucket cap
+    * discipline); callers mining for dedup decisions should size cells so
+    * the mean is far below the cap (CurationRun auto-sizing + loud
+    * mean-size guard). Ties break to the lower corpus id, so the pair set
+    * is deterministic at any parallelism. */
+  def cellSelfTopKPairs(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int, centroids: Seq[Seq[Double]], threshold: Double,
+      maxBucket: Int = 100000): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val assigned = emb.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        nearestCellCol(col(vecCol), centroids).as("bucket"))
+      .as[(Long, Seq[Double], Int)]
+    assigned.groupByKey(_._3)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray
+        if (rows.length > maxBucket || rows.length < 2) Iterator.empty
+        else {
+          val n = rows.length
+          val ids = new Array[Long](n)
+          val vs = new Array[Array[Double]](n)
+          val norms = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            ids(i) = rows(i)._1
+            vs(i) = rows(i)._2.toArray
+            var s = 0.0; var j = 0
+            while (j < vs(i).length) { s += vs(i)(j) * vs(i)(j); j += 1 }
+            norms(i) = math.sqrt(s)
+            i += 1
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          i = 0
+          while (i < n) {
+            // bounded top-k slots for query i (k is single digits)
+            val topIdx = new Array[Int](k)
+            val topCos = new Array[Double](k)
+            var filled = 0
+            var j = 0
+            while (j < n) {
+              if (j != i && norms(i) > 0.0 && norms(j) > 0.0) {
+                var d = 0.0; var p = 0
+                val vi = vs(i); val vj = vs(j)
+                while (p < vi.length) { d += vi(p) * vj(p); p += 1 }
+                val cos = d / (norms(i) * norms(j))
+                if (cos >= threshold) {
+                  // tie-break on corpus id, NOT array position: the group
+                  // iterator's order is partition-dependent, ids are not
+                  var pos = filled
+                  while (pos > 0 && (cos > topCos(pos - 1) ||
+                      (cos == topCos(pos - 1) &&
+                        ids(j) < ids(topIdx(pos - 1))))) pos -= 1
+                  if (pos < k) {
+                    var q = math.min(filled, k - 1)
+                    while (q > pos) {
+                      topIdx(q) = topIdx(q - 1); topCos(q) = topCos(q - 1)
+                      q -= 1
+                    }
+                    topIdx(pos) = j; topCos(pos) = cos
+                    if (filled < k) filled += 1
+                  }
+                }
+              }
+              j += 1
+            }
+            var t = 0
+            while (t < filled) {
+              val a = ids(i); val b = ids(topIdx(t))
+              out += ((math.min(a, b), math.max(a, b), topCos(t)))
+              t += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("id_a", "id_b", "cos")
+      // a mutual pair surfaces from both endpoints' top-k — one row each
+      .groupBy("id_a", "id_b").agg(max("cos").as("cos"))
   }
 
   /** Probe the written IVF index: top-k by cosine WITHIN the query's cell.

@@ -143,6 +143,99 @@ class Round6Spec extends SparkTestBase {
     assert(h1 == h2)
   }
 
+  test("cellSelfTopKPairs: parity with a driver brute force over cells") {
+    import graft.operators.Similarity
+    val k = 3
+    val threshold = 0.8
+    val emb = spark.range(240).select(col("id"),
+      AnnRecallBench.clusteredVec(col("id"), 12, 6, 0.25).as("v"))
+      .persist()
+    val centroids = Similarity.trainIvfCentroids(emb, "v", "id",
+      nCells = 6, iters = 3)
+    val got = Similarity.cellSelfTopKPairs(emb, "v", "id", k, centroids,
+      threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+
+    // driver brute force with the documented semantics: per vector, the
+    // top-k SAME-CELL neighbors with cos >= threshold, ordered (-cos, id);
+    // mutual pairs dedup to one (lo, hi) row
+    val rows = emb.collect().toSeq.map(r =>
+      (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val byCell = rows.groupBy { case (_, v) =>
+      Similarity.nearestCells(v.toSeq, centroids, 1).head }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = byCell.values.flatMap { cell =>
+      cell.flatMap { case (i, vi) =>
+        cell.filter(_._1 != i)
+          .map { case (j, vj) => (j, cos(vi, vj)) }
+          .filter(_._2 >= threshold)
+          .sortBy { case (j, c) => (-c, j) }
+          .take(k)
+          .map { case (j, c) => (math.min(i, j), math.max(i, j), c) }
+      }
+    }.groupBy(p => (p._1, p._2))
+      .map { case ((a, b), ps) =>
+        (a, b, math.round(ps.map(_._3).max * 1e9)) }
+      .toSet
+    assert(want.nonEmpty, "fixture produced no pairs — not a real test")
+    assert(got == want)
+    emb.unpersist()
+  }
+
+  test("cellSelfTopKPairs: id tie-break is partition-order independent") {
+    import graft.operators.Similarity
+    // 6 identical vectors (all cos ties at exactly 1.0) + 2 orthogonal:
+    // with k=2 each of the six picks its two LOWEST-id twins
+    val docs = ((0L to 5L).map(i => (i, Seq(1.0, 0.0, 0.0))) ++
+      Seq((6L, Seq(0.0, 1.0, 0.0)), (7L, Seq(0.0, 0.0, 1.0))))
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    def mine(parts: Int) =
+      Similarity.cellSelfTopKPairs(
+        docs.toDF("id", "v").repartition(parts), "v", "id",
+        k = 2, centroids, threshold = 0.9)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val one = mine(1)
+    // id i's top-2 ties resolve to the two lowest OTHER ids
+    val want = (0L to 5L).flatMap { i =>
+      (0L to 5L).filter(_ != i).sorted.take(2)
+        .map(j => (math.min(i, j), math.max(i, j)))
+    }.toSet
+    assert(one == want)
+    assert(mine(7) == one && mine(3) == one)
+  }
+
+  test("cellSelfTopKPairs: over-cap cells are skipped, never mined") {
+    import graft.operators.Similarity
+    val docs = (0L to 9L).map(i => (i, Seq(1.0, 0.0)))
+    val centroids = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0))
+    val out = Similarity.cellSelfTopKPairs(docs.toDF("id", "v"), "v", "id",
+      k = 2, centroids, threshold = 0.5, maxBucket = 9)
+    assert(out.count() == 0L)
+  }
+
+  test("nearest-cell codegen path: dimension mismatch throws, no prefix score") {
+    import graft.operators.Similarity
+    val centroids = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0))
+    val bad = Seq((1L, Seq(1.0, 0.0))).toDF("id", "v")
+    val e = intercept[Exception] {
+      bad.select(Similarity.nearestCellCol(col("v"), centroids)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dimension mismatch")))
+    val e2 = intercept[Exception] {
+      bad.select(Similarity.nearestCellsCol(col("v"), centroids, 2)).collect()
+    }
+    assert(msgs(e2).exists(_.contains("dimension mismatch")))
+  }
+
   test("pcmStatsBatched: null payloads yield null stats, ids preserved") {
     val wav = Multimodal.encodeWavSamples(8000, 2, Array[Short](5, -5, 400))
     val df = Seq((1L, wav), (2L, null: Array[Byte]))
