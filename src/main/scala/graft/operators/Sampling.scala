@@ -46,6 +46,111 @@ object Sampling {
     df.filter(hashBucket(col(idCol)) < math.round(rate * 10000))
   }
 
+  /** Token-budget domain mixing: select documents per domain, in the
+    * deterministic (hashBucket(id), id) order, while the domain's running
+    * token total stays within its budget — the "mix N billion tokens of
+    * web with M billion of code" selection step of a pretraining data
+    * pipeline. Domains absent from `budgets` are excluded. A doc is kept
+    * iff the running total INCLUDING it is <= the budget (no overflow doc).
+    *
+    * Scale shape — the naive formulation (one window per domain over every
+    * row) funnels each domain through a single reducer, a skew-killer when
+    * one domain holds half the corpus. Instead:
+    *   1. ONE map-side-combinable groupBy((domain, bucket)) token sum —
+    *      output bounded by |domains| * buckets rows, NOT corpus size;
+    *   2. cumulative sums + the budget cut per domain computed by a window
+    *      over that tiny frame;
+    *   3. buckets fully under the cut keep all their docs via a broadcast
+    *      semi-join (pure scan-side filter); ONLY the one boundary bucket
+    *      per domain (~1/buckets of its docs) pays a per-row window, and
+    *      that window's partitions are (domain, bucket)-bounded.
+    * Selection order is hash-of-id, so membership is reproducible across
+    * cluster sizes, resumes, and later corpus appends within a bucket's
+    * worth of churn. */
+  def tokenBudgetMix(df: DataFrame, domainCol: String, idCol: String,
+      tokenCol: String, budgets: Map[String, Long],
+      buckets: Int = 10000): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetMix: empty budgets")
+    budgets.foreach { case (d, b) =>
+      require(b >= 0, s"tokenBudgetMix: negative budget for domain $d") }
+    val bucketCol = hashBucket(col(idCol), buckets)
+    val withB = df.withColumn("__bucket", bucketCol)
+    val budgetOf = budgets.toSeq.sortBy(_._1).foldLeft(lit(-1L)) {
+      case (acc, (d, b)) => when(col("__dom") === lit(d), lit(b)).otherwise(acc)
+    }
+    // grouping keys are ALIASED so the join keys below carry fresh
+    // attribute ids — an unaliased grouping column reuses the child's id
+    // and the semi-join degenerates into a trivially-true self-reference
+    val perBucket = withB
+      .groupBy(col(domainCol).as("__dom"), col("__bucket").as("__gbucket"))
+      .agg(sum(col(tokenCol).cast("long")).as("__btok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__dom").orderBy("__gbucket")
+    val cuts = perBucket
+      .withColumn("__cum", sum(col("__btok")).over(w))
+      .withColumn("__before", col("__cum") - col("__btok"))
+      .withColumn("__budget", budgetOf)
+      .filter(col("__budget") >= 0)
+    val fullKeys = cuts.filter(col("__cum") <= col("__budget"))
+      .select(col("__dom"), col("__gbucket"))
+    val boundary = cuts
+      .filter(col("__before") < col("__budget") && col("__cum") > col("__budget"))
+      .select(col("__dom"), col("__gbucket").as("__bbucket"),
+        col("__budget"), col("__before"))
+    val keptFull = withB.join(broadcast(fullKeys),
+      withB(domainCol) === fullKeys("__dom") &&
+        withB("__bucket") === fullKeys("__gbucket"), "left_semi")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(domainCol), col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val keptBoundary = withB.join(broadcast(boundary),
+        withB(domainCol) === boundary("__dom") &&
+          withB("__bucket") === boundary("__bbucket"), "inner")
+      .withColumn("__run", sum(col(tokenCol).cast("long")).over(wb))
+      .filter(col("__before") + col("__run") <= col("__budget"))
+      .select(withB.columns.map(withB(_)): _*)
+    keptFull.unionByName(keptBoundary).drop("__bucket")
+  }
+
+  /** Temperature-weighted domain budgets: the standard "sample domains
+    * proportional to p^alpha" mixture re-weighting of multilingual /
+    * multi-domain pretraining (alpha=1 reproduces the natural distribution,
+    * alpha=0 is uniform, alpha~0.3 is the usual low-resource up-weighting).
+    * Returns a per-domain TOKEN budget summing to ~totalBudget (largest-
+    * remainder rounding — budgets sum EXACTLY to totalBudget when
+    * attainable), capped at the domain's available tokens; cap overflow is
+    * NOT redistributed (re-allocating a capped domain's surplus would make
+    * every budget depend on every cap — opaque; callers wanting exhaustive
+    * fill can iterate). Feed the result to [[tokenBudgetMix]].
+    *
+    * Driver-side by design: one map-side-combinable groupBy(domain) sum —
+    * output is |domains| rows, a config-sized frame, and budgets ARE
+    * config (they parameterize a later job), not data. */
+  def temperatureBudgets(df: DataFrame, domainCol: String, tokenCol: String,
+      totalBudget: Long, alpha: Double): Map[String, Long] = {
+    require(totalBudget >= 0, s"temperatureBudgets: negative total $totalBudget")
+    require(alpha >= 0.0, s"temperatureBudgets: negative alpha $alpha")
+    val avail = df.groupBy(col(domainCol).cast("string").as("d"))
+      .agg(sum(col(tokenCol).cast("long")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = avail.values.sum.toDouble
+    if (avail.isEmpty || total <= 0) return avail.map { case (d, _) => d -> 0L }
+    val weights = avail.map { case (d, n) =>
+      d -> math.pow(n / total, alpha) }
+    val wSum = weights.values.sum
+    // largest-remainder: floor each share, hand the leftover units to the
+    // largest fractional parts (ties by domain name — deterministic)
+    val raw = weights.map { case (d, w) =>
+      d -> totalBudget * w / wSum }
+    val floored = raw.map { case (d, r) => d -> r.toLong }
+    val leftover = (totalBudget - floored.values.sum).toInt
+    val order = raw.toSeq
+      .sortBy { case (d, r) => (-(r - r.toLong), d) }.map(_._1)
+    val bumped = order.take(leftover).toSet
+    floored.map { case (d, b) =>
+      d -> math.min(avail(d), if (bumped(d)) b + 1 else b) }
+  }
+
   /** Stratified deterministic sample: per-stratum keep rates (strata not
     * listed keep `defaultRate`). The rate lookup is a small when-chain —
     * still a pure pushable filter, no join, no shuffle; the id hash (not a

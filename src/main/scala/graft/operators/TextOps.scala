@@ -213,6 +213,128 @@ object TextOps {
             / lit(denom)))).as("avg_logprob"))
   }
 
+  /** Lines (newline-split, raw — line identity must be exact) that appear
+    * in at least `minDocs` DISTINCT documents: the corpus-frequency
+    * boilerplate miner of the CCNet/RefinedWeb family (cookie banners,
+    * nav menus, "all rights reserved" footers repeat across a site's
+    * pages; prose lines don't).
+    *
+    * Scale shape: the within-doc distinct is `array_distinct` BEFORE the
+    * explode (zero shuffle — each doc contributes a line at most once, so
+    * the count IS a distinct-doc count), and the only shuffle is ONE
+    * map-side-combinable `groupBy(line).count` whose post-filter output is
+    * heavy-hitter bounded: at most totalLines/minDocs survivors by
+    * construction. Whitespace-only lines never mine (they would "dedup"
+    * formatting). */
+  def frequentLines(docs: DataFrame, textCol: String, minDocs: Int): DataFrame = {
+    require(minDocs >= 2, s"frequentLines: minDocs must be >= 2 ($minDocs)")
+    docs.select(explode(array_distinct(filter(split(col(textCol), "\n"),
+        l => trim(l) =!= ""))).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Remove corpus-frequent boilerplate lines from every document and
+    * rebuild it in original line order, with kept/total audit counts —
+    * every input doc survives (a doc whose every line was boilerplate
+    * comes back with empty text and kept_lines=0).
+    *
+    * Scale shape: the frequent-line set is heavy-hitter bounded (see
+    * [[frequentLines]]) so AQE turns the LEFT ANTI join into a broadcast;
+    * the rebuild is one corpus-wide groupBy(id) shuffle — the same
+    * one-shuffle-by-key shape CCNet's canonical line-dedup uses — and the
+    * final docs join reuses that id partitioning. `array_sort` over
+    * (pos, line) structs restores order under collect_list's
+    * nondeterminism, so output text is identical at any parallelism. */
+  def dropFrequentLines(docs: DataFrame, textCol: String, idCol: String,
+      minDocs: Int): DataFrame =
+    dropLines(docs, textCol, idCol,
+      frequentLines(docs, textCol, minDocs).select(col("line")))
+
+  /** [[dropFrequentLines]] against a PRE-MINED line set (one `line` column)
+    * — the curation-stage shape: the mined set is a durable, heavy-hitter-
+    * bounded artifact, so the mine (one corpus scan) and the rewrite (one
+    * corpus-wide groupBy(id) shuffle at final materialization) run in
+    * different jobs of a resumable pipeline without re-mining. */
+  def dropLines(docs: DataFrame, textCol: String, idCol: String,
+      freq: DataFrame): DataFrame = {
+    val lines = docs.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "line")))
+    val rebuilt = lines.join(freq, Seq("line"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("line")))),
+          s => s.getField("line")), "\n").as("__kept_text"),
+        count(lit(1)).as("__kept_lines"))
+    docs.join(rebuilt, docs(idCol) === rebuilt("__id"), "left")
+      .withColumn("clean_text", coalesce(col("__kept_text"), lit("")))
+      .withColumn("kept_lines", coalesce(col("__kept_lines"), lit(0L)))
+      .withColumn("total_lines", size(split(col(textCol), "\n")).cast("long"))
+      .drop("__id", "__kept_text", "__kept_lines")
+  }
+
+  /** Word n-grams of normalized text in document order (overlapping,
+    * space-joined). Empty when the doc has fewer than n words — the
+    * `sequence(1, 0)` guard matters: Spark would otherwise emit a
+    * DESCENDING sequence, not an empty one. */
+  def wordNgrams(c: Column, n: Int): Column = {
+    require(n >= 1, s"wordNgrams: n must be >= 1 ($n)")
+    val words = filter(split(Dedup.normText(c), " "), t => t =!= "")
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - n + 1),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition fractions per document (Rae et al. 2021's
+    * "fraction of characters in the most common n-gram" and "fraction of
+    * characters in duplicated n-grams" quality filters):
+    *
+    *  - `top{n}_gram` / `top{n}_frac`: the most frequent word n-gram
+    *    (ties broken lexicographically — deterministic at any parallelism)
+    *    and cnt*len(gram)/len(normText);
+    *  - `dup{m}_frac`: sum over m-grams occurring more than once of
+    *    cnt*len(gram), over len(normText).
+    *
+    * Scale shape: one explode per n, each feeding a map-side-combinable
+    * groupBy(id, gram) count; the per-doc argmax is `min(struct(-cnt,
+    * gram))` on the ALREADY-aggregated rows (no second pass over text);
+    * docs shorter than n words report 0.0 via the left joins. Both
+    * fractions can exceed 1 for pathologically repetitive docs (overlap
+    * double-counts) — they are filter signals, not measures. */
+  def ngramRepetitionStats(docs: DataFrame, textCol: String, idCol: String,
+      topN: Int = 2, dupN: Int = 3): DataFrame = {
+    val base = docs.select(col(idCol).as("id"),
+      length(Dedup.normText(col(textCol))).as("n_chars_norm"))
+    def gramCounts(n: Int) =
+      docs.select(col(idCol).as("id"),
+          explode(wordNgrams(col(textCol), n)).as("gram"))
+        .groupBy("id", "gram").agg(count(lit(1)).as("cnt"))
+    val top = gramCounts(topN)
+      .groupBy("id")
+      .agg(min(struct((-col("cnt")).as("neg"), col("gram").as("g"))).as("m"))
+      .select(col("id"), col("m.g").as("top_gram"),
+        (-col("m.neg")).cast("long").as("top_cnt"))
+    val dup = gramCounts(dupN)
+      .groupBy("id")
+      .agg(sum(when(col("cnt") > 1, col("cnt") * length(col("gram"))))
+        .as("dup_chars"))
+    base.join(top, Seq("id"), "left").join(dup, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("top_gram"), lit("")).as("top_gram"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"),
+        when(col("n_chars_norm") > 0,
+          round(coalesce(col("top_cnt"), lit(0L)) *
+            length(coalesce(col("top_gram"), lit(""))) /
+            col("n_chars_norm").cast("double"), 6))
+          .otherwise(lit(0.0)).as("top_frac"),
+        when(col("n_chars_norm") > 0,
+          round(coalesce(col("dup_chars"), lit(0L)) /
+            col("n_chars_norm").cast("double"), 6))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   /** Stable document fingerprint: md5 of normalized text (lower, collapsed
     * whitespace) — the exact-dup key. */
   def fingerprint(c: Column): Column = md5(Dedup.normText(c))

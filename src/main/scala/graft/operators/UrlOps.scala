@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL hygiene for web-corpus curation: host extraction, canonical
+  * normalization, and domain blocklist filtering — the provenance-side
+  * filters every web-scale pretraining pipeline runs before any content
+  * filter (crawl dumps key quality decisions off the URL long before the
+  * text is parsed).
+  *
+  * All pure `Column` expressions — codegen'd, zero shuffle — and every
+  * regex stays inside the Java/RE2-shared dialect so DuckDB replays each
+  * derivation exactly (the PiiOps convention).
+  *
+  * Reference seed: feature-fabrica treats columns + validation predicates
+  * as config (models/features.py:13-30); URL fields are the web-corpus
+  * instance of such a validated column.
+  */
+object UrlOps {
+
+  /** Lowercased host: scheme and userinfo stripped, authority cut at the
+    * first `/ : ? #`. Scheme-less inputs ("example.com/x") resolve to
+    * their leading host. Null/empty host → empty string. */
+  def host(url: Column): Column =
+    lower(regexp_extract(url,
+      "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)", 1))
+
+  /** Naive registrable domain: the last two dot-labels of the host
+    * (a deliberate simplification — the real public-suffix list is a data
+    * file, not logic; swap in a PSL lookup where compound TLDs matter).
+    * Hosts with a single label (e.g. "localhost") pass through as-is. */
+  def registrableDomain(url: Column): Column = {
+    val h = host(url)
+    when(h.rlike("\\."), regexp_extract(h, "([^.]+\\.[^.]+)$", 1)).otherwise(h)
+  }
+
+  /** Canonical URL: fragment dropped, scheme + host lowercased, default
+    * ports removed (http:80 / https:443), utm_* tracking params dropped
+    * (with `?`/`&` separators re-tidied). Path, non-default ports, and
+    * non-tracking query params pass through byte-exact — canonicalization
+    * must never merge genuinely distinct resources. Scheme-less inputs
+    * gain no scheme (normalization is not resolution). */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = regexp_extract(noFrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    val afterScheme = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val userinfo = regexp_extract(afterScheme, "^([^/@?#]*@)", 1)
+    val afterUser = regexp_replace(afterScheme, "^[^/@?#]*@", "")
+    val hostPart = regexp_extract(afterUser, "^([^/:?#]+)", 1)
+    val portPart = regexp_extract(afterUser, "^[^/:?#]+(:[0-9]+)", 1)
+    val rest = regexp_replace(afterUser, "^[^/:?#]+(:[0-9]+)?", "")
+    val path = regexp_replace(rest, "\\?.*$", "")
+    val query = regexp_extract(rest, "\\?(.*)$", 1)
+    val keptParams = filter(split(query, "&"),
+      p => !p.rlike("^utm_") && (p =!= ""))
+    val loweredScheme = lower(scheme)
+    val port = when(
+      (loweredScheme === "http" && portPart === ":80") ||
+        (loweredScheme === "https" && portPart === ":443"),
+      lit("")).otherwise(portPart)
+    val queryOut = when(size(keptParams) > 0,
+      concat(lit("?"), array_join(keptParams, "&"))).otherwise(lit(""))
+    concat(
+      when(scheme === "", lit("")).otherwise(concat(loweredScheme, lit("://"))),
+      userinfo, lower(hostPart), port, path, queryOut)
+  }
+
+  /** True when the URL's host is `domain` or any subdomain of it, for any
+    * blocklist entry — suffix match on label boundaries, so
+    * "evil.com" blocks "a.evil.com" but never "notevil.com". A literal
+    * when-chain over the (config-sized) blocklist: a pure pushable filter
+    * predicate, usable straight inside a scan. For blocklists beyond
+    * config size, join on [[registrableDomain]] against a blocklist table
+    * instead (AQE broadcasts it while it fits). */
+  def blockedByDomain(url: Column, blocked: Seq[String]): Column = {
+    require(blocked.nonEmpty, "blockedByDomain: empty blocklist")
+    val h = host(url)
+    blocked.map(_.toLowerCase).distinct.sorted
+      .map(b => h === lit(b) || h.endsWith("." + b))
+      .reduce(_ || _)
+  }
+
+  /** Drop rows whose URL host falls under any blocked domain — the
+    * filter-pushdown form (predicate reaches the parquet scan). */
+  def filterBlockedDomains(df: DataFrame, urlCol: String,
+      blocked: Seq[String]): DataFrame =
+    df.filter(!blockedByDomain(col(urlCol), blocked))
+}

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Sampling, TextOps, UrlOps}
+
+/** Round-6 units, second batch: corpus-frequency line dedup, n-gram
+  * repetition fractions, token-budget domain mixing, URL hygiene. */
+class Round6bSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val lineDocs = Seq(
+    (1L, "unique alpha one.\nShared footer line.\nCookie banner here."),
+    (2L, "unique beta two.\nShared footer line.\nCookie banner here."),
+    (3L, "unique gamma three.\nShared footer line.\n   \n"),
+    (4L, "Shared footer line.\nCookie banner here."),
+    (5L, "all lines unique in this doc.\ntruly one of a kind."))
+    .toDF("doc_id", "text")
+
+  test("frequentLines: mines lines in >= minDocs distinct docs, never whitespace") {
+    val freq = TextOps.frequentLines(lineDocs, "text", minDocs = 3)
+      .orderBy("line").collect()
+    assert(freq.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("Cookie banner here.", 3L), ("Shared footer line.", 4L)))
+  }
+
+  test("frequentLines: within-doc repeats count once (distinct-doc semantics)") {
+    val docs = Seq(
+      (1L, "spam\nspam\nspam"),
+      (2L, "spam\nother")).toDF("doc_id", "text")
+    // 'spam' appears in 2 docs (not 4 lines): minDocs=3 mines nothing
+    assert(TextOps.frequentLines(docs, "text", 3).count() == 0L)
+    assert(TextOps.frequentLines(docs, "text", 2).as[(String, Long)]
+      .collect().toSeq == Seq(("spam", 2L)))
+  }
+
+  test("dropFrequentLines: rebuild preserves order; all-boilerplate doc survives empty") {
+    val out = TextOps.dropFrequentLines(lineDocs, "text", "doc_id", 3)
+      .select("doc_id", "clean_text", "kept_lines", "total_lines")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "unique alpha one.", 1L, 3L)))
+    // doc 3 keeps its unique line AND the whitespace-only lines (never mined)
+    assert(out(2) == ((3L, "unique gamma three.\n   \n", 3L, 4L)))
+    assert(out(3) == ((4L, "", 0L, 2L))) // every line was boilerplate
+    assert(out(4)._2 == "all lines unique in this doc.\ntruly one of a kind.")
+  }
+
+  test("wordNgrams: overlapping, normalized, empty under n words") {
+    val df = Seq(Tuple1("A b  C d"), Tuple1("one")).toDF("t")
+    val got = df.select(TextOps.wordNgrams(col("t"), 2)).as[Seq[String]]
+      .collect()
+    assert(got(0) == Seq("a b", "b c", "c d"))
+    assert(got(1) == Seq.empty)
+  }
+
+  test("ngramRepetitionStats: exact fractions on a crafted repetitive doc") {
+    // norm text: "go go go stop" (13 chars) — top 2-gram "go go" x2,
+    // 3-grams: "go go go" x1, "go go stop" x1 -> no duplicated 3-gram
+    val df = Seq((1L, "go go go stop"), (2L, "x")).toDF("doc_id", "text")
+    val out = TextOps.ngramRepetitionStats(df, "text", "doc_id")
+      .as[(Long, String, Long, Double, Double)].collect().sortBy(_._1)
+    assert(out(0) == ((1L, "go go", 2L,
+      math.rint(2.0 * 5 / 13 * 1e6) / 1e6, 0.0)))
+    assert(out(1) == ((2L, "", 0L, 0.0, 0.0))) // <2 words: all zeros
+  }
+
+  test("ngramRepetitionStats: argmax tiebreak is lexicographic") {
+    val df = Seq((1L, "b a b a")).toDF("doc_id", "text")
+    // 2-grams: "b a" x2, "a b" x1 -> top is "b a" by count;
+    val top = TextOps.ngramRepetitionStats(df, "text", "doc_id")
+      .select("top_gram", "top_cnt").as[(String, Long)].head()
+    assert(top == (("b a", 2L)))
+    val tie = Seq((1L, "c d a b")).toDF("doc_id", "text") // all grams x1
+    assert(TextOps.ngramRepetitionStats(tie, "text", "doc_id")
+      .select("top_gram").as[String].head() == "a b") // lexicographic min
+  }
+
+  test("tokenBudgetMix: budgets respected, selection deterministic, order hash-of-id") {
+    val docs = (0L until 400L).map(i =>
+      (i, if (i % 2 == 0) "web" else "code", 10L))
+      .toDF("doc_id", "domain", "toks")
+    val out = Sampling.tokenBudgetMix(docs, "domain", "doc_id", "toks",
+      Map("web" -> 500L, "code" -> 10000L), buckets = 16)
+    val byDom = out.groupBy("domain").agg(
+      count(lit(1)).as("n"), sum("toks").as("tok"))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    // code's budget covers all 200 docs; web cuts at exactly 50 docs
+    assert(byDom == Seq(("code", 200L, 2000L), ("web", 50L, 500L)))
+    // membership is the hash-order prefix: every kept web doc's bucket-order
+    // position precedes every dropped one's
+    val keptWeb = out.filter(col("domain") === "web")
+      .select("doc_id").as[Long].collect().toSet
+    val ranked = docs.filter(col("domain") === "web")
+      .select(col("doc_id"), Sampling.hashBucket(col("doc_id"), 16).as("b"))
+      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1)).map(_._1)
+    assert(ranked.take(50).toSet == keptWeb)
+    // determinism across parallelism: same membership at 1 partition
+    val out1 = Sampling.tokenBudgetMix(docs.repartition(1), "domain",
+      "doc_id", "toks", Map("web" -> 500L, "code" -> 10000L), buckets = 16)
+    assert(out1.filter(col("domain") === "web")
+      .select("doc_id").as[Long].collect().toSet == keptWeb)
+  }
+
+  test("tokenBudgetMix: no overflow doc — a doc that would cross the budget is dropped") {
+    val docs = Seq((1L, "d", 400L), (2L, "d", 400L), (3L, "d", 400L))
+      .toDF("doc_id", "domain", "toks")
+    val kept = Sampling.tokenBudgetMix(docs, "domain", "doc_id", "toks",
+      Map("d" -> 1000L), buckets = 4).agg(sum("toks")).as[Long].head()
+    assert(kept == 800L) // 2 docs; the third would total 1200 > 1000
+    // domains absent from budgets are excluded entirely
+    val none = Sampling.tokenBudgetMix(docs, "domain", "doc_id", "toks",
+      Map("other" -> 99L), buckets = 4)
+    assert(none.count() == 0L)
+  }
+
+  test("UrlOps.host/registrableDomain: scheme, userinfo, port, single-label") {
+    val cases = Seq(
+      "HTTPS://WWW.Example.COM:443/p" -> ("www.example.com", "example.com"),
+      "user@sub.a.b.org/x" -> ("sub.a.b.org", "b.org"),
+      "localhost:9000/z" -> ("localhost", "localhost"),
+      "ftp://U:P@Files.Example.ORG/f" -> ("files.example.org", "example.org"))
+    cases.foreach { case (u, (h, d)) =>
+      val got = Seq(u).toDF("url").select(
+        UrlOps.host(col("url")), UrlOps.registrableDomain(col("url")))
+        .as[(String, String)].head()
+      assert(got == ((h, d)), s"for $u")
+    }
+  }
+
+  test("UrlOps.normalizeUrl: ports, utm params, fragment, case — path preserved") {
+    val cases = Seq(
+      "HTTPS://WWW.Example.COM:443/Path?utm_source=x&id=7#f" ->
+        "https://www.example.com/Path?id=7",
+      "http://example.com:80/a?b=1" -> "http://example.com/a?b=1",
+      "http://example.com:8080/a?utm_medium=z" -> "http://example.com:8080/a",
+      "example.com/bare?utm_source=only" -> "example.com/bare",
+      "ftp://U:P@Files.ORG/f.txt" -> "ftp://U:P@files.org/f.txt")
+    cases.foreach { case (u, want) =>
+      val got = Seq(u).toDF("url")
+        .select(UrlOps.normalizeUrl(col("url"))).as[String].head()
+      assert(got == want, s"for $u")
+    }
+  }
+
+  test("UrlOps.blockedByDomain: label-boundary suffix match only") {
+    val df = Seq("https://evil.com/a", "https://a.evil.com/b",
+      "https://notevil.com/c", "https://evil.com.safe.org/d")
+      .toDF("url")
+    val got = df.select(col("url"),
+      UrlOps.blockedByDomain(col("url"), Seq("evil.com")).as("b"))
+      .as[(String, Boolean)].collect().toMap
+    assert(got("https://evil.com/a") && got("https://a.evil.com/b"))
+    assert(!got("https://notevil.com/c") && !got("https://evil.com.safe.org/d"))
+    assert(UrlOps.filterBlockedDomains(df, "url", Seq("evil.com"))
+      .count() == 2L)
+  }
+}
