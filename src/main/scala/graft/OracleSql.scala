@@ -1357,6 +1357,101 @@ object OracleSql {
         | WHERE bfr + run <= budget)
         |SELECT * FROM kf UNION ALL SELECT * FROM kb""".stripMargin,
 
+    // temperature budgets: sqrt weights summed in sorted-domain order
+    // (the accumulation order is part of the spec — double addition is
+    // not associative), largest-remainder rounding, availability cap
+    "samp_temperature" ->
+      """WITH a AS (SELECT source AS d, CAST(sum(n_chars) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT d, n, sqrt(CAST(n AS DOUBLE)) AS w FROM a),
+        |s AS (SELECT sum(w ORDER BY d) AS wsum FROM w),
+        |r AS (SELECT d, n, 50000 * w / wsum AS raw FROM w, s),
+        |f AS (SELECT d, n, raw, CAST(floor(raw) AS BIGINT) AS fl FROM r),
+        |l AS (SELECT 50000 - sum(fl) AS lft FROM f),
+        |rk AS (SELECT d, n, fl, row_number()
+        |    OVER (ORDER BY raw - floor(raw) DESC, d ASC) AS rn FROM f)
+        |SELECT d AS source,
+        |  CAST(least(n, fl + CASE WHEN rn <= (SELECT lft FROM l)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS budget
+        |FROM rk""".stripMargin,
+
+    // lines+mix curation pipeline: the planted corpus, quality gate,
+    // boilerplate-line mining, 13-gram decontamination, exact text dedup,
+    // bucket-cut token-budget mix, and the in-order line-stripped rebuild
+    // all replayed end-to-end; resume invariants pinned as literals
+    "pipe_curation4" ->
+      """WITH ids AS (SELECT CAST(i AS BIGINT) AS i FROM range(0, 60) t(i)),
+        |txt AS (SELECT i,
+        |    CASE WHEN i % 10 = 7 THEN 'too short now'
+        |         WHEN i = 4 THEN 'b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12 tail extra words'
+        |         ELSE 'Header ' || CAST(CASE WHEN i = 3 THEN 2 ELSE i END AS VARCHAR)
+        |           || ' unique line.' || chr(10)
+        |           || array_to_string(list_transform(range(0, 6), j ->
+        |                substr(md5('w' || CAST(CASE WHEN i = 3 THEN 2 ELSE i END AS VARCHAR)
+        |                  || '-' || CAST(j AS VARCHAR)), 1, 6)), ' ') || chr(10)
+        |           || (CASE WHEN i % 5 = 0 THEN 'PROMO subscribe now.' || chr(10) ELSE '' END)
+        |           || 'FOOTER all rights reserved.'
+        |    END AS text,
+        |    's' || CAST(i % 3 AS VARCHAR) AS source
+        |  FROM ids),
+        |t2 AS (SELECT *, CAST(length(text) AS BIGINT) AS n_chars FROM txt),
+        |q AS (SELECT * FROM t2 WHERE len(list_filter(string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' '),
+        |    x -> x <> '')) >= 5),
+        |freq AS (SELECT line FROM (SELECT i, unnest(list_distinct(list_filter(
+        |    string_split(text, chr(10)), x -> trim(x) <> ''))) AS line FROM q)
+        |  GROUP BY line HAVING count(*) >= 10),
+        |words AS (SELECT i, string_split(
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS ws FROM q),
+        |grams AS (SELECT i, list_distinct(list_filter(
+        |    list_transform(range(0, greatest(len(ws) - 13, 0) + 1),
+        |      g -> array_to_string(ws[g + 1 : g + 13], ' ')), s -> s <> '')) AS shs
+        |  FROM words),
+        |contam AS (SELECT DISTINCT c.i
+        |  FROM (SELECT i, unnest(shs) AS g FROM grams) c
+        |  WHERE c.g = 'b0 b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12'),
+        |decon AS (SELECT * FROM q WHERE i NOT IN (SELECT i FROM contam)),
+        |surv AS (SELECT * FROM (SELECT *,
+        |    min(i) OVER (PARTITION BY text) AS canon FROM decon)
+        |  WHERE i = canon),
+        |mb AS (SELECT i, source, n_chars,
+        |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS b
+        |  FROM surv WHERE source IN ('s0', 's1')),
+        |pb AS (SELECT source, b, sum(n_chars) AS btok FROM mb GROUP BY 1, 2),
+        |c AS (SELECT source, b, btok,
+        |    sum(btok) OVER (PARTITION BY source ORDER BY b) AS cum,
+        |    CASE source WHEN 's0' THEN 900 ELSE 100000 END AS budget
+        |  FROM pb),
+        |fullb AS (SELECT source, b FROM c WHERE cum <= budget),
+        |bnd AS (SELECT source, b, budget, cum - btok AS bfr FROM c
+        |  WHERE cum - btok < budget AND cum > budget),
+        |kf AS (SELECT mb.i FROM mb JOIN fullb
+        |  ON mb.source = fullb.source AND mb.b = fullb.b),
+        |kb AS (SELECT i FROM (
+        |    SELECT mb.i, bnd.bfr, bnd.budget,
+        |      sum(mb.n_chars) OVER (PARTITION BY mb.source, mb.b
+        |        ORDER BY mb.i) AS run
+        |    FROM mb JOIN bnd ON mb.source = bnd.source AND mb.b = bnd.b)
+        |  WHERE bfr + run <= budget),
+        |mixkeep AS (SELECT i FROM kf UNION ALL SELECT i FROM kb),
+        |fin AS (SELECT surv.i, surv.source, surv.text FROM surv
+        |  JOIN mixkeep ON surv.i = mixkeep.i),
+        |e AS (SELECT i, unnest(string_split(text, chr(10))) AS line,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM fin),
+        |k2 AS (SELECT e.* FROM e ANTI JOIN freq ON e.line = freq.line),
+        |r AS (SELECT i, string_agg(line, chr(10) ORDER BY pos) AS newtext
+        |  FROM k2 GROUP BY i)
+        |SELECT fin.i AS doc_id, fin.source,
+        |  CASE WHEN b10 < 9000 THEN 'train'
+        |       WHEN b10 < 9500 THEN 'val' ELSE 'test' END AS split,
+        |  coalesce(r.newtext, '') AS text,
+        |  true AS resumed_matches, CAST(6 AS INT) AS resumed_skips
+        |FROM (SELECT *,
+        |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      % 10000 AS b10 FROM fin) fin
+        |LEFT JOIN r ON fin.i = r.i""".stripMargin,
+
     "seq_packing" ->
       """SELECT doc_id, source,
         | CAST(sum(n_chars) OVER w - n_chars AS BIGINT) AS tok_start,

@@ -173,6 +173,12 @@ object SparkEntry {
     new java.util.concurrent.atomic.AtomicReference[
       (String, (Seq[(Long, String)], Boolean, Int))](null)
 
+  /** Same discipline, for the lines+mix pipeline query (three staged
+    * pipelines: uninterrupted, crashed-after-mix, resumed). */
+  private val curation4Result =
+    new java.util.concurrent.atomic.AtomicReference[
+      (String, (Seq[(Long, String, String, String)], Boolean, Int))](null)
+
   /** Deterministic within-source chain pairs over documents (consecutive
     * doc_ids by source rank, broken every 5th link) — the pair fixture whose
     * transitive closure a DuckDB recursive CTE can replay exactly; shared by
@@ -2125,6 +2131,19 @@ object SparkEntry {
         buckets = 16)
         .select(col("doc_id"), col("source"), col("n_chars"))),
 
+    // temperature-weighted domain budgets (sample domains ~ p^alpha):
+    // per-source token budget from sqrt weights + largest-remainder
+    // rounding, capped at availability. Driver-side by design (budgets
+    // are config for a later job; |sources| rows) — the oracle replays
+    // the sqrt/normalize/floor/rank arithmetic bit-for-bit, which is why
+    // the weights sum in sorted-domain order (doubles aren't associative)
+    "samp_temperature" -> ((s, d) => {
+      import s.implicits._
+      graft.operators.Sampling.temperatureBudgets(t(s, d, "documents"),
+        "source", "n_chars", totalBudget = 50000L, alpha = 0.5)
+        .toSeq.sortBy(_._1).toDF("source", "budget")
+    }),
+
     // concat-and-chunk sequence packing (GPT-style pretraining batches):
     // running start offset per stream, pack = floor(start / budget)
     "seq_packing" -> ((s, d) =>
@@ -2286,6 +2305,70 @@ object SparkEntry {
         }
       import s.implicits._
       rows.toDF("doc_id", "split")
+        .withColumn("resumed_matches", lit(matches))
+        .withColumn("resumed_skips", lit(skips))
+    }),
+
+    // Lines + mix curation: quality -> boilerplate-line mining (FOOTER on
+    // every normal doc, PROMO on every 5th — both over the minDocs=10 cut;
+    // headers/bodies unique) -> contam (doc 4 carries the bench 13-gram)
+    // -> exact text dedup (doc 3 reuses doc 2's seed) -> token-budget mix
+    // (s0 cut mid-corpus on original n_chars, s1 fully funded, s2 absent
+    // from budgets => excluded) -> final materialization with the mined
+    // lines STRIPPED and text rebuilt in order. Also crash/resumes after
+    // the mix stage: resumed final output must hash identical and skip
+    // exactly the 6 completed stages. Every decision — bucket cuts,
+    // running sums, line mining, rebuild — is replayed in SQL.
+    "pipe_curation4" -> ((s, d) => {
+      import graft.engine.CurationRun
+      val (rows, matches, skips) =
+        Option(curation4Result.get()).filter(_._1 == d).map(_._2).getOrElse {
+          val seed = when(col("id") === 3, lit(2L)).otherwise(col("id"))
+          val benchWords = (0 until 13).map(j => s"b$j").mkString(" ")
+          val body = concat_ws(" ", (0 to 5).map(j =>
+            substring(md5(concat(lit("w"), seed.cast("string"), lit("-"),
+              lit(j.toString))), 1, 6)): _*)
+          val normalText = concat(
+            lit("Header "), seed.cast("string"), lit(" unique line.\n"),
+            body, lit("\n"),
+            when(pmod(col("id"), lit(5)) === 0,
+              lit("PROMO subscribe now.\n")).otherwise(lit("")),
+            lit("FOOTER all rights reserved."))
+          val docs = s.range(60).select(
+            col("id").as("doc_id"),
+            when(pmod(col("id"), lit(10)) === 7, lit("too short now"))
+              .when(col("id") === 4, lit(benchWords + " tail extra words"))
+              .otherwise(normalText).as("text"),
+            concat(lit("s"), pmod(col("id"), lit(3))).as("source"))
+            .withColumn("n_chars", length(col("text")).cast("long"))
+          import s.implicits._
+          val bench = Seq((1000L, benchWords)).toDF("doc_id", "text")
+          val cfgc = CurationRun.CurationConfig(method = "exact",
+            lineMinDocs = Some(10),
+            mix = Some(CurationRun.MixConfig(domainCol = "source",
+              tokenCol = "n_chars",
+              budgets = Map("s0" -> 900L, "s1" -> 100000L), buckets = 8)))
+          val tmp = java.nio.file.Files.createTempDirectory("graft-cur4").toString
+          CurationRun.run(s, docs, Some(bench), cfgc, "a",
+            s"$tmp/out", s"$tmp/mA")
+          CurationRun.run(s, docs, Some(bench), cfgc, "b",
+            s"$tmp/out", s"$tmp/mB", stopAfter = Some("mix"))
+          val resumed = CurationRun.run(s, docs, Some(bench), cfgc, "b",
+            s"$tmp/out", s"$tmp/mB")
+          val hA = graft.lineage.Manifest.contentHash(
+            CurationRun.finalOutput(s, s"$tmp/out", "a"))
+          val hB = graft.lineage.Manifest.contentHash(
+            CurationRun.finalOutput(s, s"$tmp/out", "b"))
+          val outRows = CurationRun.finalOutput(s, s"$tmp/out", "b")
+            .select("doc_id", "source", "split", "text").collect()
+            .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+              r.getString(3))).toSeq.sortBy(_._1)
+          val v = (outRows, hA == hB, resumed.count(!_.executed))
+          curation4Result.set((d, v))
+          v
+        }
+      import s.implicits._
+      rows.toDF("doc_id", "source", "split", "text")
         .withColumn("resumed_matches", lit(matches))
         .withColumn("resumed_skips", lit(skips))
     }),

@@ -32,9 +32,20 @@ import org.apache.spark.sql.SparkSession
   * pii evidence runs over this corpus should scope kinds to
   * email/phone/ip (as a real run would scope detectors to its corpus).
   *
+  * `--boilerplate true` rewrites every LONG doc as newline-separated lines
+  * with two corpus-frequent plants — a footer on every long doc and a
+  * promo line on every 3rd (by EFFECTIVE id, so planted dup pairs stay
+  * byte-identical) — evidence fodder for the curation `lines` stage. Body
+  * words stay the id/dup-derived md5 chain and the heading embeds the
+  * effective id, so the dup/short/pii schedules are untouched and a
+  * `lines` stage at any minDocs well under rows/3 must mine EXACTLY the
+  * two planted lines (headings repeat only across a dup pair; body lines
+  * are md5-unique).
+  *
   * Usage: runMain graft.datagen.DocGen --out <dir> --rows N
   *          [--sources 20] [--dup-every 100]
   *          [--embed-dim D [--sem-dup-every 150]] [--pii-every N]
+  *          [--boilerplate true]
   */
 object DocGen {
   def main(args: Array[String]): Unit = {
@@ -58,10 +69,24 @@ object DocGen {
     // the dup branch requires the PREDECESSOR off the short schedule too:
     // copying a short predecessor's id-derived words would plant a pair
     // that duplicates nothing (the predecessor displays the short text)
-    val base0 = s"case when id % 37 = 0 then 'too short now' " +
-      s"when id % $dupEvery = ${dupEvery - 1} and id > 0 " +
-      s"and (id - 1) % 37 != 0 " +
-      s"then ${words("id - 1")} else ${words("id")} end"
+    val dupCond = s"id % $dupEvery = ${dupEvery - 1} and id > 0 " +
+      s"and (id - 1) % 37 != 0"
+    val base0 =
+      if (opts.get("boilerplate").exists(_.equalsIgnoreCase("true"))) {
+        // boilerplate mode: every long doc becomes heading/body/(promo)/
+        // footer LINES, all keyed on the EFFECTIVE id so dup pairs stay
+        // byte-identical copies
+        val eid = s"(case when $dupCond then id - 1 else id end)"
+        s"case when id % 37 = 0 then 'too short now' else " +
+          s"concat('Doc ', cast($eid as string), ' heading.', chr(10), " +
+          s"${words(eid)}, chr(10), " +
+          s"case when $eid % 3 = 0 then concat(" +
+          s"'PROMO subscribe to the newsletter today.', chr(10)) " +
+          s"else '' end, " +
+          s"'FOOTER all rights reserved.') end"
+      } else
+        s"case when id % 37 = 0 then 'too short now' " +
+          s"when $dupCond then ${words("id - 1")} else ${words("id")} end"
     // PII plant: disjoint from the short/dup schedules so quality and
     // dedup decisions are untouched by the appended spans
     val base = opts.get("pii-every").map(_.toInt) match {

@@ -16,6 +16,11 @@ import org.apache.spark.sql.SparkSession
   *     [--embed-col <col> --embed-dim N]  optional semantic-dedup stage
   *     [--semantic-method kmeans|lsh] [--embed-threshold 0.95]
   *     [--n-cells 0 (auto: survivors/4096)] [--top-k 4] [--planes 12]
+  *     [--line-min-docs N]                optional boilerplate-line stage
+  *     [--mix-domain-col <col>]           optional token-budget mix stage:
+  *       either --mix-budgets d1=n1,d2=n2 (explicit) or --mix-total N
+  *       [--mix-alpha 0.5] (temperature); [--mix-token-col n_chars]
+  *       [--mix-buckets 10000]
   *     [--stream-col source]
   *     [--train-frac 0.9] [--val-frac 0.05]
   *     [--text-col text] [--id-col doc_id]
@@ -96,6 +101,25 @@ object CurationMain {
           nCells = opts.get("n-cells").map(_.toInt).getOrElse(0),
           topK = opts.get("top-k").map(_.toInt).getOrElse(4),
           planes = opts.get("planes").map(_.toInt).getOrElse(12))
+      },
+      // --line-min-docs: mine + strip corpus-frequent boilerplate lines
+      lineMinDocs = opts.get("line-min-docs").map(_.toInt),
+      // --mix-domain-col (+ --mix-budgets OR --mix-total/--mix-alpha):
+      // token-budget domain mixing over the deduplicated survivors
+      mix = opts.get("mix-domain-col").map { dc =>
+        CurationRun.MixConfig(
+          domainCol = dc,
+          tokenCol = opts.getOrElse("mix-token-col", "n_chars"),
+          budgets = opts.get("mix-budgets").map(_.split(",").toSeq
+            .map(_.trim).filter(_.nonEmpty).map { kv =>
+              kv.split("=") match {
+                case Array(d, n) => d -> n.toLong
+                case _ => sys.error(s"--mix-budgets entry '$kv' is not d=n")
+              }
+            }.toMap).getOrElse(Map.empty),
+          totalBudget = opts.get("mix-total").map(_.toLong).getOrElse(0L),
+          alpha = opts.get("mix-alpha").map(_.toDouble).getOrElse(0.5),
+          buckets = opts.get("mix-buckets").map(_.toInt).getOrElse(10000))
       })
     val docs = spark.read.parquet(opts("docs"))
     val bench = opts.get("bench").map(spark.read.parquet(_))

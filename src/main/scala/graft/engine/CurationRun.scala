@@ -38,22 +38,42 @@ import graft.operators.{Dedup, Sampling, TextOps}
 object CurationRun {
 
   /** Base stage order. Each consumes only durable artifacts of earlier
-    * stages. A configured `packBudget` appends the optional `pack` stage;
-    * configured `piiKinds` inserts the optional `pii` stage after quality. */
+    * stages; [[stagesFor]] splices the optional lines/pii/semantic/mix/pack
+    * stages in when configured. */
   val Stages: Seq[String] = Seq("quality", "contam", "pairs", "clusters", "final")
 
-  /** The effective stage list for a config (pii / semantic / pack only
-    * when requested). */
-  def stagesFor(cfg: CurationConfig): Seq[String] = {
-    val base =
-      if (cfg.piiKinds.isDefined) Seq("quality", "pii") ++ Stages.drop(1)
-      else Stages
-    val withSem =
-      if (cfg.semantic.isDefined)
-        base.flatMap(s => if (s == "clusters") Seq("clusters", "semantic")
-          else Seq(s))
-      else base
-    if (cfg.packBudget.isDefined) withSem :+ "pack" else withSem
+  /** The effective stage list for a config (lines / pii / semantic / mix /
+    * pack only when requested). */
+  def stagesFor(cfg: CurationConfig): Seq[String] =
+    Seq("quality") ++
+      (if (cfg.lineMinDocs.isDefined) Seq("lines") else Nil) ++
+      (if (cfg.piiKinds.isDefined) Seq("pii") else Nil) ++
+      Seq("contam", "pairs", "clusters") ++
+      (if (cfg.semantic.isDefined) Seq("semantic") else Nil) ++
+      (if (cfg.mix.isDefined) Seq("mix") else Nil) ++
+      Seq("final") ++
+      (if (cfg.packBudget.isDefined) Seq("pack") else Nil)
+
+  /** Token-budget domain-mixing stage config: keep documents per domain,
+    * in deterministic hash order, until the domain's token budget is
+    * exhausted (Sampling.tokenBudgetMix). Budgets come either EXPLICIT
+    * (`budgets`) or TEMPERATURE-derived (`totalBudget` + `alpha`:
+    * per-domain share ∝ p^alpha of the surviving corpus — the standard
+    * multilingual/multi-domain re-weighting; alpha=1 natural, alpha=0
+    * uniform). Exactly one mode must be set. */
+  final case class MixConfig(
+      domainCol: String,
+      tokenCol: String = "n_chars",
+      budgets: Map[String, Long] = Map.empty,
+      totalBudget: Long = 0L,
+      alpha: Double = 0.5,
+      buckets: Int = 10000) {
+    require(budgets.nonEmpty ^ (totalBudget > 0),
+      "mix: set exactly one of budgets / totalBudget(+alpha)")
+    require(alpha >= 0.0, "mix: alpha must be >= 0")
+    require(buckets > 0, "mix: buckets must be positive")
+    budgets.foreach { case (d, b) =>
+      require(b >= 0, s"mix: negative budget for domain $d") }
   }
 
   /** Semantic-dedup stage config (the SemDeDup shape): near-duplicate
@@ -150,10 +170,25 @@ object CurationRun {
         * SemDeDup-style embedding near-dup drop over `semantic.embedCol`,
         * artifact = (id, semantic_duplicate_of) — see
         * [[SemanticDedupConfig]]. */
-      semantic: Option[SemanticDedupConfig] = None) {
+      semantic: Option[SemanticDedupConfig] = None,
+      /** enable the optional `lines` stage: mine lines appearing in >= this
+        * many DISTINCT quality-surviving documents (CCNet/RefinedWeb-style
+        * boilerplate — cookie banners, nav menus, rights footers) as a
+        * durable, heavy-hitter-bounded artifact; every survivor's text is
+        * rebuilt WITHOUT those lines at final materialization. Mining
+        * stages run on the ORIGINAL text (the pii discipline: boilerplate
+        * is corpus-frequent in every copy, so it shifts near-dup
+        * similarity uniformly rather than perturbing the relation). */
+      lineMinDocs: Option[Int] = None,
+      /** enable the optional `mix` stage after all dedup drops: token-
+        * budget domain selection over the surviving corpus — see
+        * [[MixConfig]]. Artifact = the kept-id list (the quality-stage
+        * shape). */
+      mix: Option[MixConfig] = None) {
     require(Set("exact", "minhash", "simhash")(method),
       s"unknown curation dedup method '$method'")
     require(packBudget.forall(_ > 0), "packBudget must be positive")
+    require(lineMinDocs.forall(_ >= 2), "lineMinDocs must be >= 2")
     require(!verifyExact || method == "minhash",
       "verifyExact applies to method=minhash only")
     piiKinds.foreach(ks => graft.operators.PiiOps.resolveKinds(ks))
@@ -253,6 +288,19 @@ object CurationRun {
     }
     // corpus view after quality: semi-join against the durable keep list
     def corpusQ = docs.join(keep, Seq(idc), "left_semi")
+
+    if (cfg.lineMinDocs.isDefined && !reached("lines")) return results.toSeq
+
+    // ---- optional stage 1a: corpus-frequent boilerplate lines — ONE
+    // map-side-combinable groupBy(line) over the quality survivors, output
+    // heavy-hitter bounded (<= totalLines/minDocs rows by construction).
+    // The rewrite itself happens in `final`; mining stages see original
+    // text (see the config scaladoc for why that is sound). ----
+    val freqLines: Option[DataFrame] = cfg.lineMinDocs.map { md =>
+      stage("lines") {
+        (TextOps.frequentLines(corpusQ, cfg.textCol, md), Nil)
+      }
+    }
 
     if (cfg.piiKinds.isDefined && !reached("pii")) return results.toSeq
 
@@ -392,20 +440,52 @@ object CurationRun {
           Seq(clusters, minerRoot))
       }
     }
+    // corpus view after every dedup drop (text clusters + semantic)
+    def corpusSurvivors = {
+      val afterText = corpusQC
+        .join(dropList.select(col(idc)), Seq(idc), "left_anti")
+      semDrop.fold(afterText)(sd =>
+        afterText.join(sd.select(col(idc)), Seq(idc), "left_anti"))
+    }
+
+    if (cfg.mix.isDefined && !reached("mix")) return results.toSeq
+
+    // ---- optional stage 4c: token-budget domain mix — selection runs
+    // over the fully-deduplicated survivors (a budget spent on rows a
+    // later stage would drop is a budget lie). Temperature budgets are
+    // resolved HERE, against the surviving corpus, and the kept-id list
+    // is the durable artifact — so a resumed run inherits the exact
+    // selection even if the corpus statistics would re-derive different
+    // budgets. ----
+    val mixKeep: Option[DataFrame] = cfg.mix.map { mc =>
+      stage("mix") {
+        val surv = corpusSurvivors
+        val budgets =
+          if (mc.budgets.nonEmpty) mc.budgets
+          else Sampling.temperatureBudgets(surv, mc.domainCol, mc.tokenCol,
+            mc.totalBudget, mc.alpha)
+        (Sampling.tokenBudgetMix(surv, mc.domainCol, idc, mc.tokenCol,
+          budgets, mc.buckets).select(col(idc)), Nil)
+      }
+    }
     if (!reached("final")) return results.toSeq
 
     // ---- stage 5: final materialization — the ONE corpus-scale write:
-    // survivors + deterministic split, with PII redaction applied to the
-    // rows the durable pii decision list flagged (the tag join is an AQE
-    // broadcast when the flagged set is small; the redaction regexes run
-    // only on flagged rows' text) ----
+    // survivors + deterministic split, with boilerplate-line removal (the
+    // durable mined set, heavy-hitter bounded — AQE broadcasts the anti
+    // join; the rebuild is the stage's one groupBy(id) shuffle) and PII
+    // redaction applied to the rows the durable pii decision list flagged
+    // (the tag join is an AQE broadcast when the flagged set is small; the
+    // redaction regexes run only on flagged rows' line-cleaned text) ----
     val fin = stage("final") {
-      val afterText = corpusQC
-        .join(dropList.select(col(idc)), Seq(idc), "left_anti")
-      val survivors = semDrop.fold(afterText)(sd =>
-          afterText.join(sd.select(col(idc)), Seq(idc), "left_anti"))
-        .withColumn("split",
-          Sampling.splitColumn(col(idc), cfg.trainFrac, cfg.valFrac))
+      val mixed = mixKeep.fold(corpusSurvivors)(mk =>
+        corpusSurvivors.join(mk.select(col(idc)), Seq(idc), "left_semi"))
+      val split0 = mixed.withColumn("split",
+        Sampling.splitColumn(col(idc), cfg.trainFrac, cfg.valFrac))
+      val survivors = freqLines.fold(split0)(fl =>
+        TextOps.dropLines(split0, cfg.textCol, idc, fl.select(col("line")))
+          .withColumn(cfg.textCol, col("clean_text"))
+          .drop("clean_text", "kept_lines", "total_lines"))
       (piiTags match {
         case Some(tags) =>
           val ks = graft.operators.PiiOps.resolveKinds(cfg.piiKinds.get)

@@ -133,22 +133,36 @@ object Sampling {
     val avail = df.groupBy(col(domainCol).cast("string").as("d"))
       .agg(sum(col(tokenCol).cast("long")).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val total = avail.values.sum.toDouble
-    if (avail.isEmpty || total <= 0) return avail.map { case (d, _) => d -> 0L }
-    val weights = avail.map { case (d, n) =>
-      d -> math.pow(n / total, alpha) }
-    val wSum = weights.values.sum
+    if (avail.isEmpty || avail.values.sum <= 0)
+      return avail.map { case (d, _) => d -> 0L }
+    // weight = n^alpha, NOT (n/total)^alpha: the total^alpha factor cancels
+    // in normalization, and skipping the division keeps every intermediate
+    // a correctly-rounded function of exact integer inputs. alpha 0.5/1/0
+    // route through sqrt/identity/one — correctly rounded per IEEE 754,
+    // unlike pow's 1-ulp license — so an oracle in another engine
+    // reproduces the allocation BIT-exactly (math.pow for other alphas is
+    // cross-engine-exact only to 1 ulp; documented, not oracle-gated).
+    def powA(x: Double): Double = alpha match {
+      case 0.5 => math.sqrt(x)
+      case 1.0 => x
+      case 0.0 => 1.0
+      case a => math.pow(x, a)
+    }
+    // sorted-domain accumulation order: double addition is not associative,
+    // so the order is part of the spec (oracles sum in the same order)
+    val ds = avail.keys.toSeq.sorted
+    val weights = ds.map(d => d -> powA(avail(d).toDouble))
+    val wSum = weights.foldLeft(0.0)(_ + _._2)
     // largest-remainder: floor each share, hand the leftover units to the
     // largest fractional parts (ties by domain name — deterministic)
-    val raw = weights.map { case (d, w) =>
-      d -> totalBudget * w / wSum }
+    val raw = weights.map { case (d, w) => d -> totalBudget * w / wSum }
     val floored = raw.map { case (d, r) => d -> r.toLong }
-    val leftover = (totalBudget - floored.values.sum).toInt
-    val order = raw.toSeq
-      .sortBy { case (d, r) => (-(r - r.toLong), d) }.map(_._1)
-    val bumped = order.take(leftover).toSet
+    val leftover = (totalBudget - floored.map(_._2).sum).toInt
+    val bumped = raw
+      .sortBy { case (d, r) => (-(r - r.toLong), d) }
+      .take(leftover).map(_._1).toSet
     floored.map { case (d, b) =>
-      d -> math.min(avail(d), if (bumped(d)) b + 1 else b) }
+      d -> math.min(avail(d), if (bumped(d)) b + 1 else b) }.toMap
   }
 
   /** Stratified deterministic sample: per-stratum keep rates (strata not

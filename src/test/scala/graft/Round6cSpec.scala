@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.CurationRun
+import graft.operators.Sampling
+
+/** Round-6 units, third batch: temperature-weighted domain budgets and the
+  * curation pipeline's optional `lines` (boilerplate removal) and `mix`
+  * (token-budget domain selection) stages. */
+class Round6cSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def corpus3 = Seq(
+    ("web", 8000L), ("code", 2000L), ("wiki", 500L))
+    .zipWithIndex.map { case ((d, n), i) => (i.toLong, d, n) }
+    .toDF("id", "dom", "toks")
+
+  test("temperatureBudgets: alpha=1 reproduces the natural distribution exactly") {
+    val got = Sampling.temperatureBudgets(corpus3, "dom", "toks", 1050L, 1.0)
+    assert(got == Map("web" -> 800L, "code" -> 200L, "wiki" -> 50L))
+  }
+
+  test("temperatureBudgets: alpha=0 is uniform; largest-remainder sums exactly") {
+    val got = Sampling.temperatureBudgets(corpus3, "dom", "toks", 1000L, 0.0)
+    assert(got.values.sum == 1000L)
+    // 333/333/333 + 1 leftover unit to the lexicographically-first domain
+    // among equal fractional parts
+    assert(got == Map("code" -> 334L, "web" -> 333L, "wiki" -> 333L))
+  }
+
+  test("temperatureBudgets: alpha=0.5 flattens toward small domains, sums exactly") {
+    val got = Sampling.temperatureBudgets(corpus3, "dom", "toks", 1000L, 0.5)
+    assert(got.values.sum == 1000L)
+    // sqrt weighting gives wiki MORE than its 500/10500 natural share and
+    // web LESS than its 8000/10500 share
+    assert(got("wiki") > 1000L * 500 / 10500)
+    assert(got("web") < 1000L * 8000 / 10500)
+    assert(got("web") > got("code") && got("code") > got("wiki"))
+  }
+
+  test("temperatureBudgets: budgets cap at availability; overflow not redistributed") {
+    val got = Sampling.temperatureBudgets(corpus3, "dom", "toks", 20000L, 1.0)
+    assert(got == Map("web" -> 8000L, "code" -> 2000L, "wiki" -> 500L))
+  }
+
+  test("temperatureBudgets: zero-token corpus yields zero budgets") {
+    val z = Seq((1L, "a", 0L), (2L, "b", 0L)).toDF("id", "dom", "toks")
+    assert(Sampling.temperatureBudgets(z, "dom", "toks", 100L, 0.5)
+      == Map("a" -> 0L, "b" -> 0L))
+  }
+
+  test("stagesFor: optional stages splice in declared order") {
+    val base = CurationRun.CurationConfig(method = "exact")
+    assert(CurationRun.stagesFor(base) ==
+      Seq("quality", "contam", "pairs", "clusters", "final"))
+    val full = CurationRun.CurationConfig(method = "exact",
+      lineMinDocs = Some(3), piiKinds = Some(Seq("email")),
+      packBudget = Some(100L),
+      semantic = Some(CurationRun.SemanticDedupConfig(
+        embedCol = "e", dim = 4, nCells = 4)),
+      mix = Some(CurationRun.MixConfig("source", budgets = Map("a" -> 1L))))
+    assert(CurationRun.stagesFor(full) ==
+      Seq("quality", "lines", "pii", "contam", "pairs", "clusters",
+        "semantic", "mix", "final", "pack"))
+  }
+
+  test("MixConfig: exactly one of budgets / totalBudget") {
+    intercept[IllegalArgumentException] {
+      CurationRun.MixConfig("source")
+    }
+    intercept[IllegalArgumentException] {
+      CurationRun.MixConfig("source", budgets = Map("a" -> 1L),
+        totalBudget = 10L)
+    }
+  }
+
+  /** 30 docs over 2 sources: a FOOTER line on every normal doc, a PROMO
+    * line on every 3rd, unique heading + body; every 10th doc short
+    * (quality-dropped); docs 2 and 3 identical (exact dup). */
+  private def lineMixCorpus = spark.range(30).select(
+    col("id").as("doc_id"),
+    when(pmod(col("id"), lit(10)) === 9, lit("too short"))
+      .otherwise(concat(
+        lit("Heading "),
+        when(col("id") === 3, lit(2L)).otherwise(col("id")).cast("string"),
+        lit(" one of a kind.\n"),
+        lit("body "),
+        md5(when(col("id") === 3, lit(2L)).otherwise(col("id")).cast("string")),
+        lit(" word tail\n"),
+        when(pmod(when(col("id") === 3, lit(2L)).otherwise(col("id")),
+          lit(3)) === 0, lit("PROMO banner line.\n"))
+          .otherwise(lit("")),
+        lit("FOOTER rights reserved."))).as("text"),
+    concat(lit("src"), pmod(col("id"), lit(2))).as("source"))
+    .withColumn("n_chars", length(col("text")).cast("long"))
+
+  test("CurationRun lines+mix: boilerplate stripped at final, budgets respected, resume exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-r6c").toString
+    val cfg = CurationRun.CurationConfig(method = "exact",
+      lineMinDocs = Some(5),
+      mix = Some(CurationRun.MixConfig("source", tokenCol = "n_chars",
+        budgets = Map("src0" -> 400L, "src1" -> 100000L), buckets = 4)))
+    assert(CurationRun.stagesFor(cfg) == Seq("quality", "lines", "contam",
+      "pairs", "clusters", "mix", "final"))
+    val r1 = CurationRun.run(spark, lineMixCorpus, None, cfg, "a",
+      s"$tmp/out", s"$tmp/mA")
+    assert(r1.map(_.stage) == CurationRun.stagesFor(cfg))
+    assert(r1.forall(_.executed))
+
+    // mined lines: FOOTER (27 survivors) and PROMO (>= 9 docs)
+    val mined = spark.read.parquet(
+      CurationRun.stageDir(s"$tmp/out", "a", "lines"))
+      .select("line").as[String].collect().toSet
+    assert(mined == Set("FOOTER rights reserved.", "PROMO banner line."))
+
+    val fin = CurationRun.finalOutput(spark, s"$tmp/out", "a")
+    // final text: no mined line survives; unique heading/body lines do
+    assert(fin.filter(col("text").contains("FOOTER") ||
+      col("text").contains("PROMO")).count() == 0L)
+    assert(fin.filter(!col("text").startsWith("Heading ")).count() == 0L)
+    // duplicate doc 3 dropped with its canonical linkage (2 itself may or
+    // may not make the mix cut — membership is hash-order)
+    val drops = spark.read.parquet(
+      CurationRun.stageDir(s"$tmp/out", "a", "clusters"))
+      .as[(Long, Long)].collect().toSet
+    assert(drops == Set((3L, 2L)))
+    val ids = fin.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(3L))
+    // mix: src0 total ORIGINAL n_chars under its 400 budget; src1 fully
+    // funded (every surviving src1 doc present)
+    val kept = fin.select("doc_id", "source").as[(Long, String)].collect()
+    val orig = lineMixCorpus.select("doc_id", "n_chars")
+      .as[(Long, Long)].collect().toMap
+    val src0 = kept.filter(_._2 == "src0").map(r => orig(r._1)).sum
+    assert(src0 <= 400L && src0 > 0L)
+    val src1Survivors = (0L until 30L).filter(i => i % 2 == 1 &&
+      i % 10 != 9 && i != 3).toSet
+    assert(kept.filter(_._2 == "src1").map(_._1).toSet == src1Survivors)
+
+    // crash after mix, resume: final-only executes, output hash-identical
+    CurationRun.run(spark, lineMixCorpus, None, cfg, "b",
+      s"$tmp/out", s"$tmp/mB", stopAfter = Some("mix"))
+    val resumed = CurationRun.run(spark, lineMixCorpus, None, cfg, "b",
+      s"$tmp/out", s"$tmp/mB")
+    assert(resumed.count(!_.executed) == 6)
+    assert(resumed.filter(_.executed).map(_.stage) == Seq("final"))
+    val hA = graft.lineage.Manifest.contentHash(
+      CurationRun.finalOutput(spark, s"$tmp/out", "a"))
+    val hB = graft.lineage.Manifest.contentHash(
+      CurationRun.finalOutput(spark, s"$tmp/out", "b"))
+    assert(hA == hB)
+  }
+
+  test("CurationRun mix: temperature mode stays within total budget") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-r6t").toString
+    val cfg = CurationRun.CurationConfig(method = "exact",
+      mix = Some(CurationRun.MixConfig("source", tokenCol = "n_chars",
+        totalBudget = 600L, alpha = 0.5, buckets = 4)))
+    CurationRun.run(spark, lineMixCorpus, None, cfg, "t",
+      s"$tmp/out", s"$tmp/mT")
+    val fin = CurationRun.finalOutput(spark, s"$tmp/out", "t")
+    val orig = lineMixCorpus.select("doc_id", "n_chars")
+      .as[(Long, Long)].collect().toMap
+    val keptTok = fin.select("doc_id").as[Long].collect().map(orig).sum
+    assert(keptTok <= 600L && keptTok > 0L)
+    // the mix artifact is the narrow id list
+    val art = spark.read.parquet(
+      CurationRun.stageDir(s"$tmp/out", "t", "mix"))
+    assert(art.columns.toSeq == Seq("doc_id"))
+  }
+}
