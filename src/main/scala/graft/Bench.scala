@@ -26,12 +26,16 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** Representative headliners across the operator families. */
+  /** Representative headliners across the operator families.
+    * t_line_dedup + samp_token_mix joined in round 6 (corpus-frequency
+    * line removal and token-budget mixing are corpus-scale curation ops
+    * worth per-round tracking) — cross-round TOTAL comparisons must
+    * account for the two added entries. */
   val headliners: Seq[String] = Seq(
     "q1_agg", "m_elementwise", "a_group_scatter", "j_star_join",
     "v_stats_profile", "v_unique_violations", "v_psi",
     "dd_exact_summary", "dd_minhash_lsh", "t_quality", "t_langid",
-    "ann_topk", "e_window")
+    "ann_topk", "e_window", "t_line_dedup", "samp_token_mix")
 
   def seqRowsFor(sfDir: String): Long = {
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble)

@@ -1523,6 +1523,27 @@ object OracleSql {
          |FROM v ORDER BY part""".stripMargin
     },
 
+    // blocked_domain rule: the url plant, host extraction (same regex
+    // dialect), and label-boundary suffix match replayed per partition
+    "v_url_rule" ->
+      """WITH u AS (SELECT doc_id, source,
+        |   'https://' || CASE WHEN doc_id % 11 = 0 THEN 'ads.tracker.net'
+        |     WHEN doc_id % 7 = 0 THEN 'sub' || CAST(doc_id % 3 AS VARCHAR) || '.evil.com'
+        |     ELSE 'site' || CAST(doc_id AS VARCHAR) || '.example.org' END
+        |   || '/p/' || CAST(doc_id AS VARCHAR) AS url
+        | FROM documents),
+        |h AS (SELECT source, lower(regexp_extract(url,
+        |   '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)', 1)) AS host
+        | FROM u),
+        |v AS (SELECT source, sum(CASE WHEN host = 'evil.com'
+        |     OR ends_with(host, '.evil.com') OR host = 'tracker.net'
+        |     OR ends_with(host, '.tracker.net') THEN 1 ELSE 0 END) AS viol
+        | FROM h GROUP BY source)
+        |SELECT source AS part,
+        |  CASE WHEN viol > 0 THEN 'fail' ELSE 'pass' END AS verdict,
+        |  CAST(viol AS BIGINT) AS violations
+        |FROM v ORDER BY part""".stripMargin,
+
     // incremental-validation replay: run B's verdicts over the mutated
     // table per source, plus the carried flag — a partition carries iff it
     // has no mutated rows (doc_id%20=3), no appended rows (%20>=18, absent

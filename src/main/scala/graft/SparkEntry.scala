@@ -111,6 +111,10 @@ object SparkEntry {
   private val piiRuleVerdicts =
     new java.util.concurrent.atomic.AtomicReference[(String, Seq[(String, String, Long)])](null)
 
+  /** Same cache, for the blocked_domain rule verdict query. */
+  private val urlRuleVerdicts =
+    new java.util.concurrent.atomic.AtomicReference[(String, Seq[(String, String, Long)])](null)
+
   /** Same cache, for the embedding duplicate-rule verdict query. */
   private val dupEmbedVerdict =
     new java.util.concurrent.atomic.AtomicReference[(String, (String, String, Long))](null)
@@ -1868,6 +1872,50 @@ object SparkEntry {
           val v = rep.results.filter(_.rule == "no_contact_pii")
             .map(r => (r.partition, r.verdict, r.violationCount))
           piiRuleVerdicts.set((d, v)); v
+        }
+      rows.toDF("part", "verdict", "violations")
+        .orderBy("part")
+    }),
+
+    // blocked_domain rule (URL hygiene as declarative YAML validation):
+    // every doc gets a deterministic url — every 11th on a blocked tracker
+    // host, every 7th on a subdomain of a blocked domain (the label-
+    // boundary suffix case), the rest on unique allowed hosts — and the
+    // rule's per-partition verdicts + violation counts are replayed in SQL
+    // host-extraction-regex-for-regex
+    "v_url_rule" -> ((s, d) => {
+      import s.implicits._
+      val rows =
+        Option(urlRuleVerdicts.get()).filter(_._1 == d).map(_._2).getOrElse {
+          val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+            concat(lit("https://"),
+              when(pmod(col("doc_id"), lit(11)) === 0, lit("ads.tracker.net"))
+                .when(pmod(col("doc_id"), lit(7)) === 0,
+                  concat(lit("sub"), pmod(col("doc_id"), lit(3)).cast("string"),
+                    lit(".evil.com")))
+                .otherwise(concat(lit("site"), col("doc_id").cast("string"),
+                  lit(".example.org"))),
+              lit("/p/"), col("doc_id").cast("string")).as("url"))
+          val cfg = graft.config.RuleConfig.loadYaml(
+            """table:
+              |  name: documents
+              |  partition_column: source
+              |  columns:
+              |    doc_id: {type: bigint, nullable: false}
+              |    source: {type: string, nullable: true}
+              |    url: {type: string, nullable: true}
+              |rules:
+              |  - name: no_blocked_domains
+              |    description: url hosts must not fall under blocked domains
+              |    kind: blocked_domain
+              |    column: url
+              |    values: [evil.com, tracker.net]
+              |""".stripMargin)
+          val rep = graft.engine.Validator.run(s, docs, cfg, "doc_id",
+            "url-rule-q", collectViolations = false)
+          val v = rep.results.filter(_.rule == "no_blocked_domains")
+            .map(r => (r.partition, r.verdict, r.violationCount))
+          urlRuleVerdicts.set((d, v)); v
         }
       rows.toDF("part", "verdict", "violations")
         .orderBy("part")

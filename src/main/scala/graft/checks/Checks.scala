@@ -52,6 +52,13 @@ object Checks {
         if (r.values.nonEmpty) r.values else graft.operators.PiiOps.Kinds
       Some(col(r.column.get).isNull ||
         !graft.operators.PiiOps.hasAny(col(r.column.get), kinds))
+    case RuleKind.BlockedDomain =>
+      // row passes when the URL's host is NOT the listed domains or any
+      // subdomain (label-boundary suffix match). Null URL passes — the
+      // NotNull split again. Pure regexp/when-chain Columns: the predicate
+      // evaluates inside the codegen'd flag scan and pushes into scans.
+      Some(col(r.column.get).isNull ||
+        !graft.operators.UrlOps.blockedByDomain(col(r.column.get), r.values))
     case RuleKind.Referential if r.values.nonEmpty =>
       // small fixed dictionary ⇒ pure `isin` predicate: stays in the scan,
       // no join at all (string.py:77-79 fixed-categories semantics).

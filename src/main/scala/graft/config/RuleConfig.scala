@@ -30,11 +30,13 @@ object RuleKind {
   case object Frequent    extends RuleKind // top-k values + dominance bound
   case object Duplicate   extends RuleKind // content duplication share bound
   case object Pii         extends RuleKind // text must carry no PII spans
+  case object BlockedDomain extends RuleKind // URL host not under a blocked domain
   def parse(s: String): RuleKind = s match {
     case "schema" => Schema; case "not_null" => NotNull; case "range" => Range
     case "token_range" => TokenRange; case "expr" => Expr; case "unique" => Unique
     case "referential" => Referential; case "drift" => Drift; case "stats" => Stats
     case "frequent" => Frequent; case "duplicate" => Duplicate; case "pii" => Pii
+    case "blocked_domain" => BlockedDomain
     case other => throw ConfigError(s"unknown rule kind '$other'")
   }
 }
@@ -132,6 +134,23 @@ final case class RuleSpec(
         if (bad.nonEmpty) throw ConfigError(
           s"rule '$name': unknown pii kind(s) ${bad.mkString(",")} " +
             s"(known: ${graft.operators.PiiOps.Kinds.mkString(",")})")
+      case RuleKind.BlockedDomain =>
+        // `values` is the blocklist of registrable domains (config-sized —
+        // the predicate is a pushable when-chain; corpus-scale blocklists
+        // should compose UrlOps.registrableDomain + a referential
+        // dict_path rule instead). Entries that look like full URLs or
+        // hosts-with-paths fail at load: "https://evil.com/" in a domain
+        // list silently matches NOTHING, the worst failure mode a
+        // blocklist can have.
+        if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
+        if (values.isEmpty) throw ConfigError(
+          s"rule '$name': blocked_domain needs values (the domain blocklist)")
+        values.foreach { v =>
+          if (v.isEmpty || v.exists(_.isWhitespace) ||
+              v.contains("/") || v.contains("@") || v.contains(":"))
+            throw ConfigError(s"rule '$name': '$v' is not a bare domain " +
+              "(no scheme, path, port, userinfo, or whitespace)")
+        }
       case RuleKind.Duplicate =>
         if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")
         method.foreach(m =>

@@ -510,7 +510,14 @@ object CurationRun {
       val weighted = cfg.vocab match {
         case Some(v) => fin.withColumn("__w",
           TextOps.wordpieceCount(col(cfg.textCol), v).cast("long"))
-        case None => fin.withColumn("__w", col("n_chars").cast("long"))
+        case None =>
+          // after a lines stage the input's n_chars column describes the
+          // PRE-strip text — weigh by the materialized text's true length
+          // so pack budgets stay honest (identical when no lines stage ran)
+          val w = if (cfg.lineMinDocs.isDefined)
+            length(col(cfg.textCol)).cast("long")
+          else col("n_chars").cast("long")
+          fin.withColumn("__w", w)
       }
       (graft.operators.Packing.packSequences(
           weighted.filter(col("split") === "train"),

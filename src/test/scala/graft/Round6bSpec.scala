@@ -141,6 +141,43 @@ class Round6bSpec extends SparkTestBase {
     }
   }
 
+  test("blocked_domain rule: loads, flags, and rejects non-domain entries at load") {
+    def yaml(entries: String) =
+      s"""table:
+         |  name: t
+         |  partition_column: source
+         |  columns:
+         |    doc_id: {type: bigint, nullable: false}
+         |    url: {type: string, nullable: true}
+         |rules:
+         |  - name: no_blocked
+         |    description: urls must not be on blocked domains
+         |    kind: blocked_domain
+         |    column: url
+         |    values: [$entries]
+         |""".stripMargin
+    val cfg = graft.config.RuleConfig.loadYaml(yaml("evil.com, spam.net"))
+    val rule = cfg.rules.head
+    val flagged = Seq(
+      (1L, "https://a.evil.com/x"), (2L, "https://fine.org/y"),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "url")
+      .withColumn("ok", graft.checks.Checks.rowPredicate(rule).get)
+    assert(flagged.select("doc_id", "ok").as[(Long, Boolean)].collect().toMap
+      == Map(1L -> false, 2L -> true, 3L -> true)) // null url passes
+    // fail-fast at load: a pasted URL or host:port silently matches nothing
+    for (bad <- Seq("https://evil.com", "evil.com/path", "evil.com:443",
+        "user@evil.com")) {
+      val e = intercept[graft.config.ConfigError] {
+        graft.config.RuleConfig.loadYaml(yaml(bad))
+      }
+      assert(e.msg.contains("not a bare domain"), s"for $bad")
+    }
+    intercept[graft.config.ConfigError] { // empty blocklist
+      graft.config.RuleConfig.loadYaml(yaml(""))
+    }
+  }
+
   test("UrlOps.blockedByDomain: label-boundary suffix match only") {
     val df = Seq("https://evil.com/a", "https://a.evil.com/b",
       "https://notevil.com/c", "https://evil.com.safe.org/d")

@@ -141,6 +141,59 @@ class StreamOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming blocked_domain rule: URL hygiene gates the stream with batch parity") {
+    // the blocked_domain predicate is a shared Checks row rule, so the
+    // streaming validator picks it up with zero streaming-specific code —
+    // this case pins that contract (plus count parity with the batch run)
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-url").toString
+    val docs = spark.range(200).select(
+      col("id").as("doc_id"),
+      to_timestamp(from_unixtime(lit(1700000000L) + col("id"))).as("ts"),
+      concat(lit("https://"),
+        when(pmod(col("id"), lit(7)) === 0, lit("x.evil.com"))
+          .otherwise(concat(lit("ok"), col("id").cast("string"), lit(".org"))),
+        lit("/p")).as("url"),
+      concat(lit("s"), pmod(col("id"), lit(4)).cast("string")).as("source"))
+    docs.coalesce(1).write.parquet(s"$dir/stage")
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/stage"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part, java.nio.file.Paths.get(s"$dir/docs.parquet"))
+    val cfg = graft.config.RuleConfig.loadYaml(
+      """table:
+        |  name: docs
+        |  partition_column: source
+        |  columns:
+        |    doc_id: {type: bigint, nullable: false}
+        |    ts: {type: timestamp, nullable: false}
+        |    url: {type: string, nullable: true}
+        |    source: {type: string, nullable: false}
+        |rules:
+        |  - name: no_blocked
+        |    description: url hosts must not fall under blocked domains
+        |    kind: blocked_domain
+        |    column: url
+        |    values: [evil.com]
+        |""".stripMargin)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir + "/*.parquet")
+    val verdicts = StreamOps.validateStream(stream, cfg, "ts",
+      window_ = "1 hour", watermark = "2 hours")
+    val q = verdicts.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("url_verdicts").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("url_verdicts")
+        .agg(sum("rows"), sum("viol_no_blocked")).head()
+      val rep = graft.engine.Validator.run(spark,
+        spark.read.parquet(s"$dir/docs.parquet"), cfg, "doc_id", "surl1",
+        collectViolations = false)
+      val batchViol = rep.results.filter(_.rule == "no_blocked")
+        .map(_.violationCount).sum
+      assert(streamed.getLong(0) == 200L)
+      assert(batchViol == 29L) // ids 0,7,...,196
+      assert(streamed.getLong(1) == batchViol)
+    } finally q.stop()
+  }
+
   test("null-ts rows arriving after real events are still counted (not dropped as late)") {
     // batch 1 establishes a real watermark; batch 2 is all-null timestamps.
     // With the old 1970-epoch sentinel the watermark (max event time − 2h)
