@@ -1414,10 +1414,16 @@ object OracleSql {
         |surv AS (SELECT * FROM (SELECT *,
         |    min(i) OVER (PARTITION BY text) AS canon FROM decon)
         |  WHERE i = canon),
-        |mb AS (SELECT i, source, n_chars,
-        |    CAST(('0x' || substr(md5(CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS b
-        |  FROM surv WHERE source IN ('s0', 's1')),
-        |pb AS (SELECT source, b, sum(n_chars) AS btok FROM mb GROUP BY 1, 2),
+        |e0 AS (SELECT i, unnest(string_split(text, chr(10))) AS line FROM surv),
+        |ka AS (SELECT e0.i, e0.line FROM e0 ANTI JOIN freq ON e0.line = freq.line),
+        |kl AS (SELECT i, sum(length(line)) + count(*) - 1 AS stok
+        |  FROM ka GROUP BY i),
+        |mb AS (SELECT surv.i, surv.source,
+        |    CAST(coalesce(kl.stok, 0) AS BIGINT) AS n_tok,
+        |    CAST(('0x' || substr(md5(CAST(surv.i AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS b
+        |  FROM surv LEFT JOIN kl ON surv.i = kl.i
+        |  WHERE surv.source IN ('s0', 's1')),
+        |pb AS (SELECT source, b, sum(n_tok) AS btok FROM mb GROUP BY 1, 2),
         |c AS (SELECT source, b, btok,
         |    sum(btok) OVER (PARTITION BY source ORDER BY b) AS cum,
         |    CASE source WHEN 's0' THEN 900 ELSE 100000 END AS budget
@@ -1429,7 +1435,7 @@ object OracleSql {
         |  ON mb.source = fullb.source AND mb.b = fullb.b),
         |kb AS (SELECT i FROM (
         |    SELECT mb.i, bnd.bfr, bnd.budget,
-        |      sum(mb.n_chars) OVER (PARTITION BY mb.source, mb.b
+        |      sum(mb.n_tok) OVER (PARTITION BY mb.source, mb.b
         |        ORDER BY mb.i) AS run
         |    FROM mb JOIN bnd ON mb.source = bnd.source AND mb.b = bnd.b)
         |  WHERE bfr + run <= budget),

@@ -2361,9 +2361,10 @@ object SparkEntry {
     // every normal doc, PROMO on every 5th — both over the minDocs=10 cut;
     // headers/bodies unique) -> contam (doc 4 carries the bench 13-gram)
     // -> exact text dedup (doc 3 reuses doc 2's seed) -> token-budget mix
-    // (s0 cut mid-corpus on original n_chars, s1 fully funded, s2 absent
-    // from budgets => excluded) -> final materialization with the mined
-    // lines STRIPPED and text rebuilt in order. Also crash/resumes after
+    // (weights are POST-strip text lengths — budgets count shipped chars;
+    // s0 cut mid-corpus, s1 fully funded, s2 absent from budgets =>
+    // excluded) -> final materialization with the mined lines STRIPPED
+    // and text rebuilt in order. Also crash/resumes after
     // the mix stage: resumed final output must hash identical and skip
     // exactly the 6 completed stages. Every decision — bucket cuts,
     // running sums, line mining, rebuild — is replayed in SQL.

@@ -150,6 +150,14 @@ final case class RuleSpec(
               v.contains("/") || v.contains("@") || v.contains(":"))
             throw ConfigError(s"rule '$name': '$v' is not a bare domain " +
               "(no scheme, path, port, userinfo, or whitespace)")
+          // the two most common blocklist line formats — '.evil.com' and
+          // '*.evil.com' — and a trailing root dot would all pass the check
+          // above yet match NO host under the exact/label-suffix predicate;
+          // reject them with the spelling the engine expects
+          if (v.contains("*") || v.startsWith(".") || v.endsWith("."))
+            throw ConfigError(s"rule '$name': '$v' must be a bare domain " +
+              "like 'evil.com' (no wildcards or leading/trailing dots — " +
+              "subdomains are matched automatically on label boundaries)")
         }
       case RuleKind.Duplicate =>
         if (column.isEmpty) throw ConfigError(s"rule '$name': needs a column")

@@ -89,10 +89,16 @@ object DocGen {
           s"when $dupCond then ${words("id - 1")} else ${words("id")} end"
     // PII plant: disjoint from the short/dup schedules so quality and
     // dedup decisions are untouched by the appended spans
+    // ... and off BOTH sides of the dup schedule: a PII suffix on a dup
+    // PREDECESSOR (id % dupEvery == dupEvery-2) would make the planted
+    // "exact duplicate" pair no longer byte-identical (its copy re-derives
+    // the words WITHOUT the suffix) — the same both-sides exclusion the
+    // semantic plant below applies
     val base = opts.get("pii-every").map(_.toInt) match {
       case Some(pe) =>
         s"case when id % $pe = ${pe - 1} and id % 37 != 0 " +
           s"and id % $dupEvery != ${dupEvery - 1} " +
+          s"and id % $dupEvery != ${dupEvery - 2} " +
           s"then concat($base0, ' contact u', cast(id as string), " +
           s"'@example.com at 10.', cast(id % 256 as string), '.0.', " +
           s"cast(id % 200 + 1 as string)) else $base0 end"

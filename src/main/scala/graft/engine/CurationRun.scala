@@ -60,7 +60,12 @@ object CurationRun {
     * (`budgets`) or TEMPERATURE-derived (`totalBudget` + `alpha`:
     * per-domain share ∝ p^alpha of the surviving corpus — the standard
     * multilingual/multi-domain re-weighting; alpha=1 natural, alpha=0
-    * uniform). Exactly one mode must be set. */
+    * uniform). Exactly one mode must be set.
+    *
+    * When the pipeline ALSO runs a `lines` stage, `tokenCol` is ignored
+    * and documents weigh their POST-strip character length of the text
+    * column: budgets count what the pipeline ships, not boilerplate the
+    * final stage deletes. */
   final case class MixConfig(
       domainCol: String,
       tokenCol: String = "n_chars",
@@ -460,11 +465,32 @@ object CurationRun {
     val mixKeep: Option[DataFrame] = cfg.mix.map { mc =>
       stage("mix") {
         val surv = corpusSurvivors
+        // with a lines stage in the pipeline, budgets must count the chars
+        // the pipeline SHIPS — the pre-strip token column includes
+        // boilerplate the final stage deletes (measured: 10.5% budget
+        // undershoot on the 2M evidence corpus before this). The post-strip
+        // length is computed without materializing the rebuilt text:
+        // kept-line length sum + (kept count − 1) newlines, one exploded
+        // pass + a broadcast anti-join against the 2-row-scale mined set.
+        val (weighted, tokCol) = freqLines match {
+          case Some(fl) =>
+            val lines = surv.select(col(idc).as("__id"),
+              split(col(cfg.textCol), "\n").as("__ls"))
+              .select(col("__id"), explode(col("__ls")).as("line"))
+            val keptLen = lines.join(fl.select(col("line")), Seq("line"), "left_anti")
+              .groupBy(col("__id"))
+              .agg((sum(length(col("line"))) + count(lit(1)) - 1)
+                .as("__stripped"))
+            (surv.join(keptLen, surv(idc) === keptLen("__id"), "left")
+              .withColumn("__mixtok", coalesce(col("__stripped"), lit(0L)))
+              .drop("__id", "__stripped"), "__mixtok")
+          case None => (surv, mc.tokenCol)
+        }
         val budgets =
           if (mc.budgets.nonEmpty) mc.budgets
-          else Sampling.temperatureBudgets(surv, mc.domainCol, mc.tokenCol,
+          else Sampling.temperatureBudgets(weighted, mc.domainCol, tokCol,
             mc.totalBudget, mc.alpha)
-        (Sampling.tokenBudgetMix(surv, mc.domainCol, idc, mc.tokenCol,
+        (Sampling.tokenBudgetMix(weighted, mc.domainCol, idc, tokCol,
           budgets, mc.buckets).select(col(idc)), Nil)
       }
     }
@@ -482,10 +508,18 @@ object CurationRun {
         corpusSurvivors.join(mk.select(col(idc)), Seq(idc), "left_semi"))
       val split0 = mixed.withColumn("split",
         Sampling.splitColumn(col(idc), cfg.trainFrac, cfg.valFrac))
-      val survivors = freqLines.fold(split0)(fl =>
-        TextOps.dropLines(split0, cfg.textCol, idc, fl.select(col("line")))
-          .withColumn(cfg.textCol, col("clean_text"))
-          .drop("clean_text", "kept_lines", "total_lines"))
+      val survivors = freqLines.fold(split0) { fl =>
+        val stripped =
+          TextOps.dropLines(split0, cfg.textCol, idc, fl.select(col("line")))
+            .withColumn(cfg.textCol, col("clean_text"))
+            .drop("clean_text", "kept_lines", "total_lines")
+        // ship an internally consistent corpus: the repo-wide n_chars
+        // char-count convention must describe the STRIPPED text it
+        // accompanies, not the pre-strip input
+        if (stripped.columns.contains("n_chars"))
+          stripped.withColumn("n_chars", length(col(cfg.textCol)).cast("long"))
+        else stripped
+      }
       (piiTags match {
         case Some(tags) =>
           val ks = graft.operators.PiiOps.resolveKinds(cfg.piiKinds.get)
@@ -510,14 +544,9 @@ object CurationRun {
       val weighted = cfg.vocab match {
         case Some(v) => fin.withColumn("__w",
           TextOps.wordpieceCount(col(cfg.textCol), v).cast("long"))
-        case None =>
-          // after a lines stage the input's n_chars column describes the
-          // PRE-strip text — weigh by the materialized text's true length
-          // so pack budgets stay honest (identical when no lines stage ran)
-          val w = if (cfg.lineMinDocs.isDefined)
-            length(col(cfg.textCol)).cast("long")
-          else col("n_chars").cast("long")
-          fin.withColumn("__w", w)
+        case None => fin.withColumn("__w", col("n_chars").cast("long"))
+          // (n_chars is recomputed post-strip at final materialization, so
+          // it already describes the shipped text)
       }
       (graft.operators.Packing.packSequences(
           weighted.filter(col("split") === "train"),

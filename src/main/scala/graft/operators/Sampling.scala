@@ -130,8 +130,12 @@ object Sampling {
       totalBudget: Long, alpha: Double): Map[String, Long] = {
     require(totalBudget >= 0, s"temperatureBudgets: negative total $totalBudget")
     require(alpha >= 0.0, s"temperatureBudgets: negative alpha $alpha")
-    val avail = df.groupBy(col(domainCol).cast("string").as("d"))
-      .agg(sum(col(tokenCol).cast("long")).as("n"))
+    // null domains are skipped (tokenBudgetMix cannot select them — a null
+    // never equals a budget key) and an all-null token column counts as 0
+    // availability rather than an opaque driver NPE
+    val avail = df.filter(col(domainCol).isNotNull)
+      .groupBy(col(domainCol).cast("string").as("d"))
+      .agg(coalesce(sum(col(tokenCol).cast("long")), lit(0L)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     if (avail.isEmpty || avail.values.sum <= 0)
       return avail.map { case (d, _) => d -> 0L }

@@ -21,7 +21,14 @@ object UrlOps {
 
   /** Lowercased host: scheme and userinfo stripped, authority cut at the
     * first `/ : ? #`. Scheme-less inputs ("example.com/x") resolve to
-    * their leading host. Null/empty host → empty string. */
+    * their leading host. Null/empty host → empty string.
+    *
+    * Limitation (documented like [[registrableDomain]]'s PSL naivety):
+    * bracketed IPv6 authorities (`https://[2001:db8::1]/`) are NOT parsed —
+    * the `:` inside the brackets truncates extraction. IPv6 literals are
+    * not meaningful DOMAIN-blocklist subjects (nothing is "a subdomain of"
+    * an address); corpora where they matter should pre-filter
+    * `rlike("^[a-zA-Z]+://\\[")` or block on IP columns directly. */
   def host(url: Column): Column =
     lower(regexp_extract(url,
       "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/@?#]*@)?([^/:?#]+)", 1))

@@ -126,12 +126,13 @@ class Round6cSpec extends SparkTestBase {
     assert(drops == Set((3L, 2L)))
     val ids = fin.select("doc_id").as[Long].collect().toSet
     assert(!ids.contains(3L))
-    // mix: src0 total ORIGINAL n_chars under its 400 budget; src1 fully
-    // funded (every surviving src1 doc present)
-    val kept = fin.select("doc_id", "source").as[(Long, String)].collect()
-    val orig = lineMixCorpus.select("doc_id", "n_chars")
-      .as[(Long, Long)].collect().toMap
-    val src0 = kept.filter(_._2 == "src0").map(r => orig(r._1)).sum
+    // mix budgets count SHIPPED (post-strip) chars: src0's kept final text
+    // sums under its 400 budget; src1 fully funded (every surviving src1
+    // doc present); and the shipped n_chars describes the stripped text
+    val kept = fin.select("doc_id", "source", "text", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+    assert(kept.forall(r => r._4 == r._3.length.toLong))
+    val src0 = kept.filter(_._2 == "src0").map(_._3.length.toLong).sum
     assert(src0 <= 400L && src0 > 0L)
     val src1Survivors = (0L until 30L).filter(i => i % 2 == 1 &&
       i % 10 != 9 && i != 3).toSet
