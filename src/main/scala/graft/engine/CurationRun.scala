@@ -508,19 +508,11 @@ object CurationRun {
         corpusSurvivors.join(mk.select(col(idc)), Seq(idc), "left_semi"))
       val split0 = mixed.withColumn("split",
         Sampling.splitColumn(col(idc), cfg.trainFrac, cfg.valFrac))
-      val survivors = freqLines.fold(split0) { fl =>
-        val stripped =
-          TextOps.dropLines(split0, cfg.textCol, idc, fl.select(col("line")))
-            .withColumn(cfg.textCol, col("clean_text"))
-            .drop("clean_text", "kept_lines", "total_lines")
-        // ship an internally consistent corpus: the repo-wide n_chars
-        // char-count convention must describe the STRIPPED text it
-        // accompanies, not the pre-strip input
-        if (stripped.columns.contains("n_chars"))
-          stripped.withColumn("n_chars", length(col(cfg.textCol)).cast("long"))
-        else stripped
-      }
-      (piiTags match {
+      val survivors = freqLines.fold(split0)(fl =>
+        TextOps.dropLines(split0, cfg.textCol, idc, fl.select(col("line")))
+          .withColumn(cfg.textCol, col("clean_text"))
+          .drop("clean_text", "kept_lines", "total_lines"))
+      val redacted = (piiTags match {
         case Some(tags) =>
           val ks = graft.operators.PiiOps.resolveKinds(cfg.piiKinds.get)
           survivors
@@ -531,7 +523,15 @@ object CurationRun {
               .otherwise(col(cfg.textCol)))
             .drop("__redact")
         case None => survivors
-      }, Nil)
+      })
+      // ship an internally consistent corpus: whenever any final-stage
+      // rewrite touched the text (line strip and/or pii redaction), the
+      // repo-wide n_chars char-count convention must describe the SHIPPED
+      // text — recompute LAST, after every rewrite
+      ((if ((freqLines.isDefined || piiTags.isDefined) &&
+          redacted.columns.contains("n_chars"))
+        redacted.withColumn("n_chars", length(col(cfg.textCol)).cast("long"))
+      else redacted), Nil)
     }
     if (!reached("pack") || cfg.packBudget.isEmpty) return results.toSeq
 
