@@ -1002,6 +1002,19 @@ object OracleSql {
         | CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS total_lines
         |FROM c LEFT JOIN r ON c.doc_id = r.doc_id""".stripMargin,
 
+    // document chunking: stride/ceil/substring arithmetic replayed —
+    // chunk i = substring(text, i*stride+1, 120), stride = 100,
+    // n = max(1, ceil((len-20)/100))
+    "t_chunk" ->
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        |n AS (SELECT doc_id, t, greatest(1, CAST(ceil(
+        |    (length(t) - 20) / CAST(100 AS DOUBLE)) AS BIGINT)) AS nc
+        |  FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(i * 100 AS BIGINT) AS chunk_start,
+        |  substring(t, CAST(i * 100 + 1 AS INT), 120) AS chunk
+        |FROM n, LATERAL unnest(range(0, nc)) AS u(i)""".stripMargin,
+
     // Gopher n-gram repetition: word 2-/3-grams of normalized text,
     // argmax by (cnt desc, gram asc), duplicated-gram char share
     "t_ngram_rep" ->

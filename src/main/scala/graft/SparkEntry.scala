@@ -1957,6 +1957,14 @@ object SparkEntry {
         .select(col("doc_id"), col("clean_text"), col("kept_lines"),
           col("total_lines"))),
 
+    // long-document chunking (pretraining/RAG window splitting): fixed
+    // 120-char chunks with 20-char overlap, one row per chunk, remainder
+    // never orphaned, every doc yields >= 1 chunk. Pure posexplode —
+    // zero shuffle; the oracle replays stride/ceil/substring arithmetic
+    "t_chunk" -> ((s, d) =>
+      TextOps.chunkDocuments(t(s, d, "documents"), "text", "doc_id",
+        chunkSize = 120, overlap = 20)),
+
     // Gopher-style n-gram repetition fractions (Rae et al. 2021): most
     // frequent 2-gram's character share + duplicated-3-gram character
     // share, per doc; argmax tie broken lexicographically on both sides

@@ -335,6 +335,43 @@ object TextOps {
           .otherwise(lit(0.0)).as("dup_frac"))
   }
 
+  /** Split long documents into fixed-size overlapping character chunks —
+    * the standard long-document splitting step of pretraining / retrieval
+    * pipelines (a 10 MB crawl page must become model-window-sized pieces;
+    * the overlap keeps boundary context). Emits one row per chunk:
+    * (id, chunk_id, chunk_start [0-based], chunk). Chunk i covers
+    * [i*stride, i*stride + chunkSize) with stride = chunkSize − overlap;
+    * the last chunk is the remainder (never empty unless the doc is).
+    * Every doc yields at least one chunk, so no rows are silently lost.
+    *
+    * Scale shape: a pure posexplode over a per-row `transform(sequence)`
+    * of substrings — zero shuffle, codegen'd, pushes the projection into
+    * the scan; output rows ≈ len/stride per doc, bounded by construction.
+    * Character-based (exact, oracle-replayable); compose with
+    * [[wordpieceTokens]] upstream when token-exact windows matter. */
+  def chunkDocuments(docs: DataFrame, textCol: String, idCol: String,
+      chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0, s"chunkDocuments: chunkSize must be positive")
+    require(overlap >= 0 && overlap < chunkSize,
+      s"chunkDocuments: overlap must be in [0, chunkSize) ($overlap)")
+    val stride = chunkSize - overlap
+    // null text chunks as empty — posexplode over a null sequence would
+    // DROP the doc, breaking the at-least-one-chunk guarantee
+    val txt = coalesce(col(textCol), lit(""))
+    val len = length(txt)
+    // ceil((len - overlap) / stride) chunks, floor 1: the last chunk
+    // starts strictly before len so remainder text is never orphaned
+    val n = greatest(lit(1L),
+      ceil((len - lit(overlap)).cast("double") / lit(stride)).cast("long"))
+    docs.select(col(idCol),
+        posexplode(transform(sequence(lit(0L), n - 1), i =>
+          txt.substr((i * stride + 1).cast("int"), lit(chunkSize))))
+          .as(Seq("chunk_id", "chunk")))
+      .withColumn("chunk_start", col("chunk_id").cast("long") * stride)
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        col("chunk_start"), col("chunk"))
+  }
+
   /** Stable document fingerprint: md5 of normalized text (lower, collapsed
     * whitespace) — the exact-dup key. */
   def fingerprint(c: Column): Column = md5(Dedup.normText(c))

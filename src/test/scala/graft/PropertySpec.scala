@@ -97,4 +97,36 @@ class PropertySpec extends SparkTestBase {
       assert(hs.distinct.length >= (d.length * 0.95).toInt)
     }
   }
+
+  test("tokenBudgetMix equals the hash-order-prefix reference on random corpora") {
+    // property: for any (domain, weight) corpus and budgets, the kept set
+    // is EXACTLY the per-domain (md5bucket, id)-ordered prefix whose
+    // running weight sum stays within budget — checked against a
+    // driver-side reference implementing the spec verbatim
+    def bucketOf(id: Long, buckets: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % buckets
+    }
+    val gen = Gen.listOfN(120,
+      Gen.zip(Gen.choose(0, 3), Gen.choose(1L, 50L)))
+    samples(gen, 4).zipWithIndex.foreach { case (rows, i) =>
+      val docs = rows.zipWithIndex.map { case ((d, w), j) =>
+        (j.toLong, s"d$d", w) }
+      val budgets = Map("d0" -> 200L, "d1" -> (50L * i), "d2" -> 100000L)
+      val buckets = 8
+      val expected = docs.filter(r => budgets.contains(r._2))
+        .groupBy(_._2).flatMap { case (dom, ds) =>
+          val ordered = ds.sortBy(r => (bucketOf(r._1, buckets), r._1))
+          var run = 0L
+          ordered.takeWhile { r => run += r._3; run <= budgets(dom) }
+        }.map(_._1).toSet
+      val got = graft.operators.Sampling.tokenBudgetMix(
+        docs.toDF("id", "dom", "toks"), "dom", "id", "toks",
+        budgets, buckets)
+        .select("id").as[Long].collect().toSet
+      assert(got == expected, s"case $i")
+    }
+  }
 }

@@ -141,6 +141,29 @@ class Round6bSpec extends SparkTestBase {
     }
   }
 
+  test("chunkDocuments: overlap windows, remainder kept, null/empty docs chunk once") {
+    val df = Seq((1L, "abcdefghij"), (2L, ""),
+      (3L, null.asInstanceOf[String]), (4L, "abc")).toDF("doc_id", "text")
+    val got = TextOps.chunkDocuments(df, "text", "doc_id",
+      chunkSize = 6, overlap = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, "abcdef"), (1L, 1L, 4L, "efghij"),
+      (2L, 0L, 0L, ""), (3L, 0L, 0L, ""), (4L, 0L, 0L, "abc")))
+    // stitching chunks back (drop each later chunk's overlap prefix)
+    // reconstructs the document exactly
+    val doc1 = got.filter(_._1 == 1L).sortBy(_._2)
+    val stitched = doc1.head._4 +
+      doc1.tail.map(_._4.drop(2)).mkString
+    assert(stitched == "abcdefghij")
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocuments(df, "text", "doc_id", 5, 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.chunkDocuments(df, "text", "doc_id", 0, 0)
+    }
+  }
+
   test("blocked_domain rule: loads, flags, and rejects non-domain entries at load") {
     def yaml(entries: String) =
       s"""table:
