@@ -1,0 +1,297 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.datagen.SeqTableGen
+import graft.engine.{DefaultSuite, Validator}
+import graft.operators.{Dedup, TextOps}
+
+/** Round-7 optimization lab (guide §1.4): A/B variants of the headliner
+  * queries, each timed with the noop sink, min-of-N. NOT part of the frozen
+  * bench contract — numbers here inform OPTIMIZATION_r07.md only.
+  *
+  * Usage: sbt "runMain graft.BenchExtra [filter]"
+  */
+object BenchExtra {
+
+  def exec(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  def time[A](f: => A): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Candidate helper (guide §2.5 "one huge unsplittable file"): widen a
+    * narrow scan to the session's parallelism. */
+  private def widen(df: DataFrame, key: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else if (key.isEmpty) df.repartition(target)
+    else df.repartition(target, key: _*)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val filter = args.headOption.getOrElse("")
+    val spark = Bench.buildSession(cpus)
+    import spark.implicits._
+
+    val variants = scala.collection.mutable.LinkedHashMap
+      .empty[String, () => DataFrame]
+    def v(name: String)(f: => DataFrame): Unit =
+      if (name.contains(filter)) variants(name) = () => f
+
+    // ---- m_elementwise: base vs widened ----
+    def mElem(df: DataFrame) = df.select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(graft.functions.MathOps.logT(col("l_extendedprice")), 6).as("log_price"),
+      round(graft.functions.MathOps.expT(col("l_discount")), 6).as("exp_disc"),
+      round(graft.functions.MathOps.sqrtT(col("l_quantity")), 6).as("sqrt_qty"),
+      round(graft.functions.MathOps.absT(col("l_quantity") - 25.0), 4).as("abs_qty"))
+    v("m_elementwise.base") { mElem(t(spark, sfDir, "lineitem")) }
+    v("m_elementwise.widen") {
+      mElem(widen(t(spark, sfDir, "lineitem"), col("l_orderkey"), col("l_linenumber")))
+    }
+
+    // ---- dd_minhash_lsh: base vs widened input ----
+    v("dd_minhash.base") {
+      Dedup.minhashLshPairs(t(spark, sfDir, "documents"), "text", "doc_id",
+        estThreshold = 0.2)
+    }
+    v("dd_minhash.widen") {
+      Dedup.minhashLshPairs(widen(t(spark, sfDir, "documents"), col("doc_id")),
+        "text", "doc_id", estThreshold = 0.2)
+    }
+
+    // ---- t_quality / t_langid ----
+    def tQual(df: DataFrame) = df.select(
+      col("doc_id"),
+      TextOps.tokenCount(col("text")).as("n_words"),
+      TextOps.punctCount(col("text")).as("n_punct"),
+      TextOps.stopwordCount(col("text")).as("n_stop"),
+      TextOps.qualityScore(col("text")).as("quality"))
+    v("t_quality.base") { tQual(t(spark, sfDir, "documents")) }
+    v("t_quality.widen") { tQual(widen(t(spark, sfDir, "documents"), col("doc_id"))) }
+
+    // ---- j_star_join: base vs widened lineitem ----
+    def jStar(li: DataFrame) = {
+      val sup = t(spark, sfDir, "supplier")
+      val nat = t(spark, sfDir, "nation")
+      val reg = t(spark, sfDir, "region")
+      li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }
+    v("j_star.base") { jStar(t(spark, sfDir, "lineitem")) }
+    v("j_star.widen") { jStar(widen(t(spark, sfDir, "lineitem"), col("l_suppkey"))) }
+
+    // ---- v_unique_violations: base vs single-pass vs widened ----
+    v("v_unique.base") {
+      graft.checks.Checks.uniquenessViolations(
+        t(spark, sfDir, "lineitem").withColumn("part", lit("all")),
+        "l_orderkey", "part")
+        .select(col("key").as("l_orderkey"), col("n").as("n_dup"))
+    }
+    v("v_unique.onepass") {
+      t(spark, sfDir, "lineitem").withColumn("part", lit("all"))
+        .groupBy(col("l_orderkey").as("key"))
+        .agg(count(lit(1)).as("n"),
+          min(coalesce(col("part").cast("string"), lit("<null>"))).as("partition"))
+        .filter(col("n") > 1)
+        .select(col("key").as("l_orderkey"), col("n").as("n_dup"))
+    }
+    v("v_unique.widen") {
+      graft.checks.Checks.uniquenessViolations(
+        widen(t(spark, sfDir, "lineitem"), col("l_orderkey"))
+          .withColumn("part", lit("all")),
+        "l_orderkey", "part")
+        .select(col("key").as("l_orderkey"), col("n").as("n_dup"))
+    }
+
+    // ---- a_group_scatter: base vs key-widened (window reuses partitioning) ----
+    def aScatter(df: DataFrame) = df.select(
+      col("l_orderkey"), col("l_linenumber"),
+      round(graft.functions.AggOps.groupMean(col("l_quantity"), col("l_orderkey")), 6).as("grp_avg"),
+      graft.functions.AggOps.groupMax(col("l_quantity"), col("l_orderkey")).as("grp_max"),
+      round(graft.functions.AggOps.groupSum(col("l_extendedprice"), col("l_orderkey")), 2).as("grp_sum"))
+    v("a_scatter.base") { aScatter(t(spark, sfDir, "lineitem")) }
+    v("a_scatter.widen") { aScatter(widen(t(spark, sfDir, "lineitem"), col("l_orderkey"))) }
+
+    // ---- e_window ----
+    def eWin(df: DataFrame) = {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      df.select(col("event_id"), col("user_id"),
+        row_number().over(w).as("rn"),
+        coalesce((unix_timestamp(col("ts")) -
+          unix_timestamp(lag(col("ts"), 1).over(w))).cast("long"), lit(-1L))
+          .as("gap_s"))
+    }
+    v("e_window.base") { eWin(t(spark, sfDir, "events")) }
+    v("e_window.widen") { eWin(widen(t(spark, sfDir, "events"), col("user_id"))) }
+
+    // ---- t_line_dedup: base vs widened corpus ----
+    def corpus(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), col("source"),
+        concat(
+          lit("DOC "), col("doc_id"), lit(" unique heading.\n"),
+          substring(col("text"), 1, 40), lit("\n"),
+          when(col("doc_id") % 3 === 0,
+            lit("Subscribe to our newsletter today.\n")).otherwise(lit("")),
+          lit("All rights reserved "), col("source"), lit(".")).as("text"))
+    v("t_line_dedup.base") {
+      TextOps.dropFrequentLines(corpus(t(spark, sfDir, "documents")),
+        "text", "doc_id", minDocs = 20)
+        .select(col("doc_id"), col("clean_text"), col("kept_lines"), col("total_lines"))
+    }
+    v("t_line_dedup.widen") {
+      TextOps.dropFrequentLines(corpus(widen(t(spark, sfDir, "documents"), col("doc_id"))),
+        "text", "doc_id", minDocs = 20)
+        .select(col("doc_id"), col("clean_text"), col("kept_lines"), col("total_lines"))
+    }
+
+    // ---- samp_token_mix ----
+    v("samp_mix.base") {
+      graft.operators.Sampling.tokenBudgetMix(t(spark, sfDir, "documents"),
+        "source", "doc_id", "n_chars",
+        Map("src0" -> 4000L, "src1" -> 1000000L, "src2" -> 900L), buckets = 16)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }
+    v("samp_mix.widen") {
+      graft.operators.Sampling.tokenBudgetMix(
+        widen(t(spark, sfDir, "documents"), col("doc_id")),
+        "source", "doc_id", "n_chars",
+        Map("src0" -> 4000L, "src1" -> 1000000L, "src2" -> 900L), buckets = 16)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    }
+
+    // ---- v_psi: base (windows) vs broadcast-join aggregates ----
+    def psiJoinVariant(docs: DataFrame): DataFrame = {
+      val k = 10
+      val binCol = least(greatest(floor(col("n_chars") / 60.0), lit(0)), lit(k - 1))
+        .cast("int")
+      val perSrc = docs
+        .select(coalesce(col("source"), lit("<null>")).as("source"), binCol.as("bin"))
+        .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val gTot = perSrc.agg(sum("cnt")).head().getLong(0).toDouble
+      val grid = perSrc.select("source").distinct()
+        .crossJoin(docs.sparkSession.range(k).select(col("id").cast("int").as("bin")))
+      val filled = grid.join(perSrc, Seq("source", "bin"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val tots = perSrc.groupBy("source").agg(sum("cnt").as("tot"))
+      val gcnts = perSrc.groupBy("bin").agg(sum("cnt").as("gcnt"))
+      val pq = filled
+        .join(broadcast(tots), Seq("source"))
+        .join(broadcast(gcnts), Seq("bin"))
+        .select(col("source"), col("bin"),
+          (col("cnt") / col("tot")).as("p"),
+          (col("gcnt") / lit(gTot)).as("q"))
+      val eps = 1e-6
+      val out = pq
+        .select(col("source"),
+          greatest(col("p"), lit(eps)).as("p"), greatest(col("q"), lit(eps)).as("q"))
+        .groupBy("source")
+        .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      perSrc.unpersist()
+      out
+    }
+    v("v_psi.base") { SparkEntry.queries("v_psi")(spark, sfDir) }
+    v("v_psi.join") { psiJoinVariant(t(spark, sfDir, "documents")) }
+
+    // ---------------- run the variants ----------------
+    val reps = 3
+    variants.foreach { case (name, fn) =>
+      spark.sparkContext.setJobDescription(s"bx:$name")
+      val ts = (1 to reps).map(_ => time(exec(fn())))
+      println(f"$name%-24s min=${ts.min}%.3f med=${ts.sorted.apply(reps / 2)}%.3f")
+    }
+
+    // ---------------- validate_full_suite decomposition ----------------
+    if ("validate".contains(filter) || filter.isEmpty || filter == "validate") {
+      val rows = Bench.seqRowsFor(sfDir)
+      val seqPath = s"/tmp/graft-bx-seq-$cpus"
+      if (!new java.io.File(seqPath).exists()) {
+        val gen = SeqTableGen.generate(spark, rows, plant = true).repartition(64)
+        SeqTableGen.writePartitioned(gen, seqPath)
+      }
+      val table = spark.read.parquet(seqPath)
+      table.count()
+      // full run (as in Bench)
+      Validator.run(spark, table, DefaultSuite.config, "doc_id",
+        runId = "bx-warm", collectViolations = false)
+      val full = (1 to reps).map { i => time {
+        Validator.run(spark, table, DefaultSuite.config, "doc_id",
+          runId = s"bx-$i", collectViolations = false)
+      }}.min
+      println(f"validate.full: min=$full%.3f")
+      // component: uniqueness current shape
+      def uniqSummary(dups: DataFrame) =
+        dups.groupBy("partition")
+          .agg(count(lit(1)).as("keys"), sum(col("n") - 1).as("extra"),
+            expr("bit_xor(xxhash64(key))").as("h")).collect()
+      val uniqBase = (1 to reps).map(_ => time {
+        uniqSummary(graft.checks.Checks.uniquenessViolations(table, "doc_id", "source"))
+      }).min
+      println(f"validate.uniq.base: min=$uniqBase%.3f")
+      val uniqOnepass = (1 to reps).map(_ => time {
+        uniqSummary(
+          table.groupBy(col("doc_id").as("key"))
+            .agg(count(lit(1)).as("n"),
+              min(coalesce(col("source").cast("string"), lit("<null>"))).as("partition"))
+            .filter(col("n") > 1))
+      }).min
+      println(f"validate.uniq.onepass: min=$uniqOnepass%.3f")
+      val p = spark.sparkContext.defaultParallelism
+      val uniqWiden = (1 to reps).map(_ => time {
+        uniqSummary(graft.checks.Checks.uniquenessViolations(
+          table.repartition(p, col("doc_id")), "doc_id", "source"))
+      }).min
+      println(f"validate.uniq.widen: min=$uniqWiden%.3f")
+      // component: flag scan + agg
+      val cfg = DefaultSuite.config
+      val flagT = (1 to reps).map(_ => time {
+        val (flagged, rowRules) = graft.checks.Checks.withFlags(table, cfg.rules)
+        val statsRules = cfg.rules.filter(_.kind == graft.config.RuleKind.Stats)
+        val aggs = graft.checks.Checks.verdictAggExprs(rowRules, "__rows", "__viol_") ++
+          statsRules.map { r =>
+            val c = col(r.column.get)
+            struct(count(c).as("count"),
+              sum(when(c.isNull, 1L).otherwise(0L)).as("nulls"),
+              min(c).cast("double").as("min"), max(c).cast("double").as("max"),
+              avg(c).as("mean"),
+              coalesce(var_pop(c), lit(0.0)).as("variance")).as(s"__stats_${r.name}")
+          }
+        flagged.select((Seq(col("source"), col("doc_id")) ++
+            statsRules.map(r => col(r.column.get)) ++
+            rowRules.map(r => col(graft.checks.Checks.flagCol(r.name)))): _*)
+          .groupBy(col("source").cast("string").as("partition"))
+          .agg(aggs.head, aggs.tail: _*).collect()
+      }).min
+      println(f"validate.flagscan: min=$flagT%.3f")
+      // component: quantile job
+      val statsRules = cfg.rules.filter(_.kind == graft.config.RuleKind.Stats)
+      val quantT = (1 to reps).map(_ => time {
+        val qAggs = statsRules.map(r =>
+          percentile_approx(col(r.column.get).cast("double"),
+            typedLit(Seq(0.5, 0.95, 0.99)), lit(10000)).as(s"__q_${r.name}")) ++
+          statsRules.map(r =>
+            approx_count_distinct(col(r.column.get), 0.02).as(s"__adc_${r.name}"))
+        table.groupBy(col("source").cast("string").as("partition"))
+          .agg(qAggs.head, qAggs.tail: _*).collect()
+      }).min
+      println(f"validate.quantiles: min=$quantT%.3f")
+    }
+
+    spark.stop()
+  }
+}

@@ -22,6 +22,31 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Guide §2.5 input-skew fix ("one huge unsplittable file … repartition
+    * immediately after the read"): the driver testdata ships each table as a
+    * SINGLE parquet file with ONE row group, so every scan plans exactly one
+    * task no matter how `maxPartitionBytes` is set — all downstream per-row
+    * compute in the same stage runs on one core of the whole pool.
+    *
+    * When (and only when) the scan's planned parallelism is below the
+    * session's `defaultParallelism`, redistribute once by a deterministic
+    * hash of the given key columns so expensive per-row work uses the full
+    * pool. Scale-adaptive by construction: production inputs split into at
+    * least cluster-parallelism many partitions, so this is a no-op there —
+    * the guard reads the PLANNED partition count, not a constant. Hash (not
+    * round-robin) partitioning avoids the sort-before-repartition pass and
+    * keeps row placement deterministic under retries (guide §2.5). Results
+    * are row-order-independent everywhere this is applied (oracle-gated).
+    *
+    * Applied selectively: only where measured per-row compute dominates the
+    * one-time exchange of the pruned columns (see OPTIMIZATION_r07.md —
+    * cheap scans like q1_agg LOSE from the extra exchange and stay narrow). */
+  private def widen(df: DataFrame, key: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, key: _*)
+  }
+
   /** Flagship query on sf=0.001: the classic pricing-summary aggregation. */
   def entry(spark: SparkSession): DataFrame =
     q1(spark, "/root/testdata/sf0.001")
@@ -228,7 +253,10 @@ object SparkEntry {
     "m_scale" -> ((s, d) => t(s, d, "lineitem").select(
       liKey :+ round(MathOps.scale(col("l_quantity"), 2.5), 4).as("scaled"): _*)),
 
-    "m_elementwise" -> ((s, d) => t(s, d, "lineitem").select(
+    // widen: 4 rounds/row are BigDecimal ops — measured compute-bound on the
+    // single-task scan (r07: 0.899s -> 0.613s with the exchange)
+    "m_elementwise" -> ((s, d) => widen(t(s, d, "lineitem"),
+      col("l_orderkey"), col("l_linenumber")).select(
       liKey ++ Seq(
         round(MathOps.logT(col("l_extendedprice")), 6).as("log_price"),
         round(MathOps.expT(col("l_discount")), 6).as("exp_disc"),
@@ -465,7 +493,12 @@ object SparkEntry {
     // ======== §2.5 aggregation / group-by ========
     "q1_agg" -> ((s, d) => q1(s, d)),
 
-    "a_group_scatter" -> ((s, d) => t(s, d, "lineitem").select(
+    // widen BY THE WINDOW KEY: supplies the window's ClusteredDistribution
+    // (no second exchange) with a pinned partition count AQE cannot coalesce
+    // to one — the window sort then runs across the pool instead of on a
+    // single post-coalesce task (r07: 1.447s -> 1.034s same-window A/B)
+    "a_group_scatter" -> ((s, d) => widen(t(s, d, "lineitem"),
+      col("l_orderkey")).select(
       liKey ++ Seq(
         round(AggOps.groupMean(col("l_quantity"), col("l_orderkey")), 6).as("grp_avg"),
         AggOps.groupMax(col("l_quantity"), col("l_orderkey")).as("grp_max"),
@@ -735,9 +768,16 @@ object SparkEntry {
       .filter(col("n_chars") < 50 || col("n_chars") > 500)
       .select(col("doc_id"), col("n_chars"), col("source"))),
 
+    // partition-free one-pass shape: this query's partition column was the
+    // CONSTANT lit("all") and the output never projected it — the two-phase
+    // resolve join existed only to compute a column that was then dropped.
+    // uniquenessViolationCounts keeps the identical (key, n) result with
+    // one scan + one codegen'd map-side-combined shuffle instead of two
+    // scans + join + string re-aggregation (r07: 0.756s -> 0.411s A/B; the
+    // partition-resolving two-phase form remains the validator's path).
     "v_unique_violations" -> ((s, d) =>
-      graft.checks.Checks.uniquenessViolations(
-        t(s, d, "lineitem").withColumn("part", lit("all")), "l_orderkey", "part")
+      graft.checks.Checks.uniquenessViolationCounts(
+        t(s, d, "lineitem"), "l_orderkey")
         .select(col("key").as("l_orderkey"), col("n").as("n_dup"))),
 
     "v_referential" -> ((s, d) => {
@@ -1230,8 +1270,12 @@ object SparkEntry {
     }),
 
     "dd_minhash_lsh" -> ((s, d) => // rows-only: xxhash64 not in oracle engine
-      Dedup.minhashLshPairs(t(s, d, "documents"), "text", "doc_id",
-        estThreshold = 0.2)),
+      // widen: the fused char-5-gram minhash signature (~n_chars * k hashes
+      // per doc) is by far the heaviest per-row expression in the repo —
+      // computing it on the single-task scan serializes ~190M hash calls
+      // (r07: 0.546s -> 0.400s same-window A/B)
+      Dedup.minhashLshPairs(widen(t(s, d, "documents"), col("doc_id")),
+        "text", "doc_id", estThreshold = 0.2)),
 
     "dd_simhash" -> ((s, d) => // rows-only (custom codegen-free expression)
       t(s, d, "documents").select(col("doc_id"),
@@ -2440,6 +2484,10 @@ object SparkEntry {
       // rows at any scale factor); supplier grows linearly with SF — forcing
       // its broadcast would OOM at large scale, so AQE decides from its
       // runtime size (it still broadcasts when genuinely small)
+      // examined for widening (r07): the probe chain lives in one scan task,
+      // but same-window A/B read 0.947s base vs 0.994s widened when idle —
+      // the exchange of 600k probe rows costs what the parallel probes save
+      // (3 broadcast hash probes are cheap per row). Left narrow.
       li.join(sup, li("l_suppkey") === sup("s_suppkey"))
         .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
         .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
@@ -2585,9 +2633,17 @@ object SparkEntry {
       .crossJoin(docs.sparkSession.range(k).select(col("id").cast("int").as("bin")))
     val filled = grid.join(perSrc, Seq("source", "bin"), "left")
       .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    // per-source totals and per-bin global counts as broadcast joins of two
+    // tiny aggregates of the SAME cached frame, not two windows: the two
+    // window phases keyed differently (source, then bin) cost two full
+    // exchanges + sorts of the grid for what is a pair of O(sources)/O(bins)
+    // lookups — the joins broadcast and add zero exchanges (r07: ~0.1s off
+    // v_psi/v_ks; identical values, the totals are exact integer sums)
+    val tots = perSrc.groupBy("source").agg(sum("cnt").as("tot"))
+    val gcnts = perSrc.groupBy("bin").agg(sum("cnt").as("gcnt"))
     val pq = filled
-      .withColumn("tot", sum("cnt").over(Window.partitionBy("source")))
-      .withColumn("gcnt", sum("cnt").over(Window.partitionBy("bin")))
+      .join(broadcast(tots), Seq("source"))
+      .join(broadcast(gcnts), Seq("bin"))
       .select(col("source"), col("bin"),
         (col("cnt") / col("tot")).as("p"),
         (col("gcnt") / lit(gTot)).as("q"))

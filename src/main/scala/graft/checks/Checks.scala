@@ -174,6 +174,21 @@ object Checks {
       .agg(first(col("n")).as("n"), min(col("__p")).as("partition"))
   }
 
+  /** Partition-free uniqueness: keys occurring more than once with their
+    * counts — [[uniquenessViolations]] minus the representative-partition
+    * column. When the caller does not need a partition label, this is the
+    * strictly cheaper shape at ANY scale: ONE scan, ONE map-side-combined
+    * shuffle of (key, count), fixed-size agg buffer (whole-stage-codegen
+    * HashAggregate) — no second table scan, no resolve join, no string
+    * aggregate. [[uniquenessViolations]] keeps the two-phase form because a
+    * representative partition needs a string min, which would knock the
+    * table-scale phase out of HashAggregate; resolving it only for the
+    * (bounded) violating keys is the 10^12-row shape. */
+  def uniquenessViolationCounts(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
   /** Salted two-phase duplicate count: phase 1 aggregates (key, salt) —
     * spreading any single hot key over `salts` reducers — phase 2 re-aggregates
     * by key. Result identical to `uniquenessViolations`. */

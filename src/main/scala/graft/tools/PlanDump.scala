@@ -1,0 +1,37 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+/** Dump `.explain("formatted")` of named SparkEntry queries to files —
+  * the plan evidence for OPTIMIZATION_r07.md (plans/r07/<q>_{before,after}.txt).
+  *
+  * Usage: sbt "runMain graft.tools.PlanDump <outDir> <suffix> [q1,q2,...]"
+  * (default: the bench headliners). Plans are the ANALYZED/physical initial
+  * plans (AQE initial — this tool runs no jobs except where a query's
+  * closure is itself eager).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("plans/r07")
+    val suffix = if (args.length > 1) args(1) else "after"
+    val names: Seq[String] =
+      if (args.length > 2) args(2).split(",").toSeq
+      else graft.Bench.headliners
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.Bench.buildSession(cpus)
+    Files.createDirectories(Paths.get(outDir))
+    names.foreach { n =>
+      try {
+        val df = graft.SparkEntry.queries(n)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.writeString(Paths.get(s"$outDir/${n}_$suffix.txt"), plan)
+        println(s"dumped $n")
+      } catch { case e: Throwable =>
+        System.err.println(s"plan dump failed for $n: ${e.getMessage}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -166,6 +166,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Seq(0, 3, 6, 9))
   }
 
+  test("partition-free uniqueness counts equal the two-phase operator") {
+    val skewed = spark.range(10000).select(
+      when(col("id") % 2 === 0, "hot").otherwise(concat(lit("k"), col("id"))).as("k"),
+      lit("p").as("part"))
+    val twoPhase = graft.checks.Checks.uniquenessViolations(skewed, "k", "part")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val onePass = graft.checks.Checks.uniquenessViolationCounts(skewed, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(onePass == twoPhase)
+    assert(onePass == Set(("hot", 5000L)))
+  }
+
   test("salted uniqueness equals unsalted on skewed keys") {
     val skewed = spark.range(10000).select(
       when(col("id") % 2 === 0, "hot").otherwise(concat(lit("k"), col("id"))).as("k"),

@@ -59,6 +59,28 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "dup-key resolution must broadcast")
   }
 
+  test("v_unique_violations is one scan + one codegen'd shuffle (no join)") {
+    val df = SparkEntry.queries("v_unique_violations")(spark, sf())
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no map-side combine:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"expected exactly one shuffle:\n$p")
+    assert(!p.contains("Join"), s"partition-free path must not join:\n$p")
+    assert(!p.contains("SortAggregate"), s"agg fell out of HashAggregate:\n$p")
+  }
+
+  test("widened narrow scans run at session parallelism (guide §2.5)") {
+    // single-row-group driver files plan a 1-task scan; the widened queries
+    // must spread per-row compute across defaultParallelism partitions and
+    // AQE must NOT coalesce the user-pinned repartition back to one task
+    for (q <- Seq("m_elementwise", "a_group_scatter")) {
+      val df = SparkEntry.queries(q)(spark, sf())
+      assert(df.rdd.getNumPartitions == spark.sparkContext.defaultParallelism,
+        s"$q not widened to session parallelism")
+    }
+  }
+
   test("partition pruning on the Hive-partitioned tokenized table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-prune").toString
     graft.datagen.SeqTableGen.writePartitioned(
