@@ -480,23 +480,53 @@ object Similarity {
     * discipline); callers mining for dedup decisions should size cells so
     * the mean is far below the cap (CurationRun auto-sizing + loud
     * mean-size guard). Ties break to the lower corpus id, so the pair set
-    * is deterministic at any parallelism. */
+    * is deterministic at any parallelism.
+    *
+    * Ids keep their NATIVE family like every other miner: integral ids run
+    * the primitive-long kernel (unchanged output), string ids — the
+    * engine's own canonical `doc_id: "doc-%012d"` shape — run the same
+    * kernel with string ordering (r6 verdict finding #1: the previous
+    * unconditional `cast("long")` THREW under ANSI on string-id corpora).
+    * Any other id type fails loud at plan time. */
   def cellSelfTopKPairs(emb: DataFrame, vecCol: String, idCol: String,
       k: Int, centroids: Seq[Seq[Double]], threshold: Double,
       maxBucket: Int = 100000): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val assigned = emb.select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<double>").as("v"),
-        nearestCellCol(col(vecCol), centroids).as("bucket"))
-      .as[(Long, Seq[Double], Int)]
+    import org.apache.spark.sql.types._
+    val assigned0 = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      nearestCellCol(col(vecCol), centroids).as("bucket"))
+    emb.schema(emb.schema.fieldIndex(idCol)).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        cellTopKKernel[Long](
+          assigned0.withColumn("id", col("id").cast("long"))
+            .as[(Long, Seq[Double], Int)], k, threshold, maxBucket)
+      case StringType =>
+        cellTopKKernel[String](
+          assigned0.as[(String, Seq[Double], Int)], k, threshold, maxBucket)
+      case other => throw new IllegalArgumentException(
+        s"cellSelfTopKPairs: unsupported id type ${other.simpleString} for " +
+          s"'$idCol' — integral or string ids (the miners' common surface)")
+    }
+  }
+
+  /** The within-cell bounded top-k miner, generic over the id type. One
+    * `flatMapGroups` per cell over primitive arrays; output O(n × k). */
+  private def cellTopKKernel[T: scala.reflect.ClassTag](
+      assigned: org.apache.spark.sql.Dataset[(T, Seq[Double], Int)],
+      k: Int, threshold: Double, maxBucket: Int)(
+      implicit ord: Ordering[T],
+      pairEnc: org.apache.spark.sql.Encoder[(T, T, Double)]): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
     assigned.groupByKey(_._3)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray
         if (rows.length > maxBucket || rows.length < 2) Iterator.empty
         else {
           val n = rows.length
-          val ids = new Array[Long](n)
+          val ids = new Array[T](n)
           val vs = new Array[Array[Double]](n)
           val norms = new Array[Double](n)
           var i = 0
@@ -508,7 +538,7 @@ object Similarity {
             norms(i) = math.sqrt(s)
             i += 1
           }
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          val out = scala.collection.mutable.ArrayBuffer.empty[(T, T, Double)]
           i = 0
           while (i < n) {
             // bounded top-k slots for query i (k is single digits)
@@ -528,7 +558,7 @@ object Similarity {
                   var pos = filled
                   while (pos > 0 && (cos > topCos(pos - 1) ||
                       (cos == topCos(pos - 1) &&
-                        ids(j) < ids(topIdx(pos - 1))))) pos -= 1
+                        ord.lt(ids(j), ids(topIdx(pos - 1)))))) pos -= 1
                   if (pos < k) {
                     var q = math.min(filled, k - 1)
                     while (q > pos) {
@@ -545,7 +575,7 @@ object Similarity {
             var t = 0
             while (t < filled) {
               val a = ids(i); val b = ids(topIdx(t))
-              out += ((math.min(a, b), math.max(a, b), topCos(t)))
+              out += (if (ord.lt(a, b)) (a, b, topCos(t)) else (b, a, topCos(t)))
               t += 1
             }
             i += 1

@@ -188,6 +188,41 @@ class Round6Spec extends SparkTestBase {
     emb.unpersist()
   }
 
+  test("cellSelfTopKPairs: string ids (engine's own doc-%012d) mine the " +
+      "same pairs as long ids") {
+    import graft.operators.Similarity
+    val k = 3
+    val threshold = 0.8
+    val emb = spark.range(240).select(col("id"),
+      AnnRecallBench.clusteredVec(col("id"), 12, 6, 0.25).as("v"))
+      .persist()
+    val centroids = Similarity.trainIvfCentroids(emb, "v", "id",
+      nCells = 6, iters = 3)
+    val longPairs = Similarity.cellSelfTopKPairs(emb, "v", "id", k,
+      centroids, threshold).collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    // the canonical tokenized-table id shape (SeqTableGen doc_id): zero-pad
+    // preserves order for non-negative ids, so the pair sets must agree
+    val sEmb = emb.select(format_string("doc-%012d", col("id")).as("id"),
+      col("v"))
+    val strPairs = Similarity.cellSelfTopKPairs(sEmb, "v", "id", k,
+      centroids, threshold).collect()
+      .map(r => (r.getString(0), r.getString(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    assert(longPairs.nonEmpty)
+    assert(strPairs == longPairs.map { case (a, b, c) =>
+      (f"doc-$a%012d", f"doc-$b%012d", c) })
+    // unsupported id families fail loud at plan time, not with a mid-job cast
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cellSelfTopKPairs(
+        emb.select(col("id").cast("double").as("id"), col("v")),
+        "v", "id", k, centroids, threshold)
+    }
+    assert(e.getMessage.contains("unsupported id type"))
+    emb.unpersist()
+  }
+
   test("cellSelfTopKPairs: id tie-break is partition-order independent") {
     import graft.operators.Similarity
     // 6 identical vectors (all cos ties at exactly 1.0) + 2 orthogonal:
