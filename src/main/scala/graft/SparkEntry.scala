@@ -2626,8 +2626,11 @@ object SparkEntry {
       .select(coalesce(col("source"), lit("<null>")).as("source"), binCol.as("bin"))
       .groupBy("source", "bin").agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // grand total: O(1) action on the cached tiny aggregate, not a re-scan
-    val gTot = perSrc.agg(sum("cnt")).head().getLong(0).toDouble
+    // grand total stays IN the plan (1-row aggregate of the cached tiny
+    // frame, attached by a broadcast cross join) instead of a driver
+    // head(): one fewer action per invocation, identical arithmetic —
+    // sum(long) is exact and the double division is unchanged (r07)
+    val gTot = perSrc.agg(sum("cnt").cast("double").as("__gtot"))
     // dense (source × bin) grid so empty bins contribute eps
     val grid = perSrc.select("source").distinct()
       .crossJoin(docs.sparkSession.range(k).select(col("id").cast("int").as("bin")))
@@ -2644,9 +2647,10 @@ object SparkEntry {
     val pq = filled
       .join(broadcast(tots), Seq("source"))
       .join(broadcast(gcnts), Seq("bin"))
+      .crossJoin(broadcast(gTot))
       .select(col("source"), col("bin"),
         (col("cnt") / col("tot")).as("p"),
-        (col("gcnt") / lit(gTot)).as("q"))
+        (col("gcnt") / col("__gtot")).as("q"))
     (pq, perSrc)
   }
 
