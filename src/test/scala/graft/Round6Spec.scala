@@ -143,6 +143,40 @@ class Round6Spec extends SparkTestBase {
     assert(h1 == h2)
   }
 
+  test("semantic curation stage (kmeans path) over STRING doc ids — the " +
+      "canonical tokenized-table id shape") {
+    import graft.engine.CurationRun
+    import graft.engine.CurationRun.{CurationConfig, SemanticDedupConfig}
+    // same geometry as the lsh-path fixture (8/9 scalar multiples of 0/1,
+    // cosine exactly 1) but ids are the engine's own "doc-%012d" strings —
+    // the r6-verdict shape the kmeans miner used to THROW on under ANSI
+    val docs = spark.range(10).select(
+      format_string("doc-%012d", col("id")).as("doc_id"),
+      concat_ws(" ", (0 to 5).map(j =>
+        substring(md5(concat(col("id").cast("string"), lit(s"-$j"))), 1, 6)): _*)
+        .as("text"),
+      lit("s").as("source"),
+      transform(sequence(lit(0), lit(7)), i =>
+        when(i === pmod(col("id"), lit(8)).cast("int"),
+          lit(1.0) + floor(col("id") / 8) * 2.0).otherwise(lit(0.0)))
+        .as("embedding"))
+    val cfg = CurationConfig(method = "exact",
+      semantic = Some(SemanticDedupConfig("embedding", dim = 8,
+        method = "kmeans", threshold = 0.98, nCells = 8, iters = 2)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-semk").toString
+    val rs = CurationRun.run(spark, docs, None, cfg, "r1", s"$dir/out", s"$dir/m")
+    assert(rs.forall(_.executed))
+    import spark.implicits._
+    def sid(i: Int): String = f"doc-$i%012d"
+    val drop = spark.read.parquet(
+        CurationRun.stageDir(s"$dir/out", "r1", "semantic"))
+      .as[(String, String)].collect().toSet
+    assert(drop == Set((sid(8), sid(0)), (sid(9), sid(1))), drop)
+    val fin = CurationRun.finalOutput(spark, s"$dir/out", "r1")
+      .select("doc_id").as[String].collect().toSet
+    assert(fin == (0 until 8).map(sid).toSet, fin)
+  }
+
   test("cellSelfTopKPairs: parity with a driver brute force over cells") {
     import graft.operators.Similarity
     val k = 3
