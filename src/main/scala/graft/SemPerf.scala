@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Throughput check: cellSelfTopKPairs on a 200k synthetic clustered
+  * corpus (64-dim), auto-ish cell count 64. Prints wall seconds. */
+object SemPerf {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(200000L)
+    val spark = Bench.buildSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    val emb = spark.range(n).select(col("id"),
+      AnnRecallBench.clusteredVec(col("id"), 64, 64, 0.05).as("v"))
+      .persist()
+    emb.count()
+    val centroids = graft.operators.Similarity.trainIvfCentroids(
+      emb, "v", "id", nCells = 64, iters = 2)
+    def mine(): Long = graft.operators.Similarity.cellSelfTopKPairs(
+      emb, "v", "id", k = 4, centroids, threshold = 0.95,
+      maxBucket = 100000).count()
+    val c0 = mine() // warm
+    val times = (1 to 3).map(_ => Bench.time(mine()))
+    println(f"sem_perf n=$n pairs=$c0 times=${times.sorted.map(t => f"$t%.2f").mkString(",")}")
+    spark.stop()
+  }
+}
